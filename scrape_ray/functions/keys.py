@@ -1,0 +1,95 @@
+"""63-bit URL keys — the cache / seen-set / partitioning identity.
+
+Reimplements the reference's key algorithm
+(/root/reference/internal/storage/key.go:34-57):
+
+- bit 63: always 0 (SQLite can't take a uint64 PK with the high bit set)
+- bits 62-56: 7-bit checksum = (sum of hostname bytes mod 256) & 0x7f
+- bits 55-0: FNV-1a-64 of the full URL string, XOR-folded to 56 bits:
+  ``(h >> 56) ^ (h & MASK_56)``
+
+``host_shard = key >> 56`` gives 128 same-host groups — the partition
+key the reference's own docs anticipate
+(/root/reference/internal/storage/README.md:13,19-23).
+
+The FNV loop is fully vectorized in numpy: byte position j is one
+N-row uint64 op, so a batch of N URLs costs max_len (~200) vector ops
+instead of N×len scalar ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from scrape_ray.functions.urlnorm import hostname_of
+
+MASK_56 = np.uint64(0x00FF_FFFF_FFFF_FFFF)
+FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _bytes_matrix(values: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Pack variable-length byte strings into an (N, maxlen) uint8 matrix
+    plus a length vector, without a per-row Python copy loop."""
+    n = len(values)
+    lens = np.fromiter((len(v) for v in values), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return np.zeros((n, 0), dtype=np.uint8), lens
+    flat = np.frombuffer(b"".join(values), dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(lens[:-1]))) if n else np.zeros(0, np.int64)
+    idx = offsets[:, None] + np.arange(maxlen)[None, :]
+    mask = np.arange(maxlen)[None, :] < lens[:, None]
+    buf = np.where(mask, flat[np.clip(idx, 0, max(len(flat) - 1, 0))], 0).astype(np.uint8)
+    return buf, lens
+
+
+def fnv1a64(values: list[bytes]) -> np.ndarray:
+    """Vectorized FNV-1a 64 over a batch of byte strings → uint64[N]."""
+    buf, lens = _bytes_matrix(values)
+    n, maxlen = buf.shape
+    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            nh = (h ^ buf[:, j].astype(np.uint64)) * FNV_PRIME
+            h = np.where(active, nh, h)
+    return h
+
+
+def host_checksum(hosts: list[str]) -> np.ndarray:
+    """7-bit per-host checksum: uint8-wrapping byte sum & 0x7f
+    (key.go:45-50 — Go's ``sum`` is a uint8, so it wraps mod 256
+    before masking)."""
+    out = np.empty(len(hosts), dtype=np.uint64)
+    for i, hname in enumerate(hosts):
+        out[i] = (sum(hname.encode("utf-8")) & 0xFF) & 0x7F
+    return out
+
+
+def url_keys(urls) -> np.ndarray:
+    """Batch Key(): uint64[N] with top bit 0. Accepts any iterable of
+    str (nulls → key 0, callers gate invalid rows earlier)."""
+    url_list = ["" if u is None else u for u in urls]
+    raw = fnv1a64([u.encode("utf-8") for u in url_list])
+    folded = (raw >> np.uint64(56)) ^ (raw & MASK_56)
+    hosts = [hostname_of(u) for u in url_list]
+    seg = host_checksum(hosts) << np.uint64(56)
+    return seg | folded
+
+
+def url_key(url: str) -> int:
+    """Scalar convenience wrapper."""
+    return int(url_keys([url])[0])
+
+
+def host_shards(keys: np.ndarray) -> np.ndarray:
+    """host_shard = key >> 56 ∈ [0, 128)."""
+    return (keys >> np.uint64(56)).astype(np.int32)
+
+
+def key_columns(urls) -> tuple[pa.Array, pa.Array]:
+    """(key, host_shard) Arrow arrays for appending to a batch."""
+    keys = url_keys(urls)
+    return pa.array(keys, type=pa.uint64()), pa.array(host_shards(keys), type=pa.int32())
