@@ -1,0 +1,212 @@
+"""Deterministic synthetic Common-Crawl-style frontier generator.
+
+BASELINE.json's ``input_hint`` mandates an input table
+``(url, warc_ts, html, text, lang)``; the sandbox has no such corpus, so
+we synthesize one **as a pure closed-form function of the driver's
+``documents`` table** (seeded, read-only). Purity matters twice:
+
+1. ``extract(generate(row))`` inverts the generator **byte-identically**
+   (the per-row invariant the driver checks), because the generator
+   embeds the expected ``content_text`` and the extractor's spec strips
+   exactly the boilerplate the generator adds — the reference's
+   smoker.html strategy (fetch/trafilatura/fetcher_test.go:113-178).
+2. Every generated field has a closed-form ANSI-SQL expression over
+   ``documents``, so DuckDB oracles can verify the Ray pipelines.
+
+Closed forms (doc_id d, text t, lang l, source s):
+
+- host(d)       = 'host0.example.com' if d%5<2 else 'host{d%50}.example.com'
+                  (≈40 % of rows on one host — the skew of the
+                  reference's real seed corpus, internal/testdata/global_urls.csv)
+- base(d)       = 'https://{host}/doc/{d}'
+- url(d)        = base + {0: '?utm_source=feed&ref={d%7}', 1: '?utm_campaign=x',
+                  2: '#frag', 3: ''}[d%4]          (dirty input)
+- clean(d)      = base + ('?ref={d%7}' if d%4==0 else '')
+- status(d)     = 404 if d%29==0 else 200
+- ctype(d)      = 'application/pdf' if d%29!=0 and d%31==0 else 'text/html'
+- empty page    : d%37==0 (and not an error row) → page with no content
+- canonical(d)  = 'https://{host}/canonical/{d}' if d%10==3 else clean(d)
+- title(d)      = 'Doc {d}'
+- content(d)    = 'Doc {d} ' || t        (null on error/empty rows)
+- warc_ts(d)    = TIMESTAMP '2024-01-01' + d seconds
+- author(d)     = 'Author {d%11}';  tags = [s];  categories = ['Cat{d%3}']
+- date(d)       = DATE '2024-01-01' + (d%365) days;  page_type = 'article'
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from html import escape
+
+import pyarrow as pa
+
+EPOCH0 = datetime(2024, 1, 1)
+
+_PAGE_TMPL = """<!DOCTYPE html>
+<html lang="{lang}">
+<head>
+<meta charset="utf-8" />
+<title>{title}</title>
+<meta name="description" content="{description}">
+<meta name="keywords" content="{keywords}">
+<meta name="author" content="{author}">
+<meta property="og:type" content="article">
+<meta property="article:published_time" content="{date}">
+<meta property="article:section" content="{section}">
+{canonical_tag}<script>var tracker = "junk && <nonsense>";</script>
+<style>.x {{ color: red }}</style>
+</head>
+<body>
+<nav><a href="/">Home</a> <a href="/about">About</a></nav>
+<header><h2>Site Header Boilerplate</h2></header>
+<article>
+{paragraphs}
+</article>
+<aside>Related links sidebar junk</aside>
+<footer>&copy; 2024 example inc.</footer>
+</body>
+</html>"""
+
+
+def host_of(doc_id: int) -> str:
+    return (
+        "host0.example.com" if doc_id % 5 < 2 else f"host{doc_id % 50}.example.com"
+    )
+
+
+def base_url(doc_id: int) -> str:
+    return f"https://{host_of(doc_id)}/doc/{doc_id}"
+
+
+def dirty_url(doc_id: int) -> str:
+    b = base_url(doc_id)
+    m = doc_id % 4
+    if m == 0:
+        return f"{b}?utm_source=feed&ref={doc_id % 7}"
+    if m == 1:
+        return f"{b}?utm_campaign=x"
+    if m == 2:
+        return f"{b}#frag"
+    return b
+
+
+def clean_url_expected(doc_id: int) -> str:
+    b = base_url(doc_id)
+    return f"{b}?ref={doc_id % 7}" if doc_id % 4 == 0 else b
+
+
+def status_of(doc_id: int) -> int:
+    return 404 if doc_id % 29 == 0 else 200
+
+
+def ctype_of(doc_id: int) -> str:
+    if doc_id % 29 != 0 and doc_id % 31 == 0:
+        return "application/pdf"
+    return "text/html"
+
+
+def is_empty_page(doc_id: int) -> bool:
+    return doc_id % 37 == 0 and status_of(doc_id) == 200 and ctype_of(doc_id) == "text/html"
+
+
+def is_content_row(doc_id: int) -> bool:
+    return (
+        status_of(doc_id) == 200
+        and ctype_of(doc_id) == "text/html"
+        and not is_empty_page(doc_id)
+    )
+
+
+def canonical_of(doc_id: int) -> str:
+    if doc_id % 10 == 3:
+        return f"https://{host_of(doc_id)}/canonical/{doc_id}"
+    return clean_url_expected(doc_id)
+
+
+def expected_content(doc_id: int, text: str) -> str | None:
+    if not is_content_row(doc_id):
+        return None
+    return f"Doc {doc_id} {text}"
+
+
+def page_html(doc_id: int, text: str, lang: str, source: str) -> bytes:
+    """Deterministic page whose extraction equals the closed forms above."""
+    if is_empty_page(doc_id):
+        # no <title>, no body text → the reference's empty-extraction error
+        return (
+            b'<!DOCTYPE html>\n<html lang="en"><head>'
+            b"<script>var x = 1;</script></head>"
+            b"<body><nav>Home</nav></body></html>"
+        )
+    words = text.split(" ")
+    third = max(1, len(words) // 3)
+    paras = [
+        " ".join(words[:third]),
+        " ".join(words[third : 2 * third]),
+        " ".join(words[2 * third :]),
+    ]
+    paragraphs = "\n".join(f"<p>{escape(p)}</p>" for p in paras if p)
+    canonical_tag = ""
+    if doc_id % 10 == 3:
+        canonical_tag = (
+            f'<meta property="og:url" content="{canonical_of(doc_id)}">\n'
+        )
+    page = _PAGE_TMPL.format(
+        lang=lang,
+        title=f"Doc {doc_id}",
+        description=escape(f"Synthetic doc {doc_id} from {source}"),
+        keywords=escape(source),
+        author=f"Author {doc_id % 11}",
+        date=(EPOCH0 + timedelta(days=doc_id % 365)).strftime("%Y-%m-%d"),
+        section=f"Cat{doc_id % 3}",
+        canonical_tag=canonical_tag,
+        paragraphs=paragraphs,
+    )
+    return page.encode("utf-8")
+
+
+def synth_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → frontier batch (map_batches body; Arrow in/out).
+
+    Output columns: the input_hint five (url, warc_ts, html, text, lang)
+    plus sidecar fetch-response columns (status_code, content_type) and
+    ``seed_seq`` (= doc_id, the ingest-order stamp for the crawl-order
+    contract, SURVEY.md §2.9)."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    sources = batch["source"].to_pylist()
+
+    urls, ts, htmls, exp_text, status, ctypes = [], [], [], [], [], []
+    for d, t, lg, s in zip(doc_ids, texts, langs, sources):
+        urls.append(dirty_url(d))
+        ts.append(EPOCH0 + timedelta(seconds=d))
+        htmls.append(page_html(d, t, lg, s))
+        exp_text.append(expected_content(d, t))
+        status.append(status_of(d))
+        ctypes.append(ctype_of(d))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(exp_text, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "status_code": pa.array(status, pa.int32()),
+            "content_type": pa.array(ctypes, pa.string()),
+            "seed_seq": pa.array(doc_ids, pa.int64()),
+        }
+    )
+
+
+def frontier_dataset(sf_dir: str):
+    """Streaming frontier over ``{sf_dir}/documents.parquet`` — the
+    generator runs inside map_batches, so frontier synthesis scales with
+    the cluster instead of materializing on the driver."""
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    return docs.map_batches(synth_batch, batch_format="pyarrow", batch_size=1024)

@@ -1,0 +1,144 @@
+"""Extraction semantics: smoker-style pinned-metadata fixture (the
+reference's behavioral anchor, fetch/trafilatura/fetcher_test.go:113-178),
+generator-inversion byte-identity, and the status/content-type gates."""
+
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from scrape_ray.sources import frontier_gen as fg
+from scrape_ray.stages.extract import (
+    ERR_EMPTY_EXTRACTION,
+    ExtractStage,
+    err_content_type,
+    err_http,
+    extract_page,
+)
+
+# Our own smoker-equivalent page: same metadata surface, different content.
+SMOKER = b"""<meta name="viewport" content="width=device-width, initial-scale=1.0">
+<html lang="en">
+<head>
+\t<meta charset="utf-8" />
+\t<title>Engine Probe</title>
+\t<meta name="description" content="This is an engine probe">
+\t<meta name="keywords" content="probe, engine">
+\t<meta name="author" content="Ada Example">
+\t<meta property="og:image" content="https://probe.example/image.png">
+\t<meta property="og:type" content="article">
+\t<meta property="article:published_time" content="2024-01-01">
+\t<meta property="article:section" content="Cat1, Cat2">
+\t<meta property="og:url" content="http://probe.example">
+</head>
+<body>
+\tThis body is written in english, plainly so.
+</body>
+</html>"""
+
+
+def test_smoker_style_fixture_all_fields():
+    r = extract_page(SMOKER, "https://fetch.example/0e35.html")
+    assert r["error"] is None
+    assert r["title"] == "Engine Probe"
+    assert r["authors"] == ["Ada Example"]
+    assert r["description"] == "This is an engine probe"
+    assert r["language"] == "en"
+    assert r["tags"] == ["probe", "engine"]
+    assert r["categories"] == ["Cat1", "Cat2"]
+    assert r["page_type"] == "article"
+    assert r["date"] == datetime(2024, 1, 1)
+    assert r["sitename"] == "probe.example"
+    assert r["url"] == "http://probe.example"
+    assert r["image"] == "https://probe.example/image.png"
+    # title ++ ' ' ++ normalized body, boilerplate stripped
+    assert (
+        r["content_text"]
+        == "Engine Probe This body is written in english, plainly so."
+    )
+
+
+def test_author_split_semicolon_trim():
+    html = b'<html><head><meta name="author" content=" A One ;; B Two "><title>T</title></head><body>x</body></html>'
+    r = extract_page(html, "https://h.example/")
+    assert r["authors"] == ["A One", "B Two"]
+
+
+def test_empty_extraction_error_class():
+    r = extract_page(b"<html><body><script>x</script></body></html>", "https://h.example/")
+    assert r["error"] == ERR_EMPTY_EXTRACTION
+    assert r["content_text"] is None
+
+
+def test_boilerplate_subtrees_stripped():
+    html = (
+        b"<html><body><nav>MENU</nav><header>HEAD</header>"
+        b"<p>keep me</p><aside>side</aside><footer>foot</footer>"
+        b"<script>var x;</script><style>.a{}</style></body></html>"
+    )
+    r = extract_page(html, "https://h.example/")
+    assert r["content_text"] == "keep me"
+
+
+def test_generator_inversion_byte_identical():
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    frontier = fg.synth_batch(docs.slice(0, 200))
+    stage = ExtractStage(fixed_fetch_time=datetime(2024, 6, 1))
+    out = stage(frontier)
+    got = out["content_text"].to_pylist()
+    want = frontier["text"].to_pylist()
+    errs = out["error"].to_pylist()
+    for i, (g, w) in enumerate(zip(got, want)):
+        d = docs["doc_id"][i].as_py()
+        if w is None:
+            assert g is None, f"doc {d}: expected error row, extracted {g!r}"
+            assert errs[i] is not None
+        else:
+            assert g == w, f"doc {d}: not byte-identical"
+    # every class of row present in the slice
+    assert any(e and e.startswith("HTTP error") for e in errs)
+    assert any(e and e.startswith("unsupported content type") for e in errs)
+    assert any(e == ERR_EMPTY_EXTRACTION for e in errs)
+    assert sum(e is None for e in errs) > 150
+
+
+def test_gate_errors_exact():
+    t = pa.table(
+        {
+            "url": ["https://a.example/x", "https://a.example/y"],
+            "html": [b"<html><body>hi</body></html>"] * 2,
+            "status_code": pa.array([503, 200], pa.int32()),
+            "content_type": ["text/html", "image/png"],
+        }
+    )
+    out = ExtractStage(fixed_fetch_time=datetime(2024, 6, 1))(t)
+    assert out["error"].to_pylist() == [err_http(503), err_content_type("image/png")]
+    assert out["status_code"].to_pylist() == [503, 200]
+    assert out["content_text"].to_pylist() == [None, None]
+
+
+def test_canonical_url_and_passthrough():
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").slice(0, 60)
+    frontier = fg.synth_batch(docs)
+    out = ExtractStage(fixed_fetch_time=datetime(2024, 6, 1))(frontier)
+    # html/text/lang consumed; seed_seq passed through
+    assert "html" not in out.column_names
+    assert "seed_seq" in out.column_names
+    urls = out["url"].to_pylist()
+    for i, d in enumerate(docs["doc_id"].to_pylist()):
+        if d % 10 == 3 and fg.is_content_row(d):
+            assert urls[i] == fg.canonical_of(d)
+
+
+def test_plain_text_content_type_allowed():
+    t = pa.table(
+        {
+            "url": ["https://a.example/t.txt"],
+            "html": [b"just some plain words"],
+            "status_code": pa.array([200], pa.int32()),
+            "content_type": ["text/plain"],
+        }
+    )
+    out = ExtractStage(fixed_fetch_time=datetime(2024, 6, 1))(t)
+    assert out["error"].to_pylist() == [None]
+    assert out["content_text"].to_pylist() == ["just some plain words"]
