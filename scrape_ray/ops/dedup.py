@@ -1,0 +1,272 @@
+"""Deduplication operators — exact and near-duplicate.
+
+Exact URL dedup is the reference's D1 (u63 PK enforces one row per
+canonical URL, internal/storage/README.md:11); the content-level
+variants (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine) are
+the training-data-pipeline extensions this engine adds as first-class
+operators.
+
+Scale notes per operator are in each docstring; the common theme is:
+hash/shingle/sketch vectorized inside ``map_batches`` (stateless, no
+shuffle), then ONE small shuffle on the sketch key, never an
+all-pairs comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def add_hash_column(
+    ds,
+    text_col: str,
+    out_col: str = "content_hash",
+    batch_size: int = 8192,
+):
+    """Vectorized FNV-1a-64 content hash column (reuses the engine's key
+    kernel)."""
+    from scrape_ray.functions.keys import fnv1a64
+
+    def _h(t: pa.Table) -> pa.Table:
+        vals = [
+            (v or "").encode("utf-8") for v in t[text_col].to_pylist()
+        ]
+        return t.append_column(out_col, pa.array(fnv1a64(vals), pa.uint64()))
+
+    return ds.map_batches(_h, batch_format="pyarrow", batch_size=batch_size)
+
+
+def dedup_exact(ds, key_col: str, order_col: str, keep: str = "first"):
+    """One row per key, ordered by ``order_col`` (LWW upsert G1 /
+    exact dedup D1). Hash-partition on the key column, per-group
+    head(1) — the groupby is the single all-to-all exchange; at scale
+    pre-partitioning by host_shard keeps it local per shard."""
+    import pandas as pd
+
+    asc = keep == "first"
+
+    def _head(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, ascending=asc, kind="mergesort").head(1)
+
+    return ds.groupby(key_col).map_groups(_head, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ shingles
+def char_ngrams(text: str, n: int = 5) -> set[str]:
+    if len(text) < n:
+        return {text} if text else set()
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+def word_ngrams(text: str, n: int = 3) -> set[str]:
+    words = text.split()
+    if len(words) < n:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    u = len(a | b)
+    return len(a & b) / u if u else 0.0
+
+
+# ------------------------------------------------------------------- minhash
+class MinHasher:
+    """Vectorized MinHash signatures over word shingles.
+
+    num_perm universal-hash permutations h_i(x) = (a_i*x + b_i) mod p
+    over 64-bit FNV shingle hashes; seeds fixed ⇒ deterministic."""
+
+    MERSENNE = (1 << 61) - 1
+
+    def __init__(self, num_perm: int = 128, ngram: int = 3, seed: int = 42) -> None:
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        self.ngram = ngram
+        self.a = rng.randint(1, self.MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, self.MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        from scrape_ray.functions.keys import fnv1a64
+
+        shingles = sorted(word_ngrams(text, self.ngram))
+        if not shingles:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        hv = fnv1a64([s.encode("utf-8") for s in shingles]).astype(np.object_)
+        # object dtype → python ints for exact modular arithmetic
+        sig = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        hv64 = np.array([int(h) for h in hv], dtype=np.uint64)
+        for i in range(self.num_perm):
+            with np.errstate(over="ignore"):
+                vals = (int(self.a[i]) * hv64.astype(object) + int(self.b[i])) % self.MERSENNE
+            sig[i] = min(vals)
+        return sig
+
+
+class MinHashStage:
+    """Actor-pool map_batches stage: text → minhash signature + LSH
+    band keys. Permutation tables built once per actor."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_perm: int = 64,
+        bands: int = 16,
+        ngram: int = 3,
+    ) -> None:
+        assert num_perm % bands == 0
+        self.hasher = MinHasher(num_perm=num_perm, ngram=ngram)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from scrape_ray.functions.keys import fnv1a64
+
+        ids = t[self.id_col].to_pylist()
+        texts = t[self.text_col].to_pylist()
+        out_id, out_band, out_bucket, out_sig = [], [], [], []
+        for i, txt in enumerate(texts):
+            sig = self.hasher.signature(txt or "")
+            r = self.rows_per_band
+            for b in range(self.bands):
+                band_bytes = sig[b * r : (b + 1) * r].tobytes()
+                bucket = int(fnv1a64([band_bytes])[0])
+                out_id.append(ids[i])
+                out_band.append(b)
+                out_bucket.append(bucket)
+            out_sig.append(sig)
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id),
+                "band": pa.array(out_band, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.uint64()),
+            }
+        )
+
+
+def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm=64, bands=16, ngram=3,
+                      concurrency=None):
+    """Near-dup candidate pairs via MinHash+LSH: signature per doc
+    (map_batches) → explode to (band, bucket, id) → groupby(band,
+    bucket) → within-bucket pairs. Only bucket-mates are compared —
+    never all pairs. Returns a Dataset of (id_a, id_b) with id_a<id_b,
+    distinct."""
+    import pandas as pd
+
+    kwargs = dict(
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, ngram=ngram
+        ),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    banded = ds.map_batches(MinHashStage, **kwargs)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g[id_col]))
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    pairs = banded.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
+    # distinct pairs (a pair can surface from several bands)
+    return dedup_exact(
+        pairs.map_batches(
+            lambda t: t.append_column(
+                "pair_key",
+                pc.add(
+                    pc.multiply(
+                        pc.cast(t["id_a"], pa.int64()), pa.scalar(1 << 32, pa.int64())
+                    ),
+                    pc.cast(t["id_b"], pa.int64()),
+                ),
+            ),
+            batch_format="pyarrow",
+        ),
+        "pair_key",
+        "id_a",
+    ).drop_columns(["pair_key"])
+
+
+# -------------------------------------------------------------------- simhash
+def simhash64(text: str, ngram: int = 3) -> int:
+    """64-bit SimHash over word n-gram FNV hashes (deterministic)."""
+    from scrape_ray.functions.keys import fnv1a64
+
+    shingles = sorted(word_ngrams(text, ngram))
+    if not shingles:
+        return 0
+    hv = fnv1a64([s.encode("utf-8") for s in shingles])
+    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+    counts = bits.sum(axis=0)
+    vote = counts * 2 - len(hv)
+    out = 0
+    for i in range(64):
+        if vote[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def add_simhash_column(ds, text_col: str, out_col: str = "simhash", ngram: int = 3):
+    def _s(t: pa.Table) -> pa.Table:
+        vals = [simhash64(v or "", ngram) for v in t[text_col].to_pylist()]
+        return t.append_column(out_col, pa.array(vals, pa.uint64()))
+
+    return ds.map_batches(_s, batch_format="pyarrow", batch_size=2048)
+
+
+# ------------------------------------------------------- embedding near-dup
+def embedding_dup_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.95,
+                        n_planes: int = 12, seed: int = 7):
+    """Embedding-cosine near-dup via random-hyperplane LSH: bucket by
+    sign pattern (map_batches, no shuffle), then exact cosine only
+    within buckets (groupby bucket). At 100 TB the bucket groupby is
+    the one exchange; n_planes bounds bucket width."""
+    import pandas as pd
+
+    state = {"planes": None, "seed": seed, "n_planes": n_planes}
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float32)
+        if state["planes"] is None or state["planes"].shape[1] != vecs.shape[1]:
+            rng = np.random.RandomState(state["seed"])
+            state["planes"] = rng.normal(size=(state["n_planes"], vecs.shape[1])).astype(
+                np.float32
+            )
+        signs = (vecs @ state["planes"].T) > 0
+        buckets = (signs * (1 << np.arange(state["n_planes"]))).sum(axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks(),
+                vec_col: t[vec_col].combine_chunks(),
+                "bucket": pa.array(buckets, pa.int64()),
+            }
+        )
+
+    bucketed = ds.map_batches(_bucket, batch_format="pyarrow", batch_size=4096)
+
+    def _exact(g: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.array(g[vec_col].tolist(), dtype=np.float32)
+        ids = g[id_col].to_numpy()
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        sims = (vecs / norms) @ (vecs / norms).T
+        ia, ib = np.where(np.triu(sims >= threshold, k=1))
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ia, ib]})
+
+    pairs = bucketed.groupby("bucket").map_groups(_exact, batch_format="pandas")
+    return pairs

@@ -29,6 +29,7 @@ def fetch_extract(
     frontier_ds,
     *,
     cache=None,
+    now: datetime | None = None,
     fixed_fetch_time: datetime | None = None,
     extract_batch_size: int = DEFAULT_EXTRACT_BATCH,
     extract_concurrency=None,
@@ -38,7 +39,7 @@ def fetch_extract(
     ``cache``: optional ``scrape_ray.state.cache.CacheStore``; when set,
     rows whose key has an unexpired cache entry are served from the
     store (the reference's storage-backed fetch, internal/scrape.go:75-95)
-    and only misses go through extraction.
+    and only misses go through extraction. ``now`` gates TTL expiry.
 
     ``extract_concurrency``: actor-pool size for the extract stage; when
     None the stage runs as stateless tasks (Ray sizes them to the
@@ -46,9 +47,8 @@ def fetch_extract(
     """
     ds = normalize(frontier_ds)
 
-    hits_ds = None
     if cache is not None:
-        hits_ds, ds = cache.split_hits(ds)
+        ds = cache.attach(ds, now=now or datetime.utcnow())
 
     kwargs: dict = {"batch_format": "pyarrow", "batch_size": extract_batch_size}
     if extract_concurrency is not None:
@@ -63,6 +63,4 @@ def fetch_extract(
             ExtractStage(fixed_fetch_time=fixed_fetch_time), **kwargs
         )
 
-    if hits_ds is not None:
-        extracted = extracted.union(hits_ds)
     return extracted

@@ -199,6 +199,32 @@ def synth_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+DUP_SEQ_OFFSET = 1_000_000
+
+
+def url_inputs_with_dups(sf_dir: str):
+    """URL-only input stream with planted exact duplicates: every even
+    doc_id re-enters as ``base?utm_term=dup#f2`` (cleans to the bare
+    base URL) with seed_seq = doc_id + DUP_SEQ_OFFSET. Exercises D1
+    exact dedup with a closed SQL form."""
+    import ray.data
+
+    def _gen(t: pa.Table) -> pa.Table:
+        urls, seqs = [], []
+        for d in t["doc_id"].to_pylist():
+            urls.append(dirty_url(d))
+            seqs.append(d)
+            if d % 2 == 0:
+                urls.append(f"{base_url(d)}?utm_term=dup#f2")
+                seqs.append(d + DUP_SEQ_OFFSET)
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "seed_seq": pa.array(seqs, pa.int64())}
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(_gen, batch_format="pyarrow", batch_size=2048)
+
+
 def frontier_dataset(sf_dir: str):
     """Streaming frontier over ``{sf_dir}/documents.parquet`` — the
     generator runs inside map_batches, so frontier synthesis scales with

@@ -275,7 +275,24 @@ class ExtractStage:
     (resource/web_page.go:28).
     """
 
-    _CONSUMED = ("html", "text", "lang", "status_code", "content_type", "parse_error")
+    _CONSUMED = (
+        "html",
+        "text",
+        "lang",
+        "status_code",
+        "content_type",
+        "parse_error",
+        "cache_hit",
+        "effective_id",
+        "c_id",
+        "c_url",
+        "c_parsed_url",
+        "c_fetch_time",
+        "c_fetch_method",
+        "c_expires",
+        "c_metadata",
+        "c_content_text",
+    )
 
     def __init__(self, fixed_fetch_time: datetime | None = None) -> None:
         self.fixed_fetch_time = fixed_fetch_time
@@ -305,11 +322,42 @@ class ExtractStage:
             else [None] * n
         )
 
+        hits = (
+            batch["cache_hit"].to_pylist()
+            if "cache_hit" in batch.column_names
+            else [False] * n
+        )
+
         fetch_time = self.fixed_fetch_time or datetime.utcnow().replace(microsecond=0)
+        fetch_times = [fetch_time] * n
+        methods = [FETCH_METHOD_DIRECT] * n
         rows = []
         for i in range(n):
             st = 200 if status[i] is None else int(status[i])
             ct = ctypes[i] or "text/html"
+            if hits[i]:
+                # storage-backed fetch: serve the stored row; fetch_time
+                # is the ORIGINAL fetch time (cache round-trip preserves
+                # it — internal/scrape_test.go:31-140)
+                from scrape_ray.state.cache import cache_row_to_webpage
+
+                rec = cache_row_to_webpage(
+                    {
+                        "url": batch["c_url"][i].as_py(),
+                        "parsed_url": batch["c_parsed_url"][i].as_py(),
+                        "fetch_time": batch["c_fetch_time"][i].as_py(),
+                        "fetch_method": batch["c_fetch_method"][i].as_py(),
+                        "metadata": batch["c_metadata"][i].as_py(),
+                        "content_text": batch["c_content_text"][i].as_py(),
+                    },
+                    original_url=originals[i],
+                )
+                rec["status_code"] = rec.get("status_code") or 200
+                fetch_times[i] = rec.pop("fetch_time")
+                methods[i] = rec.pop("fetch_method") or FETCH_METHOD_DIRECT
+                rec["original_url"] = originals[i]
+                rows.append(rec)
+                continue
             if parse_errors[i] is not None:
                 # invalid URL: error row, nothing fetched (scrape.go:170-177)
                 rec = extract_page(None, urls[i])
@@ -334,8 +382,8 @@ class ExtractStage:
         out["url"] = pa.array([r["url"] for r in rows], pa.string())
         out["requested_url"] = pa.array([r["requested_url"] for r in rows], pa.string())
         out["original_url"] = pa.array([r["original_url"] for r in rows], pa.string())
-        out["fetch_time"] = pa.array([fetch_time] * n, pa.timestamp("us"))
-        out["fetch_method"] = pa.array([FETCH_METHOD_DIRECT] * n, pa.int8())
+        out["fetch_time"] = pa.array(fetch_times, pa.timestamp("us"))
+        out["fetch_method"] = pa.array(methods, pa.int8())
         out["status_code"] = pa.array([r["status_code"] for r in rows], pa.int32())
         out["error"] = pa.array([r["error"] for r in rows], pa.string())
         out["hostname"] = pa.array([r["hostname"] for r in rows], pa.string())

@@ -1,0 +1,168 @@
+"""Cache store semantics — port of the reference's storage test suite
+(/root/reference/internal/storage/storage_test.go:76-276): round-trip,
+TTL expiry ⇒ miss, alias lookup via id_map, delete-canonical-only
+quirk, clear, and LWW compaction; plus the distributed attach join."""
+
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+
+from scrape_ray.sources import frontier_gen as fg
+from scrape_ray.stages.extract import ExtractStage
+from scrape_ray.stages.normalize import normalize_batch
+from scrape_ray.state.cache import CacheStore, webpage_to_cache_tables
+
+T0 = datetime(2024, 6, 1)
+
+
+def _webpage_table(**over) -> pa.Table:
+    row = {
+        "url": "https://example.com/canonical",
+        "requested_url": "https://example.com/requested",
+        "original_url": "https://example.com/requested?utm_source=x",
+        "fetch_time": T0,
+        "fetch_method": 1,
+        "status_code": 200,
+        "error": None,
+        "hostname": "example.com",
+        "title": "T1",
+        "description": "D1",
+        "sitename": "example.com",
+        "authors": ["A One", "B Two"],
+        "date": datetime(2024, 1, 1),
+        "categories": ["Cat1"],
+        "tags": ["t1", "t2"],
+        "language": "en",
+        "image": "https://example.com/i.png",
+        "page_type": "article",
+        "license": None,
+        "content_text": "hello cached world",
+    }
+    row.update(over)
+    return pa.table({k: [v] for k, v in row.items()})
+
+
+def test_save_fetch_roundtrip_all_fields(tmp_path):
+    cs = CacheStore(str(tmp_path))
+    cs.save_pages(_webpage_table(), ttl_seconds=3600)
+    got = cs.fetch_url("https://example.com/canonical", now=T0 + timedelta(minutes=5))
+    assert got is not None
+    assert got["title"] == "T1"
+    assert got["authors"] == ["A One", "B Two"]
+    assert got["tags"] == ["t1", "t2"]
+    assert got["date"] == datetime(2024, 1, 1)
+    assert got["content_text"] == "hello cached world"
+    assert got["fetch_time"] == T0  # preserved on round-trip
+    assert got["requested_url"] == "https://example.com/requested"
+
+
+def test_alias_lookup_via_id_map(tmp_path):
+    cs = CacheStore(str(tmp_path))
+    cs.save_pages(_webpage_table(), ttl_seconds=3600)
+    # fetching the REQUESTED url resolves through id_map to the canonical row
+    got = cs.fetch_url("https://example.com/requested", now=T0 + timedelta(minutes=5))
+    assert got is not None and got["url"] == "https://example.com/canonical"
+
+
+def test_ttl_expiry_is_miss(tmp_path):
+    cs = CacheStore(str(tmp_path))
+    cs.save_pages(_webpage_table(), ttl_seconds=60)
+    assert cs.fetch_url("https://example.com/canonical", now=T0 + timedelta(seconds=59))
+    assert (
+        cs.fetch_url("https://example.com/canonical", now=T0 + timedelta(seconds=61))
+        is None
+    )
+
+
+def test_delete_canonical_only_quirk(tmp_path):
+    cs = CacheStore(str(tmp_path))
+    cs.save_pages(_webpage_table(), ttl_seconds=3600)
+    assert cs.delete_url("https://example.com/canonical")
+    assert cs.fetch_url("https://example.com/canonical", now=T0) is None
+    # alias row survives in id_map (no cascade) but resolves to nothing
+    assert cs.fetch_url("https://example.com/requested", now=T0) is None
+    assert cs.id_map_table().num_rows == 1
+
+
+def test_lww_latest_wins_and_compaction(tmp_path):
+    cs = CacheStore(str(tmp_path))
+    cs.save_pages(_webpage_table(title="old", fetch_time=T0), ttl_seconds=3600)
+    cs.save_pages(
+        _webpage_table(title="new", fetch_time=T0 + timedelta(hours=1)),
+        ttl_seconds=3600,
+    )
+    got = cs.fetch_url("https://example.com/canonical", now=T0 + timedelta(hours=1))
+    assert got["title"] == "new"
+    n = cs.compact()
+    assert n == 1
+    got = cs.fetch_url("https://example.com/canonical", now=T0 + timedelta(hours=1))
+    assert got["title"] == "new"
+
+
+def test_error_rows_not_cached(tmp_path):
+    cs = CacheStore(str(tmp_path))
+    wp = _webpage_table(error="HTTP error: 404", content_text=None)
+    assert cs.save_pages(wp) == 0
+
+
+def test_clear(tmp_path):
+    cs = CacheStore(str(tmp_path))
+    cs.save_pages(_webpage_table())
+    cs.clear()
+    assert cs.fetch_url("https://example.com/canonical", now=T0) is None
+
+
+def test_self_referential_id_map_rows(tmp_path):
+    cs = CacheStore(str(tmp_path))
+    wp = _webpage_table(
+        url="https://same.com/x", requested_url="https://same.com/x"
+    )
+    cs.save_pages(wp)
+    idm = cs.id_map_table()
+    assert idm["requested_id"][0].as_py() == idm["canonical_id"][0].as_py()
+
+
+def test_attach_join_hits_and_misses(tmp_path, ray_session):
+    """Storage-backed fetch end-to-end: first run populates the cache,
+    second run serves hits (fetch_time preserved) and misses extract."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from scrape_ray.pipelines.spine import fetch_extract
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").slice(0, 80)
+    frontier_t = fg.synth_batch(docs)
+    cs = CacheStore(str(tmp_path))
+
+    # epoch 1: run and save
+    out1 = fetch_extract(
+        ray.data.from_arrow(frontier_t), fixed_fetch_time=T0
+    ).materialize()
+    cs.save_pages(out1.to_arrow_refs() and pa.concat_tables(
+        [ray_session.get(r) for r in out1.to_arrow_refs()]
+    ), ttl_seconds=3600)
+
+    # epoch 2: same frontier through the cache; all content rows must hit
+    later = datetime(2024, 6, 1, 0, 30)
+    out2 = fetch_extract(
+        ray.data.from_arrow(frontier_t),
+        cache=cs,
+        now=later,
+        fixed_fetch_time=later,
+    ).materialize()
+    df = out2.to_pandas().set_index("requested_url")
+
+    n_content = sum(
+        1 for d in docs["doc_id"].to_pylist() if fg.is_content_row(d)
+    )
+    served = (df["fetch_time"] == T0).sum()
+    assert served == n_content  # hits keep the ORIGINAL fetch_time
+    refetched = (df["fetch_time"] == later).sum()
+    assert refetched == len(df) - n_content  # error rows re-fetch
+    # spot-check one hit round-trips identically
+    d_hit = next(d for d in docs["doc_id"].to_pylist() if fg.is_content_row(d))
+    url = fg.clean_url_expected(d_hit)
+    row = df.loc[url]
+    assert row["content_text"] == fg.expected_content(
+        d_hit, docs["text"][docs["doc_id"].to_pylist().index(d_hit)].as_py()
+    )
