@@ -1,0 +1,177 @@
+"""Benchmark driver — headline fetch+extract throughput over the
+synthetic Common-Crawl-style frontier (BASELINE.json metric: URLs
+fetched+extracted per second), plus per-query timings for the other
+pipelines.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "urls_per_sec": ...}
+
+--scaling: runs the headline pipeline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (the sandbox proxy for the north
+rule's N vs 4N node cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _consume(result) -> int:
+    """Drive a lazy result to completion, returning row count without
+    materializing the data on the driver."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return result.count()  # ray.data.Dataset — streaming count
+
+
+def run_headline(sf_dir: str) -> tuple[float, int]:
+    """The flagship fetch+extract spine: frontier → normalize →
+    extract → count. Returns (seconds, rows)."""
+    from datetime import datetime
+
+    from scrape_ray.pipelines.spine import fetch_extract
+    from scrape_ray.sources.frontier_gen import frontier_dataset
+
+    t0 = time.perf_counter()
+    out = fetch_extract(
+        frontier_dataset(sf_dir), fixed_fetch_time=datetime(2024, 6, 1)
+    )
+    n = _consume(out)
+    return time.perf_counter() - t0, n
+
+
+def run_all(sf_dir: str) -> dict:
+    import __ray_entry__ as e
+
+    timings: dict[str, float] = {}
+    headline_sec, headline_rows = run_headline(sf_dir)
+    timings["fetch_extract"] = round(headline_sec, 3)
+
+    qs = e.queries()
+    for name, fn in qs.items():
+        if name == "extract":
+            continue  # == headline
+        t0 = time.perf_counter()
+        try:
+            _consume(fn(sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as ex:  # a broken query must not kill the bench
+            timings[name] = -1.0
+            print(f"bench: query {name} failed: {ex}", file=sys.stderr)
+
+    return {
+        "metric": "urls_fetched_extracted_total_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_label(sf_dir),
+        "num_cpus": NUM_CPUS,
+        "rows": headline_rows,
+        "urls_per_sec": round(headline_rows / headline_sec, 1),
+    }
+
+
+def _headline_only() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    sec, rows = run_headline(SF_DIR)
+    print(
+        json.dumps(
+            {"sec": round(sec, 3), "rows": rows, "num_cpus": NUM_CPUS,
+             "urls_per_sec": round(rows / sec, 1)}
+        )
+    )
+    ray.shutdown()
+
+
+def _scaling() -> None:
+    """Same job, fresh processes, num_cpus=8 then 32; efficiency =
+    (thr_hi / thr_lo) / (cpus_hi / cpus_lo)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr_lo, thr_hi = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32_cpus",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "throughput_8cpu": thr_lo,
+                "throughput_32cpu": thr_hi,
+                "sec_8cpu": results[8]["sec"],
+                "sec_32cpu": results[32]["sec"],
+                "sf": _sf_label(SF_DIR),
+            }
+        )
+    )
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        _scaling()
+        return
+    if "--headline-only" in sys.argv:
+        _headline_only()
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    out = run_all(SF_DIR)
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
