@@ -143,6 +143,212 @@ def _q_dedup_exact_text(sf_dir: str) -> Any:
     return kept.select_columns(["doc_id", "text"])
 
 
+def _q_token_stats(sf_dir: str) -> Any:
+    """Training-data op: whitespace + BPE-ish token counting."""
+    import ray.data
+
+    from scrape_ray.ops.textstats import token_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_stats(docs).select_columns(
+        ["doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars"]
+    )
+
+
+def _q_quality_stats(sf_dir: str) -> Any:
+    """Training-data op: quality-signal columns (integer counts)."""
+    import ray.data
+
+    from scrape_ray.ops.textstats import quality_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_stats(docs).select_columns(
+        ["doc_id", "n_punct", "n_stop_en", "mean_word_len_x100"]
+    )
+
+
+def _q_langid(sf_dir: str) -> Any:
+    """Training-data op: stopword-marker language ID."""
+    import ray.data
+
+    from scrape_ray.ops.textstats import add_langid
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return add_langid(docs).select_columns(["doc_id", "lang_pred"])
+
+
+def _q_fingerprint_dups(sf_dir: str) -> Any:
+    """Training-data op: content-fingerprint dup pairs over the
+    planted-dup corpus (window=1 ⇒ exact content fingerprint)."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.dedup import _distinct_pairs
+    from scrape_ray.ops.textstats import add_fingerprint
+
+    def _plant(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ids.append(d)
+            texts.append(x)
+            if d % 7 == 0:
+                ids.append(d + 1_000_000)
+                texts.append(x)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_plant, batch_format="pyarrow", batch_size=2048)
+    fp = add_fingerprint(docs, window=1)
+
+    import pandas as pd
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"])
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    pairs = fp.groupby("fingerprint").map_groups(_pairs, batch_format="pandas")
+    return _distinct_pairs(pairs)
+
+
+def _q_near_dup_jaccard(sf_dir: str) -> Any:
+    """Training-data op: MinHash-LSH + exact trigram-Jaccard verify;
+    output = exactly the pairs with J >= 0.7 (natural near-dups in the
+    documents table)."""
+    import ray.data
+
+    from scrape_ray.ops.dedup import near_dup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return near_dup_pairs(docs, threshold=0.7)
+
+
+def _q_near_dup_embedding(sf_dir: str) -> Any:
+    """Training-data op: embedding-cosine near-dup via hyperplane-LSH
+    buckets + exact cosine; planted scaled dups (cosine exactly 1)."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.dedup import embedding_dup_pairs
+
+    def _plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        vecs = t["embedding"].to_pylist()
+        out_i, out_v = [], []
+        for i, v in zip(ids, vecs):
+            out_i.append(i)
+            out_v.append(v)
+            if i % 9 == 0:
+                out_i.append(i + 1_000_000)
+                out_v.append([x * 2.0 for x in v])
+        return pa.table(
+            {
+                "vec_id": pa.array(out_i, pa.int64()),
+                "embedding": pa.array(out_v, pa.list_(pa.float32())),
+            }
+        )
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(_plant, batch_format="pyarrow", batch_size=2048)
+    pairs = embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.999)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def _q_ann_topk(sf_dir: str) -> Any:
+    """Similarity search: brute-force cosine top-10 for the first
+    three embeddings as queries (broadcast matmul per batch)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from scrape_ray.ops.similarity import brute_force_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = qt["vec_id"].to_pylist()
+    emb = qt["embedding"].to_pylist()
+    # query_id j == vec_id j: take vec_id 0,1,2 in id order
+    by_id = {v: e for v, e in zip(vid, emb) if v < 3}
+    queries_np = np.array([by_id[v] for v in sorted(by_id)], dtype=np.float32)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, queries_np, k=10)
+
+    import pandas as pd
+    import pyarrow as pa
+
+    df = out.to_pandas().sort_values(
+        ["query_id", "score", "vec_id"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["query_id", "vec_id", "rank"]], preserve_index=False
+    )
+
+
+def _q_politeness_slots(sf_dir: str) -> Any:
+    """North-rule politeness: logical-clock fetch slots per host under
+    the synthetic robots rules (delay = 1 + (k % 3) for host{k})."""
+    import ray.data
+
+    from scrape_ray.sources.frontier_gen import robots_txt_for
+    from scrape_ray.stages.normalize import normalize
+    from scrape_ray.state.politeness import RobotsProvider, apply_politeness
+
+    import pyarrow as pa
+
+    def _gen(t: pa.Table) -> pa.Table:
+        from scrape_ray.sources.frontier_gen import dirty_url
+
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([dirty_url(d) for d in ids], pa.string()),
+                "seed_seq": pa.array(ids, pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = normalize(docs.map_batches(_gen, batch_format="pyarrow", batch_size=2048))
+    verdict = apply_politeness(ds, RobotsProvider(robots_txt_for))
+    return verdict.select_columns(["url", "robots_allowed", "fetch_slot"])
+
+
+def _q_host_counts_sorted(sf_dir: str) -> Any:
+    """O1 analog: per-domain URL counts, sorted by domain, LIMIT 10
+    (the reference's domain-settings range scan shape)."""
+    from ray.data.aggregate import Count
+
+    import pyarrow as pa
+    import ray.data
+
+    def _gen(t: pa.Table) -> pa.Table:
+        from scrape_ray.sources.frontier_gen import host_of
+
+        ids = t["doc_id"].to_pylist()
+        return pa.table({"domain": pa.array([host_of(d) for d in ids], pa.string())})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = docs.map_batches(_gen, batch_format="pyarrow", batch_size=4096)
+    agg = ds.groupby("domain").aggregate(Count(alias_name="n_urls"))
+    return agg.sort("domain").limit(10)
+
+
+def _q_feed_expand(sf_dir: str) -> Any:
+    """S7/J4: synthetic RSS feeds (one per documents.source) parsed
+    from real XML and flat-mapped to item links."""
+    from scrape_ray.sources.feeds import expand_feeds, synthetic_feed_dataset
+
+    out = expand_feeds(synthetic_feed_dataset(sf_dir))
+    return out.select_columns(["feed_url", "url", "item_idx"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "clean_url": _q_clean_url,
@@ -150,6 +356,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cache_roundtrip": _q_cache_roundtrip,
         "dedup_exact_url": _q_dedup_exact_url,
         "dedup_exact_text": _q_dedup_exact_text,
+        "token_stats": _q_token_stats,
+        "quality_stats": _q_quality_stats,
+        "langid": _q_langid,
+        "fingerprint_dups": _q_fingerprint_dups,
+        "near_dup_jaccard": _q_near_dup_jaccard,
+        "near_dup_embedding": _q_near_dup_embedding,
+        "ann_topk": _q_ann_topk,
+        "politeness_slots": _q_politeness_slots,
+        "host_counts_sorted": _q_host_counts_sorted,
+        "feed_expand": _q_feed_expand,
     }
 
 
@@ -194,5 +410,117 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id % 7 = 0
             )
             SELECT MIN(doc_id) AS doc_id, text FROM planted GROUP BY text
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(str_split_regex(trim(text), '\s+')) END AS n_ws_tokens,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+                length(text) AS n_chars
+            FROM documents
+        """,
+        "quality_stats": r"""
+            WITH w AS (
+                SELECT doc_id, text,
+                    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                         ELSE str_split_regex(trim(text), '\s+') END AS words
+                FROM documents
+            )
+            SELECT doc_id,
+                len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                len(list_filter(words, x -> lower(x) IN
+                    ('the','and','of','to','is','in','that','it','with'))) AS n_stop_en,
+                CASE WHEN len(words) = 0 THEN 0
+                     ELSE (list_sum(list_transform(words, x -> length(x))) * 100)
+                          // len(words) END AS mean_word_len_x100
+            FROM w
+        """,
+        "langid": r"""
+            WITH w AS (
+                SELECT doc_id,
+                    list_transform(str_split_regex(trim(text), '\s+'), x -> lower(x)) AS toks
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id,
+                    len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it','with'))) AS c_en,
+                    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','von'))) AS c_de,
+                    len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','dans','que','pour'))) AS c_fr,
+                    len(list_filter(toks, x -> x IN ('el','los','las','es','una','en','que','por','para'))) AS c_es,
+                    len(list_filter(toks, x -> x IN ('il','gli','che','di','non','una','per','sono','con'))) AS c_it
+                FROM w
+            )
+            SELECT doc_id,
+                CASE WHEN GREATEST(c_en, c_de, c_fr, c_es, c_it) = 0 THEN 'und'
+                     WHEN c_en = GREATEST(c_en, c_de, c_fr, c_es, c_it) THEN 'en'
+                     WHEN c_de = GREATEST(c_en, c_de, c_fr, c_es, c_it) THEN 'de'
+                     WHEN c_fr = GREATEST(c_en, c_de, c_fr, c_es, c_it) THEN 'fr'
+                     WHEN c_es = GREATEST(c_en, c_de, c_fr, c_es, c_it) THEN 'es'
+                     ELSE 'it' END AS lang_pred
+            FROM c
+        """,
+        "fingerprint_dups": """
+            WITH planted AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id % 7 = 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM planted a JOIN planted b
+              ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "near_dup_jaccard": """
+            WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+            t AS (SELECT doc_id,
+                CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(words)-1),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                END AS tris FROM w),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(list_intersect(a.tris, b.tris)) AS DOUBLE)
+                    / len(list_distinct(a.tris || b.tris)) AS jac
+                FROM t a JOIN t b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b FROM p WHERE jac >= 0.7
+        """,
+        "near_dup_embedding": """
+            SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
+            FROM embeddings WHERE vec_id % 9 = 0
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 3
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                    list_cosine_similarity(q.qv, e.embedding) AS sim
+                FROM q CROSS JOIN embeddings e
+            ),
+            r AS (
+                SELECT query_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id, rank FROM r WHERE rank <= 10
+        """,
+        "politeness_slots": f"""
+            SELECT {_CLEAN} AS url,
+                TRUE AS robots_allowed,
+                CAST((ROW_NUMBER() OVER (PARTITION BY {_HOST} ORDER BY doc_id) - 1)
+                     * (1 + ((CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 50 END) % 3))
+                     AS DOUBLE) AS fetch_slot
+            FROM documents
+        """,
+        "host_counts_sorted": f"""
+            SELECT {_HOST} AS domain, COUNT(*) AS n_urls
+            FROM documents GROUP BY 1 ORDER BY domain LIMIT 10
+        """,
+        "feed_expand": f"""
+            SELECT 'https://feeds.example.com/' || source || '.xml' AS feed_url,
+                {_DIRTY} AS url,
+                (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1) AS item_idx
+            FROM documents
         """,
     }

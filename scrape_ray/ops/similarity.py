@@ -1,0 +1,204 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast
+once (``ray.put``), each ``map_batches`` task computes a numpy matmul
+against its batch and emits only its local top-k; a final small
+aggregation merges the per-block top-k lists. At 100 TB nothing but
+(num_queries × k) rows ever leaves a worker.
+
+Scale path: IVF-style coarse quantization — k-means-lite centroids
+(deterministic seed) assign each vector to a cell in one pass; queries
+probe only the ``nprobe`` nearest cells. The cell assignment is the
+partition key, so at cluster scale a probe touches ~nprobe/num_cells
+of the data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+class TopKState:
+    """Per-query running top-k merge (scores desc, id asc tiebreak)."""
+
+    @staticmethod
+    def merge(parts: list[pa.Table], k: int) -> pa.Table:
+        import pandas as pd
+
+        df = pa.concat_tables(parts).to_pandas()
+        df = df.sort_values(
+            ["query_id", "score", "vec_id"], ascending=[True, False, True]
+        )
+        df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_size: int = 4096,
+):
+    """Cosine top-k of each query row against the dataset. Returns a
+    small Dataset (query_id, vec_id, score) of exactly k rows per
+    query (fewer if the table is smaller).
+
+    ``queries``: (q, d) float array — broadcast via ``ray.put`` once;
+    per-batch work is one (B,d)x(d,q) matmul.
+    """
+    import ray
+    import ray.data
+
+    qn = _normalize_rows(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(qn)
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float32)
+        ids = t[id_col].to_numpy()
+        sims = _normalize_rows(vecs) @ q.T  # (B, nq)
+        kk = min(k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for j in range(q.shape[0]):
+            col = sims[:, j]
+            idx = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+            for i in idx:
+                out_q.append(j)
+                out_id.append(int(ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(_local_topk, batch_format="pyarrow", batch_size=batch_size)
+    # final merge: tiny (blocks × q × k rows) — driver-side is fine,
+    # but keep it a Dataset for composability
+    parts = [
+        b for b in local.iter_batches(batch_format="pyarrow", batch_size=65536)
+    ]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return ray.data.from_arrow(TopKState.merge(parts, k))
+
+
+# ------------------------------------------------------------------ IVF
+class IVFIndex:
+    """Deterministic one-pass coarse quantizer: centroids = k-means on
+    a fixed-seed sample (Lloyd, few iterations), then cell assignment
+    per batch. Public-textbook IVF, nothing fancy."""
+
+    def __init__(self, num_cells: int = 16, seed: int = 42, iters: int = 8) -> None:
+        self.num_cells = num_cells
+        self.seed = seed
+        self.iters = iters
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, sample: np.ndarray) -> "IVFIndex":
+        x = _normalize_rows(np.asarray(sample, dtype=np.float32))
+        rng = np.random.RandomState(self.seed)
+        idx = rng.choice(len(x), size=min(self.num_cells, len(x)), replace=False)
+        c = x[idx].copy()
+        for _ in range(self.iters):
+            assign = np.argmax(x @ c.T, axis=1)
+            for j in range(len(c)):
+                m = x[assign == j]
+                if len(m):
+                    c[j] = m.mean(axis=0)
+            c = _normalize_rows(c)
+        self.centroids = c
+        return self
+
+    def assign(self, vecs: np.ndarray) -> np.ndarray:
+        return np.argmax(_normalize_rows(vecs) @ self.centroids.T, axis=1)
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    num_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    batch_size: int = 4096,
+):
+    """IVF-bucketed approximate top-k: fit centroids on a driver-side
+    sample (small), broadcast (centroids, queries), and let each batch
+    score only rows whose cell is among each query's nprobe cells."""
+    import ray
+    import ray.data
+
+    sample_t = ds.limit(sample_size).select_columns([vec_col]).to_pandas()
+    index = IVFIndex(num_cells=num_cells).fit(
+        np.array(sample_t[vec_col].tolist(), dtype=np.float32)
+    )
+    qn = _normalize_rows(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(qn @ index.centroids.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    state_ref = ray.put((index.centroids, qn, probe))
+
+    def _probe_topk(t: pa.Table) -> pa.Table:
+        centroids, q, probe_cells = ray.get(state_ref)
+        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float32)
+        ids = t[id_col].to_numpy()
+        vn = _normalize_rows(vecs)
+        cells = np.argmax(vn @ centroids.T, axis=1)
+        out_q, out_id, out_s = [], [], []
+        for j in range(q.shape[0]):
+            mask = np.isin(cells, probe_cells[j])
+            if not mask.any():
+                continue
+            col = vn[mask] @ q[j]
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            idx = (
+                np.argpartition(-col, kk - 1)[:kk]
+                if kk < len(sub_ids)
+                else np.arange(len(sub_ids))
+            )
+            for i in idx:
+                out_q.append(j)
+                out_id.append(int(sub_ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(_probe_topk, batch_format="pyarrow", batch_size=batch_size)
+    parts = [b for b in local.iter_batches(batch_format="pyarrow", batch_size=65536)]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return ray.data.from_arrow(TopKState.merge(parts, k))

@@ -1,0 +1,143 @@
+"""Text-analysis operators for training-data pipelines: token
+counting, quality scoring, language identification, document
+fingerprinting. All run as stateless ``map_batches`` over Arrow
+batches; scoring rules are closed-form so DuckDB oracles can verify
+them (see __ray_entry__.oracle_sql).
+
+These have no analog in the reference (it stops at extraction) — they
+are the engine's training-data extension surface, applied downstream
+of ``content_text``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbol
+# (the GPT-2 pre-tokenizer's coarse shape, public knowledge).
+TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+TOKEN_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+# Closed vocabulary of stopword markers per language — deterministic
+# voting; ties break by list order (en first).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "los", "las", "es", "una", "en", "que", "por", "para"),
+    "it": ("il", "gli", "che", "di", "non", "una", "per", "sono", "con"),
+}
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def token_stats(ds, text_col: str = "text", batch_size: int = 4096):
+    """Adds ``n_ws_tokens`` (whitespace tokens), ``n_bpe_tokens``
+    (regex pre-tokenizer runs) and ``n_chars`` columns."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        ws = [len((x or "").split()) for x in texts]
+        bpe = [len(TOKEN_RE.findall(x or "")) for x in texts]
+        t = t.append_column("n_ws_tokens", pa.array(ws, pa.int64()))
+        t = t.append_column("n_bpe_tokens", pa.array(bpe, pa.int64()))
+        return t.append_column(
+            "n_chars", pc.coalesce(pc.utf8_length(t[text_col]), pa.scalar(0, pa.int32())).cast(pa.int64())
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def quality_stats(ds, text_col: str = "text", batch_size: int = 4096):
+    """Quality-signal columns (all integer counts ⇒ bit-exact oracle):
+
+    - ``n_ws_tokens``, ``n_chars``
+    - ``n_punct``: punctuation chars
+    - ``n_stop_en``: English stopword occurrences (whitespace tokens,
+      casefolded, exact match)
+    - ``mean_word_len_x100``: (n_chars_in_words*100) // n_ws_tokens
+    """
+    stop = frozenset(EN_STOPWORDS)
+
+    def _f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        n_punct, n_stop, mwl = [], [], []
+        for x in texts:
+            x = x or ""
+            words = x.split()
+            n_punct.append(len(_PUNCT_RE.findall(x)))
+            n_stop.append(sum(1 for w in words if w.lower() in stop))
+            wchars = sum(len(w) for w in words)
+            mwl.append((wchars * 100) // len(words) if words else 0)
+        t = t.append_column("n_punct", pa.array(n_punct, pa.int64()))
+        t = t.append_column("n_stop_en", pa.array(n_stop, pa.int64()))
+        return t.append_column("mean_word_len_x100", pa.array(mwl, pa.int64()))
+
+    return token_stats(ds, text_col, batch_size).map_batches(
+        _f, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def langid_vote(text: str) -> str:
+    """Stopword-marker voting: language with the most marker hits
+    (whitespace tokens, casefolded); ties → first in LANG_MARKERS
+    order; zero hits → 'und'."""
+    words = [w.lower() for w in (text or "").split()]
+    if not words:
+        return "und"
+    best_lang, best = "und", 0
+    for lang, markers in LANG_MARKERS.items():
+        m = frozenset(markers)
+        c = sum(1 for w in words if w in m)
+        if c > best:
+            best_lang, best = lang, c
+    return best_lang
+
+
+def add_langid(ds, text_col: str = "text", out_col: str = "lang_pred",
+               batch_size: int = 4096):
+    def _f(t: pa.Table) -> pa.Table:
+        vals = [langid_vote(x) for x in t[text_col].to_pylist()]
+        return t.append_column(out_col, pa.array(vals, pa.string()))
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ----------------------------------------------------------- fingerprint
+def winnow_fingerprint(text: str, k: int = 5, window: int = 4) -> int:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    rolling FNV hash over k-grams of words, min-sample every window,
+    XOR-fold the selected mins to one u64. Equal texts ⇒ equal
+    fingerprints; robust id for dedup bucketing."""
+    from scrape_ray.functions.keys import fnv1a64
+
+    words = (text or "").split()
+    if not words:
+        return 0
+    grams = [" ".join(words[i : i + k]) for i in range(max(1, len(words) - k + 1))]
+    hv = fnv1a64([g.encode("utf-8") for g in grams])
+    if len(hv) <= window:
+        mins = hv
+    else:
+        # min of each sliding window (vectorized via stride trick)
+        sw = np.lib.stride_tricks.sliding_window_view(hv, window)
+        mins = sw.min(axis=1)
+        mins = np.unique(mins)
+    out = 0
+    for m in mins:
+        out ^= (int(m) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    return out
+
+
+def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint",
+                    k: int = 5, window: int = 4, batch_size: int = 4096):
+    def _f(t: pa.Table) -> pa.Table:
+        vals = [winnow_fingerprint(x, k, window) for x in t[text_col].to_pylist()]
+        return t.append_column(out_col, pa.array(vals, pa.uint64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)

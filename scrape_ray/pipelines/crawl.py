@@ -1,0 +1,305 @@
+"""The crawl loop: frontier epochs → seen-filter → politeness →
+fetch+extract → committed checkpoint.
+
+The reference has no crawl loop (README.md:513-517 roadmaps pacing);
+this is the north rule's scale-out generalization of its batch spine
+(internal/scrape.go:100-124): each epoch drains a slice of the
+priority frontier under per-host politeness budgets, exactly-once via
+the epoch-commit protocol in state/frontier.py.
+
+Epoch dataflow (all stages streaming over Arrow batches):
+
+    read frontier epoch K                       [partitioned parquet]
+    → normalize (CleanURL + Key + host_shard)   [stateless map_batches]
+    → within-epoch exact dedup                  [groupby(key) min seed_seq]
+    → seen filter vs epochs < K                 [sharded cuckoo actors, query-only]
+    → politeness (robots + logical slots)       [groupby(host)]
+    → admitted? ──yes→ fetch (actor pool, broadcast corpus) → extract
+               └─no──→ defer to frontier K+1 (robots-blocked rows drop)
+    → write out/epoch=K, add keys to seen, snapshot, COMMIT manifest
+
+Determinism: admitted set, crawl order (epoch, fetch_slot, seed_seq)
+and final seen set are pure functions of (seed list, politeness
+budget) — SURVEY.md §7.4.2's "order is assigned at ingest, restored at
+emit".
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from scrape_ray.ops.dedup import dedup_exact
+from scrape_ray.stages.extract import ExtractStage
+from scrape_ray.stages.normalize import normalize
+from scrape_ray.state.frontier import FrontierStore
+from scrape_ray.state.politeness import RobotsProvider, apply_politeness
+from scrape_ray.state.seen import bulk_add, filter_unseen, make_seen_actors
+
+_DOC_RE = re.compile(r"/(?:doc|private|canonical)/(\d+)")
+
+
+class CorpusFetcher:
+    """Corpus-mode fetch client (the reference's ``file://`` transport
+    generalized, fetch/client.go:101-120): "fetching" a URL reads the
+    page from a corpus instead of the network.
+
+    The corpus (doc_id → (text, lang, source)) is broadcast once via
+    ``ray.put`` and read per-actor in ``__init__`` — never re-shipped
+    per batch. At 100 TB the corpus is the frontier's own ``html``
+    column (or WARC offsets); this class is the pluggable seam
+    (fetch.URLFetcher analog, fetch/fetch.go:29-44).
+    """
+
+    def __init__(self, corpus_ref) -> None:
+        import ray
+
+        self.corpus: dict = ray.get(corpus_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from scrape_ray.sources.frontier_gen import (
+            ctype_of,
+            page_html,
+            status_of,
+        )
+
+        urls = t["url"].to_pylist()
+        htmls, statuses, ctypes = [], [], []
+        for u in urls:
+            m = _DOC_RE.search(u)
+            doc = self.corpus.get(int(m.group(1))) if m else None
+            if doc is None:
+                htmls.append(None)
+                statuses.append(404)
+                ctypes.append("text/html")
+            else:
+                d, text, lang, source = doc
+                htmls.append(page_html(d, text, lang, source))
+                statuses.append(status_of(d))
+                ctypes.append(ctype_of(d))
+        t = t.append_column("html", pa.array(htmls, pa.binary()))
+        t = t.append_column("status_code", pa.array(statuses, pa.int32()))
+        t = t.append_column("content_type", pa.array(ctypes, pa.string()))
+        return t
+
+
+def load_corpus_ref(sf_dir: str):
+    """Driver-side: read the documents table once, broadcast it."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    corpus = {
+        d: (d, x, lg, s)
+        for d, x, lg, s in zip(
+            t["doc_id"].to_pylist(),
+            t["text"].to_pylist(),
+            t["lang"].to_pylist(),
+            t["source"].to_pylist(),
+        )
+    }
+    return ray.put(corpus)
+
+
+def crawl(
+    store: FrontierStore,
+    *,
+    corpus_ref,
+    robots_provider: RobotsProvider | None = None,
+    epoch_budget: float = float("inf"),
+    max_epochs: int = 16,
+    num_seen_shards: int = 4,
+    fetch_concurrency=None,
+    fixed_fetch_time: datetime | None = None,
+    resume: bool = True,
+) -> list[dict]:
+    """Drain the frontier. Returns the list of committed manifests.
+
+    Resume: scrub partial epoch data, restore seen shards from the
+    last committed epoch's snapshot, continue at last+1. A fresh store
+    starts at epoch 0 (callers seed it via ``seed_frontier``).
+    """
+    manifests = []
+    if resume:
+        store.resume_scrub()
+    start = store.last_committed() + 1
+    snap = store.seen_dir(start - 1) if start > 0 else None
+    actors = make_seen_actors(num_seen_shards, snapshot_dir=snap)
+
+    for epoch in range(start, max_epochs):
+        if not store.has_frontier(epoch):
+            break
+        manifests.append(
+            _run_epoch(
+                store,
+                epoch,
+                actors,
+                corpus_ref=corpus_ref,
+                robots_provider=robots_provider,
+                epoch_budget=epoch_budget,
+                fetch_concurrency=fetch_concurrency,
+                fixed_fetch_time=fixed_fetch_time,
+            )
+        )
+    return manifests
+
+
+def _run_epoch(
+    store: FrontierStore,
+    epoch: int,
+    actors,
+    *,
+    corpus_ref,
+    robots_provider,
+    epoch_budget,
+    fetch_concurrency,
+    fixed_fetch_time,
+) -> dict:
+    ds = store.read_frontier(epoch)
+    # drop hive partition columns (epoch=K/shard=S) — re-stamped below
+    ds = ds.drop_columns(
+        [c for c in ("epoch", "shard") if c in ds.schema().names]
+    )
+    ds = normalize(ds)
+    ds = dedup_exact(ds, "key", "seed_seq", keep="first")
+    ds = filter_unseen(ds, actors)
+    verdict = apply_politeness(
+        ds, robots_provider, epoch_budget=epoch_budget
+    ).materialize()  # narrow columns (no html) — blocks stay in the
+    # object store and may spill; never collected to the driver
+
+    admitted = verdict.filter(lambda r: r["admitted"])
+    deferred = verdict.filter(
+        lambda r: r["robots_allowed"] and not r["admitted"]
+    )
+
+    # ---- fetch + extract the admitted rows (actor pools)
+    import ray
+
+    if fetch_concurrency is None:
+        # I/O-shaped stage: half the cluster, min 2 actors
+        fetch_concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    fetch_kwargs: dict = {
+        "batch_format": "pyarrow",
+        "batch_size": 256,
+        "concurrency": fetch_concurrency,
+    }
+    fetched = admitted.map_batches(
+        CorpusFetcher,
+        fn_constructor_kwargs={"corpus_ref": corpus_ref},
+        **fetch_kwargs,
+    )
+    pages = fetched.map_batches(
+        ExtractStage(fixed_fetch_time=fixed_fetch_time),
+        batch_format="pyarrow",
+        batch_size=256,
+    ).map_batches(
+        lambda t: t.drop_columns(
+            [c for c in ("hostname_full", "robots_allowed", "admitted")
+             if c in t.column_names]
+        ).append_column("epoch", pa.array([epoch] * t.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    )
+    n_out = store.write_output(pages, epoch)
+
+    # ---- defer the over-budget remainder to the next epoch's frontier
+    defer_cols = [
+        c
+        for c in ("url", "seed_seq", "priority", "host_shard")
+        if c in verdict.schema().names
+    ]
+    deferred_t = _collect_narrow(deferred, defer_cols + ["original_url"])
+    n_defer = deferred_t.num_rows
+    if n_defer:
+        # re-enqueue the ORIGINAL url (normalize re-derives key/shard)
+        out_t = pa.table(
+            {
+                "url": deferred_t["original_url"],
+                "seed_seq": deferred_t["seed_seq"],
+                "priority": deferred_t["priority"]
+                if "priority" in deferred_t.column_names
+                else pa.array([0] * n_defer, pa.int64()),
+                "host_shard": deferred_t["host_shard"],
+            }
+        )
+        store.write_frontier_table(out_t, epoch + 1)
+
+    # ---- seen-set commit: the admitted (fetched) keys become seen
+    adm_keys = _collect_narrow(admitted, ["key", "host_shard"])
+    newly = bulk_add(
+        actors,
+        adm_keys["key"].to_numpy().astype(np.uint64),
+        adm_keys["host_shard"].to_numpy(),
+    )
+    import ray
+
+    ray.get([a.snapshot.remote(store.seen_dir(epoch)) for a in actors])
+
+    counters = {
+        "frontier_rows": store.count_rows(store.frontier_dir(epoch)),
+        "fetched": adm_keys.num_rows,
+        "extracted": n_out,
+        "deferred": n_defer,
+        "seen_added": newly,
+    }
+    shards = pc.unique(adm_keys["host_shard"]).to_pylist()
+    return store.commit(
+        epoch, counters, shards, extra={"parent_epoch": epoch - 1}
+    )
+
+
+def _collect_narrow(ds, columns: list[str]) -> pa.Table:
+    """Driver-side collect of a few NARROW columns (keys, urls) — the
+    only driver materialization in the loop; bounded by epoch width,
+    never carries html/content."""
+    schema = ds.schema(fetch_if_missing=True)
+    if schema is None:  # empty dataset
+        return pa.table({c: pa.array([], pa.string()) for c in columns})
+    cols = [c for c in columns if c in schema.names]
+    tables = [pa.table(b) if not isinstance(b, pa.Table) else b
+              for b in ds.select_columns(cols).iter_batches(
+                  batch_format="pyarrow", batch_size=65536)]
+    if not tables:
+        return pa.table({c: pa.array([], pa.string()) for c in cols})
+    return pa.concat_tables(tables)
+
+
+def seed_frontier(store: FrontierStore, urls: list[str],
+                  priorities: list[int] | None = None) -> None:
+    """Write the seed list as frontier epoch 0; seed_seq = list index
+    (the reference's FIFO order contract, internal/scrape.go:144-159)."""
+    from scrape_ray.functions.keys import key_columns
+
+    n = len(urls)
+    _, shard = key_columns(urls)
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "seed_seq": pa.array(range(n), pa.int64()),
+            "priority": pa.array(priorities or [0] * n, pa.int64()),
+            "host_shard": shard,
+        }
+    )
+    store.write_frontier_table(t, 0)
+
+
+def crawl_order(store: FrontierStore):
+    """The reproducible crawl order: committed outputs sorted by
+    (epoch, fetch_slot, seed_seq) — logical emission order, independent
+    of task arrival (§2.9 ordering contract)."""
+    import ray.data
+
+    eps = store.committed_epochs()
+    parts = [store.read_output(e) for e in eps]
+    if not parts:
+        raise ValueError("no committed epochs")
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds.sort(["epoch", "fetch_slot", "seed_seq"])

@@ -225,6 +225,42 @@ def url_inputs_with_dups(sf_dir: str):
     return docs.map_batches(_gen, batch_format="pyarrow", batch_size=2048)
 
 
+def robots_txt_for(host: str) -> str:
+    """Closed-form synthetic robots.txt per host: every host disallows
+    ``/private/`` and sets Crawl-delay = 1 + (k % 3) for host{k}
+    (host0 ⇒ 1). Deterministic ⇒ SQL-expressible for oracles."""
+    k = 0
+    if host.startswith("host"):
+        try:
+            k = int(host.split(".", 1)[0][4:])
+        except ValueError:
+            k = 0
+    return f"User-agent: *\nDisallow: /private/\nCrawl-delay: {1 + (k % 3)}\n"
+
+
+def crawl_delay_of(doc_id: int) -> int:
+    """delay(host(doc_id)) in closed form (mirrors robots_txt_for)."""
+    k = 0 if doc_id % 5 < 2 else doc_id % 50
+    return 1 + (k % 3)
+
+
+def crawl_seed_urls(sf_dir: str, include_private: bool = True) -> list[str]:
+    """Deterministic crawl seed list in doc_id order: every dirty URL,
+    plus a robots-blocked ``/private/{d}`` alias for d % 11 == 5 rows
+    (exercising the robots filter with a closed SQL form)."""
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    urls = []
+    for d in sorted(ids):
+        urls.append(dirty_url(d))
+        if include_private and d % 11 == 5:
+            urls.append(f"https://{host_of(d)}/private/{d}")
+    return urls
+
+
 def frontier_dataset(sf_dir: str):
     """Streaming frontier over ``{sf_dir}/documents.parquet`` — the
     generator runs inside map_batches, so frontier synthesis scales with

@@ -1,0 +1,189 @@
+"""Per-host politeness buckets + robots.txt rules — the north-rule
+pacing layer the reference only roadmaps ("Outbound request pacing",
+/root/reference/README.md:513-517; its ``domain_settings`` table is the
+per-host policy hook this generalizes,
+/root/reference/internal/settings/domain.go:43-49).
+
+Determinism contract (SURVEY.md §7.4.2): politeness is enforced on a
+**logical clock**, never wall time. Within an epoch, each host's
+admitted fetches are ordered by ``seed_seq`` and assigned
+``fetch_slot = rank_in_host * crawl_delay(host)`` (seconds of logical
+time). Rows whose slot falls past the epoch budget are *deferred* to
+the next epoch instead of sleeping — the crawl never blocks a worker,
+and the admitted set + emission order are pure functions of the input.
+
+Robots rules: no network in this sandbox, so rules come from a
+``RobotsProvider`` (host → RobotsPolicy). The default provider parses
+robots.txt text from a host→bytes mapping; the crawl pipeline uses the
+deterministic synthetic provider in sources/frontier_gen. Parsing
+covers the User-agent/Disallow/Allow/Crawl-delay subset (longest-match
+precedence, Google-style).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+
+
+@dataclass(frozen=True)
+class RobotsPolicy:
+    """Parsed robots rules for one host (agent-group ``*``)."""
+
+    disallow: tuple[str, ...] = ()
+    allow: tuple[str, ...] = ()
+    crawl_delay: float = 1.0
+
+    def allowed(self, path: str) -> bool:
+        """Longest-match-wins between Allow and Disallow prefixes;
+        no match ⇒ allowed."""
+        best_len, best_allow = -1, True
+        for p in self.disallow:
+            if p and path.startswith(p) and len(p) > best_len:
+                best_len, best_allow = len(p), False
+        for p in self.allow:
+            if p and path.startswith(p) and len(p) >= best_len:
+                best_len, best_allow = len(p), True
+        return best_allow
+
+
+def parse_robots_txt(text: str, default_delay: float = 1.0) -> RobotsPolicy:
+    """Minimal robots.txt parser: the ``User-agent: *`` group's
+    Disallow/Allow/Crawl-delay lines."""
+    disallow: list[str] = []
+    allow: list[str] = []
+    delay = default_delay
+    in_star = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        k, v = line.split(":", 1)
+        k, v = k.strip().lower(), v.strip()
+        if k == "user-agent":
+            in_star = v == "*"
+        elif in_star and k == "disallow":
+            if v:
+                disallow.append(v)
+        elif in_star and k == "allow":
+            if v:
+                allow.append(v)
+        elif in_star and k == "crawl-delay":
+            try:
+                delay = float(v)
+            except ValueError:
+                pass
+    return RobotsPolicy(tuple(disallow), tuple(allow), delay)
+
+
+class RobotsProvider:
+    """host → RobotsPolicy with per-instance memo cache. Subclass /
+    pass ``fetch_fn(host) -> str | None`` for other rule sources; None
+    ⇒ permissive default (no robots file)."""
+
+    def __init__(self, fetch_fn=None, default_delay: float = 1.0) -> None:
+        self._fetch = fetch_fn or (lambda host: None)
+        self._default = RobotsPolicy(crawl_delay=default_delay)
+        self._cache: dict[str, RobotsPolicy] = {}
+
+    def policy(self, host: str) -> RobotsPolicy:
+        pol = self._cache.get(host)
+        if pol is None:
+            txt = self._fetch(host)
+            pol = self._default if txt is None else parse_robots_txt(
+                txt, self._default.crawl_delay
+            )
+            self._cache[host] = pol
+        return pol
+
+
+@dataclass
+class HostBucket:
+    """Logical-clock token bucket for one host: next free slot in
+    logical seconds. Carried across epochs via the frontier manifest."""
+
+    next_slot: float = 0.0
+    fetched: int = 0
+
+
+class PolitenessStage:
+    """Actor-pool ``map_batches`` stage over host-grouped batches.
+
+    Input rows must arrive grouped per host (the crawl pipeline feeds
+    it via ``groupby(host).map_groups`` or sorted host-shard
+    partitions). Adds columns:
+
+    - ``robots_allowed`` (bool): path passes the host's robots rules
+    - ``fetch_slot`` (float64): logical fetch time; -1 for disallowed
+    - ``admitted`` (bool): slot < epoch_budget (deferred otherwise)
+
+    Robots cache built once per actor in ``__init__`` (A9 / A1
+    analog); slot assignment is vectorized per host group.
+    """
+
+    def __init__(
+        self,
+        robots_provider: RobotsProvider | None = None,
+        epoch_budget: float = float("inf"),
+        order_col: str = "seed_seq",
+    ) -> None:
+        self.robots = robots_provider or RobotsProvider()
+        self.epoch_budget = epoch_budget
+        self.order_col = order_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t
+        urls = t["url"].to_pylist()
+        order = t[self.order_col].to_numpy()
+        hosts = np.array([urlsplit(u).hostname or "" for u in urls])
+        paths = [urlsplit(u).path or "/" for u in urls]
+
+        allowed = np.zeros(n, dtype=bool)
+        slots = np.full(n, -1.0)
+        for h in np.unique(hosts):
+            pol = self.robots.policy(h)
+            idx = np.where(hosts == h)[0]
+            ok = np.array([pol.allowed(paths[i]) for i in idx])
+            allowed[idx] = ok
+            adm = idx[ok]
+            # rank within host by seed_seq → slot = rank * delay
+            rank = np.argsort(np.argsort(order[adm], kind="stable"), kind="stable")
+            slots[adm] = rank * pol.crawl_delay
+        admitted = allowed & (slots < self.epoch_budget) & (slots >= 0)
+        t = t.append_column("robots_allowed", pa.array(allowed))
+        t = t.append_column("fetch_slot", pa.array(slots, pa.float64()))
+        t = t.append_column("admitted", pa.array(admitted))
+        return t
+
+
+def apply_politeness(
+    ds,
+    robots_provider: RobotsProvider | None = None,
+    epoch_budget: float = float("inf"),
+    order_col: str = "seed_seq",
+    host_col: str = "hostname_full",
+):
+    """Group by host (the one exchange this stage needs — co-locates a
+    host's rows so slot ranks are global per host), then assign robots
+    verdicts + logical fetch slots. At scale the groupby runs within
+    host_shard partitions (the key's top bits already co-locate hosts).
+    """
+    import pandas as pd
+
+    stage = PolitenessStage(robots_provider, epoch_budget, order_col)
+
+    def _add_host(t: pa.Table) -> pa.Table:
+        hosts = [urlsplit(u).hostname or "" for u in t["url"].to_pylist()]
+        return t.append_column(host_col, pa.array(hosts, pa.string()))
+
+    def _per_host(g: pd.DataFrame) -> pd.DataFrame:
+        out = stage(pa.Table.from_pandas(g, preserve_index=False))
+        return out.to_pandas()
+
+    with_host = ds.map_batches(_add_host, batch_format="pyarrow", batch_size=8192)
+    return with_host.groupby(host_col).map_groups(_per_host, batch_format="pandas")

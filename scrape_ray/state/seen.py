@@ -1,0 +1,281 @@
+"""Sharded URL-seen set — cuckoo filter fast path + exact confirmation.
+
+The reference's seen-set is the ``urls`` table's 63-bit primary key
+(/root/reference/internal/storage/README.md:11); at 10^10-URL scale a
+point-lookup table is replaced by the north rule's **sharded cuckoo
+filter** keyed by the canonicalized+hashed URL key, with the key's top
+7 bits (``host_shard = key >> 56``, internal/storage/README.md:13,22)
+routing each URL to its shard.
+
+Exactness contract (SURVEY.md §7.4.3): a cuckoo false-positive would
+*drop* a URL the reference would fetch, so the filter is only the fast
+path — cuckoo-positives are confirmed against the shard's exact key
+set before a URL is discarded. In this build the exact tier is an
+in-actor uint64 hash set persisted per epoch; at 100 TB it is the
+shard's keyed cache partition (same lookup, out-of-core).
+
+Determinism contract: during an epoch the shards are **query-only**
+(membership frozen at epoch start); newly fetched keys are bulk-added
+at epoch commit. Within-epoch duplicates are resolved by an exact
+``groupby(key).min(seed_seq)`` instead — so the surviving set never
+depends on task arrival order (SURVEY.md §7.4.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# splitmix64-style mixing constants
+_C1 = np.uint64(0xFF51AFD7ED558CCD)
+_C2 = np.uint64(0xC4CEB9FE1A85EC53)
+_FP_BITS = 16
+_SLOTS = 4
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(33)
+        x *= _C1
+        x ^= x >> np.uint64(33)
+        x *= _C2
+        x ^= x >> np.uint64(33)
+    return x
+
+
+class CuckooFilter:
+    """Vectorized (num_buckets × 4-slot) cuckoo filter with 16-bit
+    fingerprints; ~98% load capacity, deterministic eviction (seeded
+    per filter). All batch ops are numpy table lookups — no Python
+    loop on the contains() fast path."""
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int, seed: int = 0) -> None:
+        nb = 1
+        while nb * _SLOTS < capacity:
+            nb <<= 1
+        self.num_buckets = nb
+        self.mask = np.uint64(nb - 1)
+        self.table = np.zeros((nb, _SLOTS), dtype=np.uint16)
+        self.count = 0
+        self._rng = np.random.RandomState(seed)
+
+    # ------------------------------------------------------------ hashing
+    def _fp(self, keys: np.ndarray) -> np.ndarray:
+        fp = (_mix(keys) >> np.uint64(64 - _FP_BITS)).astype(np.uint16)
+        fp[fp == 0] = 1  # 0 marks an empty slot
+        return fp
+
+    def _i1(self, keys: np.ndarray) -> np.ndarray:
+        return (_mix(keys ^ _C2) & self.mask).astype(np.int64)
+
+    def _alt(self, idx: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        h = _mix(fp.astype(np.uint64))
+        return ((idx.astype(np.uint64) ^ h) & self.mask).astype(np.int64)
+
+    # ----------------------------------------------------------- queries
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership test → bool array."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        keys = np.asarray(keys, dtype=np.uint64)
+        fp = self._fp(keys)
+        i1 = self._i1(keys)
+        i2 = self._alt(i1, fp)
+        b1 = self.table[i1]  # (n, SLOTS)
+        b2 = self.table[i2]
+        return ((b1 == fp[:, None]) | (b2 == fp[:, None])).any(axis=1)
+
+    # ----------------------------------------------------------- inserts
+    def _insert_one(self, idx: int, fp: int) -> bool:
+        i2 = int(self._alt(np.array([idx]), np.array([fp], dtype=np.uint16))[0])
+        for i in (idx, i2):
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        # evict loop
+        i = idx if self._rng.randint(2) else i2
+        cur = fp
+        for _ in range(self.MAX_KICKS):
+            s = self._rng.randint(_SLOTS)
+            cur, self.table[i, s] = int(self.table[i, s]), cur
+            i = int(self._alt(np.array([i]), np.array([cur], dtype=np.uint16))[0])
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                return True
+        return False  # table over capacity
+
+    def add(self, keys: np.ndarray) -> int:
+        """Insert keys (idempotence not enforced — callers pre-check
+        contains()). Returns number inserted."""
+        keys = np.asarray(keys, dtype=np.uint64)
+        if len(keys) == 0:
+            return 0
+        fps = self._fp(keys)
+        i1s = self._i1(keys)
+        ok = 0
+        for idx, fp in zip(i1s, fps):
+            if self._insert_one(int(idx), int(fp)):
+                ok += 1
+        self.count += ok
+        return ok
+
+    # ------------------------------------------------------- persistence
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, num_buckets: int, seed: int = 0) -> "CuckooFilter":
+        f = cls(num_buckets * _SLOTS, seed=seed)
+        f.table = np.frombuffer(data, dtype=np.uint16).reshape(
+            num_buckets, _SLOTS
+        ).copy()
+        f.count = int((f.table != 0).sum())
+        return f
+
+
+class SeenShardState:
+    """One shard's two-tier seen set: cuckoo fast path + exact uint64
+    set. Pure-Python object so it is testable without Ray; the Ray
+    actor below is a thin wrapper."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 16) -> None:
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(capacity, seed=shard_id)
+        self.exact: set[int] = set()
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        maybe = self.filter.contains(keys)  # fast path: most new URLs exit here
+        out = np.zeros(len(keys), dtype=bool)
+        if maybe.any():
+            # exact confirmation — a cuckoo false-positive must not
+            # drop a URL (reference PK semantics are exact)
+            idx = np.where(maybe)[0]
+            ex = self.exact
+            out[idx] = [int(k) in ex for k in keys[idx]]
+        return out
+
+    def add(self, keys: np.ndarray) -> int:
+        keys = np.asarray(keys, dtype=np.uint64)
+        fresh = keys[~self.contains(keys)]
+        if len(fresh):
+            # in-batch dedup
+            fresh = np.unique(fresh)
+            self.filter.add(fresh)
+            self.exact.update(int(k) for k in fresh)
+        return len(fresh)
+
+    def __len__(self) -> int:
+        return len(self.exact)
+
+    # ------------------------------------------------------- persistence
+    def snapshot(self, path: str) -> None:
+        keys = np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
+        keys.sort()
+        pq.write_table(
+            pa.table({"key": pa.array(keys, pa.uint64())}),
+            path,
+        )
+
+    @classmethod
+    def restore(cls, shard_id: int, path: str, capacity: int = 1 << 16) -> "SeenShardState":
+        st = cls(shard_id, capacity=capacity)
+        if os.path.exists(path):
+            keys = pq.read_table(path)["key"].to_numpy().astype(np.uint64)
+            if len(keys):
+                cap = max(capacity, int(len(keys) * 1.3))
+                st.filter = CuckooFilter(cap, seed=shard_id)
+                st.filter.add(keys)
+                st.exact = set(int(k) for k in keys)
+        return st
+
+
+def make_seen_actors(num_shards: int, capacity_per_shard: int = 1 << 16,
+                     snapshot_dir: str | None = None):
+    """Spawn the shard actor pool (detached=false; the crawl driver
+    owns their lifetime). Shard routing: ``host_shard % num_shards``
+    keeps same-host URLs on one actor — the partitioning the key's top
+    bits were designed for."""
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    class SeenShard:
+        def __init__(self, shard_id: int) -> None:
+            if snapshot_dir is not None:
+                self.state = SeenShardState.restore(
+                    shard_id,
+                    os.path.join(snapshot_dir, f"seen-{shard_id:03d}.parquet"),
+                    capacity=capacity_per_shard,
+                )
+            else:
+                self.state = SeenShardState(shard_id, capacity=capacity_per_shard)
+
+        def contains(self, keys: np.ndarray) -> np.ndarray:
+            return self.state.contains(keys)
+
+        def add(self, keys: np.ndarray) -> int:
+            return self.state.add(keys)
+
+        def size(self) -> int:
+            return len(self.state)
+
+        def snapshot(self, directory: str) -> str:
+            os.makedirs(directory, exist_ok=True)
+            p = os.path.join(directory, f"seen-{self.state.shard_id:03d}.parquet")
+            self.state.snapshot(p)
+            return p
+
+    return [SeenShard.remote(i) for i in range(num_shards)]
+
+
+def filter_unseen(ds, actors, key_col: str = "key",
+                  shard_col: str = "host_shard", batch_size: int = 8192):
+    """Drop rows whose key is already in the sharded seen set
+    (query-only — does NOT mutate the shards; epoch-commit calls
+    ``add``). Each map task splits its batch by shard and queries the
+    owning actors — no shuffle; the actors are the serialization
+    points and stay O(batch) per call."""
+    import ray
+
+    num_shards = len(actors)
+
+    def _filt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        keys = t[key_col].to_numpy().astype(np.uint64)
+        shards = t[shard_col].to_numpy().astype(np.int64) % num_shards
+        seen = np.zeros(len(keys), dtype=bool)
+        refs, idxs = [], []
+        for s in np.unique(shards):
+            idx = np.where(shards == s)[0]
+            refs.append(actors[int(s)].contains.remote(keys[idx]))
+            idxs.append(idx)
+        for idx, res in zip(idxs, ray.get(refs)):
+            seen[idx] = res
+        return t.filter(pa.array(~seen))
+
+    return ds.map_batches(_filt, batch_format="pyarrow", batch_size=batch_size)
+
+
+def bulk_add(actors, keys: np.ndarray, shards: np.ndarray) -> int:
+    """Epoch-commit: add fetched keys to their shards. Returns number
+    newly added across shards."""
+    import ray
+
+    num_shards = len(actors)
+    shards = np.asarray(shards, dtype=np.int64) % num_shards
+    keys = np.asarray(keys, dtype=np.uint64)
+    refs = []
+    for s in np.unique(shards):
+        refs.append(actors[int(s)].add.remote(keys[shards == s]))
+    return int(sum(ray.get(refs)))

@@ -1,0 +1,177 @@
+"""End-to-end crawl loop: determinism, politeness budget deferral
+across epochs, robots filtering, seen-set dedup, kill/resume
+equivalence (north-rule gates)."""
+
+import shutil
+
+import pytest
+
+from scrape_ray.pipelines.crawl import (
+    crawl,
+    crawl_order,
+    load_corpus_ref,
+    seed_frontier,
+)
+from scrape_ray.sources.frontier_gen import (
+    clean_url_expected,
+    crawl_seed_urls,
+    is_content_row,
+    robots_txt_for,
+)
+from scrape_ray.state.frontier import FrontierStore
+from scrape_ray.state.politeness import RobotsProvider
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus_ref(ray_session):
+    return load_corpus_ref(SF)
+
+
+def _provider():
+    return RobotsProvider(robots_txt_for)
+
+
+def _run(tmp_dir, corpus_ref, budget=float("inf"), max_epochs=16, resume=True):
+    store = FrontierStore(str(tmp_dir))
+    if store.last_committed() < 0 and not store.has_frontier(0):
+        seed_frontier(store, crawl_seed_urls(SF))
+    manifests = crawl(
+        store,
+        corpus_ref=corpus_ref,
+        robots_provider=_provider(),
+        epoch_budget=budget,
+        max_epochs=max_epochs,
+        num_seen_shards=2,
+        resume=resume,
+    )
+    return store, manifests
+
+
+def test_single_epoch_full_budget(tmp_path, corpus_ref):
+    store, manifests = _run(tmp_path / "c1", corpus_ref)
+    assert len(manifests) == 1
+    m = manifests[0]
+    # every doc URL admitted; /private/ extras robots-blocked
+    seeds = crawl_seed_urls(SF)
+    n_private = sum("/private/" in u for u in seeds)
+    assert n_private > 0
+    assert m["counters"]["fetched"] == len(seeds) - n_private
+    assert m["counters"]["extracted"] == m["counters"]["fetched"]
+    assert m["counters"]["deferred"] == 0
+    assert m["checkpoint_id"]
+    assert m["host_shards"]
+
+
+def test_budget_deferral_multi_epoch(tmp_path, corpus_ref):
+    store, manifests = _run(tmp_path / "c2", corpus_ref, budget=100.0)
+    assert len(manifests) > 1
+    total = sum(m["counters"]["fetched"] for m in manifests)
+    seeds = crawl_seed_urls(SF)
+    n_private = sum("/private/" in u for u in seeds)
+    assert total == len(seeds) - n_private  # nothing lost, nothing doubled
+    # per-epoch politeness: host0 has delay 1, budget 100 ⇒ ≤100 fetches/epoch
+    out0 = store.read_output(0).to_pandas()
+    host0 = out0[out0["requested_url"].str.contains("host0.example.com")]
+    assert len(host0) <= 100
+
+
+def test_crawl_order_deterministic(tmp_path, corpus_ref):
+    s1, _ = _run(tmp_path / "c3a", corpus_ref, budget=120.0)
+    s2, _ = _run(tmp_path / "c3b", corpus_ref, budget=120.0)
+    o1 = crawl_order(s1).select_columns(["epoch", "fetch_slot", "seed_seq", "requested_url"]).to_pandas()
+    o2 = crawl_order(s2).select_columns(["epoch", "fetch_slot", "seed_seq", "requested_url"]).to_pandas()
+    assert o1["requested_url"].tolist() == o2["requested_url"].tolist()
+    assert o1["epoch"].is_monotonic_increasing
+
+
+def test_seen_set_blocks_refetch(tmp_path, corpus_ref):
+    store, m1 = _run(tmp_path / "c4", corpus_ref)
+    # re-seed the SAME urls as epoch 1 → all seen ⇒ zero fetched
+    seed_urls = crawl_seed_urls(SF)
+    from scrape_ray.pipelines.crawl import seed_frontier as sf2
+
+    import pyarrow as pa
+
+    from scrape_ray.functions.keys import key_columns
+
+    _, shard = key_columns(seed_urls)
+    t = pa.table(
+        {
+            "url": pa.array(seed_urls, pa.string()),
+            "seed_seq": pa.array(range(len(seed_urls)), pa.int64()),
+            "priority": pa.array([0] * len(seed_urls), pa.int64()),
+            "host_shard": shard,
+        }
+    )
+    store.write_frontier_table(t, 1)
+    m2 = crawl(
+        store,
+        corpus_ref=corpus_ref,
+        robots_provider=_provider(),
+        num_seen_shards=2,
+        max_epochs=2,
+    )
+    assert len(m2) == 1
+    assert m2[0]["counters"]["fetched"] == 0
+
+
+def test_kill_resume_exact(tmp_path, corpus_ref):
+    # uninterrupted reference run
+    ref_store, ref_m = _run(tmp_path / "c5ref", corpus_ref, budget=120.0)
+    # interrupted run: same seed, crawl only epoch 0, then simulate a
+    # crash that leaves partial epoch-1 output with no manifest
+    store = FrontierStore(str(tmp_path / "c5"))
+    seed_frontier(store, crawl_seed_urls(SF))
+    crawl(
+        store,
+        corpus_ref=corpus_ref,
+        robots_provider=_provider(),
+        epoch_budget=120.0,
+        max_epochs=1,
+        num_seen_shards=2,
+    )
+    assert store.last_committed() == 0
+    # fake partial (uncommitted) epoch-1 junk
+    import os
+
+    junk = store.out_dir(1)
+    os.makedirs(junk, exist_ok=True)
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    pq.write_table(pa.table({"x": [1]}), os.path.join(junk, "partial.parquet"))
+    # resume: scrub + continue from epoch 1
+    crawl(
+        store,
+        corpus_ref=corpus_ref,
+        robots_provider=_provider(),
+        epoch_budget=120.0,
+        num_seen_shards=2,
+    )
+    a = crawl_order(store).select_columns(["epoch", "fetch_slot", "requested_url"]).to_pandas()
+    b = crawl_order(ref_store).select_columns(["epoch", "fetch_slot", "requested_url"]).to_pandas()
+    assert a["requested_url"].tolist() == b["requested_url"].tolist()
+    assert a["epoch"].tolist() == b["epoch"].tolist()
+
+
+def test_extracted_text_matches_generator(tmp_path, corpus_ref):
+    """Byte-identical per-url text invariant through the crawl path."""
+    import pyarrow.parquet as pq
+
+    store, _ = _run(tmp_path / "c6", corpus_ref)
+    out = store.read_output(0).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    by_id = dict(zip(docs["doc_id"], docs["text"]))
+    checked = 0
+    for _, row in out.iterrows():
+        url = row["requested_url"]
+        if "/doc/" not in url:
+            continue
+        d = int(url.split("/doc/")[1].split("?")[0])
+        if is_content_row(d):
+            assert row["content_text"] == f"Doc {d} {by_id[d]}"
+            assert row["error"] is None
+            checked += 1
+    assert checked > 300

@@ -1,0 +1,54 @@
+"""Feed source tests: RSS/Atom parsing, item-link expansion,
+error-as-row semantics."""
+
+import pyarrow as pa
+
+from scrape_ray.sources.feeds import expand_feeds, feed_xml, parse_feed
+
+
+def test_parse_rss_roundtrip():
+    links = ["https://a.com/1", "https://a.com/2"]
+    parsed = parse_feed(feed_xml("My Feed", links))
+    assert parsed["error"] is None
+    assert parsed["title"] == "My Feed"
+    assert parsed["item_links"] == links
+
+
+def test_parse_atom():
+    xml = b"""<?xml version="1.0"?>
+    <feed xmlns="http://www.w3.org/2005/Atom">
+      <title>Atom Feed</title>
+      <entry><link rel="alternate" href="https://b.com/x"/></entry>
+      <entry><link href="https://b.com/y"/></entry>
+    </feed>"""
+    parsed = parse_feed(xml)
+    assert parsed["title"] == "Atom Feed"
+    assert parsed["item_links"] == ["https://b.com/x", "https://b.com/y"]
+
+
+def test_parse_malformed_is_error_not_exception():
+    parsed = parse_feed(b"<rss><broken")
+    assert parsed["error"] is not None
+    assert parsed["item_links"] == []
+
+
+def test_expand_feeds_dataset(ray_session):
+    import ray.data
+
+    good = feed_xml("F", ["https://a.com/1", "https://a.com/2"])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "feed_url": pa.array(["https://f.com/a.xml", "https://f.com/bad.xml"]),
+                "feed_xml": pa.array([good, b"not xml"], pa.binary()),
+            }
+        )
+    )
+    out = expand_feeds(ds).to_pandas().sort_values(["feed_url", "item_idx"])
+    ok = out[out["feed_url"] == "https://f.com/a.xml"]
+    assert ok["url"].tolist() == ["https://a.com/1", "https://a.com/2"]
+    assert ok["item_idx"].tolist() == [0, 1]
+    bad = out[out["feed_url"] == "https://f.com/bad.xml"]
+    assert len(bad) == 1
+    assert bad.iloc[0]["url"] is None
+    assert bad.iloc[0]["feed_error"] is not None

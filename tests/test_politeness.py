@@ -1,0 +1,93 @@
+"""Politeness tests: robots parsing, longest-match precedence,
+logical-clock slot assignment, budget admission."""
+
+import pyarrow as pa
+
+from scrape_ray.state.politeness import (
+    PolitenessStage,
+    RobotsPolicy,
+    RobotsProvider,
+    parse_robots_txt,
+)
+
+
+def test_parse_robots_basic():
+    pol = parse_robots_txt(
+        "User-agent: googlebot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n"
+        "Crawl-delay: 2.5\n# comment\n"
+    )
+    assert pol.crawl_delay == 2.5
+    assert pol.disallow == ("/private/",)
+    assert pol.allow == ("/private/ok/",)
+    assert not pol.allowed("/private/x")
+    assert pol.allowed("/private/ok/y")  # longest match wins
+    assert pol.allowed("/doc/1")
+
+
+def test_robots_default_permissive():
+    pol = RobotsPolicy()
+    assert pol.allowed("/anything")
+    prov = RobotsProvider()
+    assert prov.policy("nohost.example").allowed("/x")
+
+
+def test_slot_assignment_per_host():
+    prov = RobotsProvider(
+        lambda h: "User-agent: *\nCrawl-delay: 2\nDisallow: /private/\n"
+    )
+    stage = PolitenessStage(prov, epoch_budget=float("inf"))
+    t = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "https://a.com/doc/3",
+                    "https://a.com/doc/1",
+                    "https://b.com/doc/2",
+                    "https://a.com/private/9",
+                ]
+            ),
+            "seed_seq": pa.array([3, 1, 2, 0], pa.int64()),
+        }
+    )
+    out = stage(t).to_pandas().set_index("url")
+    # a.com admitted rows ranked by seed_seq: doc/1 (seq1)→slot0, doc/3 (seq3)→slot2
+    assert out.loc["https://a.com/doc/1", "fetch_slot"] == 0.0
+    assert out.loc["https://a.com/doc/3", "fetch_slot"] == 2.0
+    assert out.loc["https://b.com/doc/2", "fetch_slot"] == 0.0
+    assert not out.loc["https://a.com/private/9", "robots_allowed"]
+    assert out.loc["https://a.com/private/9", "fetch_slot"] == -1.0
+
+
+def test_budget_admission_and_deferral():
+    prov = RobotsProvider(lambda h: "User-agent: *\nCrawl-delay: 1\n")
+    stage = PolitenessStage(prov, epoch_budget=2.0)
+    t = pa.table(
+        {
+            "url": pa.array([f"https://h.com/doc/{i}" for i in range(5)]),
+            "seed_seq": pa.array(range(5), pa.int64()),
+        }
+    )
+    out = stage(t).to_pandas()
+    # slots 0,1 admitted (< 2.0); 2,3,4 deferred
+    assert out["admitted"].sum() == 2
+    assert out[out["admitted"]]["seed_seq"].tolist() == [0, 1]
+    assert out["robots_allowed"].all()
+
+
+def test_determinism_shuffled_input():
+    prov = RobotsProvider(lambda h: "User-agent: *\nCrawl-delay: 3\n")
+    stage = PolitenessStage(prov)
+    urls = [f"https://h.com/doc/{i}" for i in range(10)]
+    seqs = list(range(10))
+    fwd = stage(
+        pa.table({"url": pa.array(urls), "seed_seq": pa.array(seqs, pa.int64())})
+    ).to_pandas()
+    rev = stage(
+        pa.table(
+            {"url": pa.array(urls[::-1]), "seed_seq": pa.array(seqs[::-1], pa.int64())}
+        )
+    ).to_pandas()
+    a = fwd.sort_values("seed_seq")["fetch_slot"].tolist()
+    b = rev.sort_values("seed_seq")["fetch_slot"].tolist()
+    assert a == b == [i * 3.0 for i in range(10)]

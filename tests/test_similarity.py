@@ -1,0 +1,65 @@
+"""Similarity-search tests: brute-force cosine top-k exactness, IVF
+recall against brute force."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from scrape_ray.ops.similarity import IVFIndex, brute_force_topk, ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb_ds():
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def ground_truth(ray_session):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    V = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    ids = np.array(t["vec_id"].to_pylist())
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    q = V[:3]  # first three vectors as queries
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = Vn @ qn.T
+    return V, ids, sims
+
+
+def test_brute_force_exact(ray_session, ground_truth):
+    V, ids, sims = ground_truth
+    out = brute_force_topk(_emb_ds(), V[:3], k=5).to_pandas()
+    assert len(out) == 15
+    for j in range(3):
+        got = out[out["query_id"] == j].sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        )
+        # top hit is the query vector itself (cosine 1.0)
+        assert got.iloc[0]["vec_id"] == ids[j]
+        assert got.iloc[0]["score"] == pytest.approx(1.0, abs=1e-5)
+        expect = set(ids[np.argsort(-sims[:, j])[:5]])
+        assert set(got["vec_id"]) == expect
+
+
+def test_ivf_recall(ray_session, ground_truth):
+    V, ids, sims = ground_truth
+    bf = brute_force_topk(_emb_ds(), V[:3], k=10).to_pandas()
+    ivf = ivf_topk(_emb_ds(), V[:3], k=10, num_cells=8, nprobe=4).to_pandas()
+    recalls = []
+    for j in range(3):
+        b = set(bf[bf["query_id"] == j]["vec_id"])
+        a = set(ivf[ivf["query_id"] == j]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert np.mean(recalls) >= 0.6  # nprobe=half the cells ⇒ decent recall
+
+
+def test_ivf_index_deterministic():
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=(256, 16)).astype(np.float32)
+    a = IVFIndex(num_cells=4).fit(x).centroids
+    b = IVFIndex(num_cells=4).fit(x).centroids
+    assert np.array_equal(a, b)

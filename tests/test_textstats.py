@@ -1,0 +1,83 @@
+"""Text-analysis operator tests: token counting, quality signals,
+language ID, winnowing fingerprints."""
+
+import pyarrow as pa
+
+from scrape_ray.ops.textstats import (
+    langid_vote,
+    quality_stats,
+    token_stats,
+    winnow_fingerprint,
+)
+
+
+def _ds(texts):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_token_stats(ray_session):
+    out = (
+        token_stats(_ds(["hello world", "a b  c", "", "x1y!"]))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_ws_tokens"] == 2
+    assert out.loc[1, "n_ws_tokens"] == 3
+    assert out.loc[2, "n_ws_tokens"] == 0
+    # 'x1y!' → [x][1][y][!] = 4 bpe-ish tokens, 1 ws token
+    assert out.loc[3, "n_bpe_tokens"] == 4
+    assert out.loc[3, "n_ws_tokens"] == 1
+    assert out.loc[0, "n_chars"] == 11
+
+
+def test_quality_stats(ray_session):
+    out = (
+        quality_stats(_ds(["The cat, and the dog!", "xyz"]))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_punct"] == 2  # , !
+    # whitespace tokens: The / cat, / and / the / dog! — exact-match
+    # stopwords after casefold: The, and, the ⇒ 3
+    assert out.loc[0, "n_stop_en"] == 3
+    assert out.loc[1, "n_stop_en"] == 0
+
+
+def test_quality_stats_exact(ray_session):
+    out = quality_stats(_ds(["The and of to"])).to_pandas()
+    assert out["n_stop_en"][0] == 4
+    assert out["mean_word_len_x100"][0] == (3 + 3 + 2 + 2) * 100 // 4
+
+
+def test_langid_vote():
+    assert langid_vote("the cat and the dog is in that house with it") == "en"
+    assert langid_vote("der hund und die katze ist nicht ein tier") == "de"
+    assert langid_vote("le chat et la maison est dans les champs") == "fr"
+    assert langid_vote("el perro es una casa en que los gatos") == "es"
+    assert langid_vote("") == "und"
+    assert langid_vote("zzz qqq www") == "und"
+
+
+def test_fingerprint_equality_and_sensitivity():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    assert winnow_fingerprint(a) == winnow_fingerprint(a)
+    assert winnow_fingerprint(a) != winnow_fingerprint(a + " extra")
+    assert winnow_fingerprint("") == 0
+
+
+def test_fingerprint_dataset(ray_session):
+    from scrape_ray.ops.textstats import add_fingerprint
+
+    texts = ["aa bb cc dd ee ff gg", "aa bb cc dd ee ff gg", "zz yy xx ww vv uu tt"]
+    out = add_fingerprint(_ds(texts)).to_pandas()
+    assert out["fingerprint"][0] == out["fingerprint"][1]
+    assert out["fingerprint"][0] != out["fingerprint"][2]
