@@ -183,7 +183,6 @@ def _q_fingerprint_dups(sf_dir: str) -> Any:
     import pyarrow as pa
     import ray.data
 
-    from scrape_ray.ops.dedup import _distinct_pairs
     from scrape_ray.ops.textstats import add_fingerprint
 
     def _plant(t: pa.Table) -> pa.Table:
@@ -202,20 +201,9 @@ def _q_fingerprint_dups(sf_dir: str) -> Any:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(_plant, batch_format="pyarrow", batch_size=2048)
     fp = add_fingerprint(docs, window=1)
+    from scrape_ray.ops.dedup import grouped_pairs
 
-    import pandas as pd
-
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"])
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
-
-    pairs = fp.groupby("fingerprint").map_groups(_pairs, batch_format="pandas")
-    return _distinct_pairs(pairs)
+    return grouped_pairs(fp, "fingerprint", "doc_id")
 
 
 def _q_near_dup_jaccard(sf_dir: str) -> Any:

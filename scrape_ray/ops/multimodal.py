@@ -1,0 +1,166 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The container has no image/audio codecs (no PIL/ffmpeg), so the codec
+kernel itself is pluggable: ``decoder="stub"`` raises
+NotImplementedError (the honest production placeholder), and
+``decoder="fake"`` runs a deterministic fake decode that exercises ALL
+of the real Ray-side plumbing — schema, batch sizing, actor
+``__init__`` cost, output layout — which is the part this engine owns.
+Swap in a real kernel by passing any callable ``bytes -> np.ndarray``.
+
+Scale notes: payload rows are wide (MBs), so these stages default to
+small ``batch_size`` (64) and actor pools sized via ``concurrency``;
+outputs drop the payload column immediately (the html-column rule,
+SURVEY.md §7.4.4)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("url", pa.string()),
+        pa.field("kind", pa.string()),  # image | audio | video
+        pa.field("content_type", pa.string()),
+        pa.field("payload", pa.binary()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("duration_ms", pa.int32()),
+    ]
+)
+
+
+def fake_image_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a JPEG/PNG decoder: derives an 8×8×3
+    uint8 array from the payload's SHA1 — stable, content-addressed,
+    and shaped like a real decode."""
+    h = hashlib.sha1(payload or b"").digest()
+    rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+    return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+
+def stub_decode(payload: bytes) -> np.ndarray:
+    raise NotImplementedError(
+        "no image codec in this environment — pass decoder=fake_image_decode "
+        "or a real bytes->ndarray kernel (e.g. PIL.Image.open)"
+    )
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: payload → pixel features. Decoder resolved
+    once per actor in __init__ (A3-shape); per-batch loop only calls
+    the kernel. Output: media_id, url, feat_mean/std per channel,
+    decoded shape; payload dropped."""
+
+    def __init__(self, decoder="fake") -> None:
+        if decoder == "fake":
+            self.decode = fake_image_decode
+        elif decoder == "stub":
+            self.decode = stub_decode
+        else:
+            self.decode = decoder
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        urls = t["url"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        means, stds, hs, ws = [], [], [], []
+        for p in payloads:
+            arr = self.decode(p)
+            means.append([float(arr[..., c].mean()) for c in range(arr.shape[-1])])
+            stds.append([float(arr[..., c].std()) for c in range(arr.shape[-1])])
+            hs.append(arr.shape[0])
+            ws.append(arr.shape[1])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "feat_mean": pa.array(means, pa.list_(pa.float32())),
+                "feat_std": pa.array(stds, pa.list_(pa.float32())),
+                "decoded_h": pa.array(hs, pa.int32()),
+                "decoded_w": pa.array(ws, pa.int32()),
+            }
+        )
+
+
+class FrameSampleStage:
+    """Video frame sampling: every Nth logical frame from a payload.
+    With no real demuxer, frames are fake-decoded slices; the sampling
+    arithmetic, output explosion (1 video → k frame rows) and schema
+    are real."""
+
+    def __init__(self, every_ms: int = 1000, decoder="fake") -> None:
+        self.every_ms = every_ms
+        self.decode = fake_image_decode if decoder == "fake" else decoder
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        o_id, o_ts, o_mean = [], [], []
+        for mid, payload, dur in zip(
+            t["media_id"].to_pylist(),
+            t["payload"].to_pylist(),
+            t["duration_ms"].to_pylist(),
+        ):
+            dur = dur or 0
+            for ts in range(0, max(dur, 1), self.every_ms):
+                frame = self.decode((payload or b"") + ts.to_bytes(4, "big"))
+                o_id.append(mid)
+                o_ts.append(ts)
+                o_mean.append(float(frame.mean()))
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.int64()),
+                "frame_ts_ms": pa.array(o_ts, pa.int32()),
+                "frame_mean": pa.array(o_mean, pa.float32()),
+            }
+        )
+
+
+def decode_images(ds, decoder="fake", concurrency=2, batch_size: int = 64):
+    """Image decode as an actor pool: small batches (wide rows),
+    kernel bound once per actor."""
+    return ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(ds, every_ms: int = 1000, decoder="fake", concurrency=2,
+                  batch_size: int = 16):
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every_ms": every_ms, "decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synthetic_media_dataset(n: int = 64, kind: str = "image"):
+    """Deterministic media table for tests (payload = seeded bytes)."""
+    import ray.data
+
+    rng = np.random.RandomState(7)
+    rows = {
+        "media_id": pa.array(range(n), pa.int64()),
+        "url": pa.array([f"https://cdn.example.com/{kind}/{i}" for i in range(n)]),
+        "kind": pa.array([kind] * n),
+        "content_type": pa.array(
+            ["image/jpeg" if kind == "image" else "video/mp4"] * n
+        ),
+        "payload": pa.array([rng.bytes(256) for _ in range(n)], pa.binary()),
+        "width": pa.array([640] * n, pa.int32()),
+        "height": pa.array([480] * n, pa.int32()),
+        "duration_ms": pa.array(
+            [0 if kind == "image" else 3000 + 500 * (i % 4) for i in range(n)],
+            pa.int32(),
+        ),
+    }
+    return ray.data.from_arrow(pa.table(rows, schema=MEDIA_SCHEMA))

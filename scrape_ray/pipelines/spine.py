@@ -19,10 +19,14 @@ from datetime import datetime
 from scrape_ray.stages.extract import ExtractStage
 from scrape_ray.stages.normalize import normalize
 
-# Default extract batch: pages are ~2-80 KB of HTML; 512 rows ≈ 1-40 MB
-# per batch keeps batch × concurrency well inside a worker heap even at
-# the reference's 80 KB golden-fixture page size (SURVEY.md §4.2).
-DEFAULT_EXTRACT_BATCH = 512
+# Default extract batch: None = one batch per arriving block. Ray Data
+# sizes blocks to DataContext.target_max_block_size (128 MB default),
+# which already bounds batch × concurrency memory; an explicit
+# batch_size additionally becomes the fused chain's min-rows-per-task
+# bundle and SERIALIZES small inputs into few tasks (observed 2 tasks
+# for a 5000-row read with batch_size=4096). Set it only when a stage
+# needs a hard per-batch memory cap (e.g. 80 KB/row html ⇒ 512).
+DEFAULT_EXTRACT_BATCH = None
 
 
 def fetch_extract(
@@ -31,7 +35,7 @@ def fetch_extract(
     cache=None,
     now: datetime | None = None,
     fixed_fetch_time: datetime | None = None,
-    extract_batch_size: int = DEFAULT_EXTRACT_BATCH,
+    extract_batch_size: int | None = DEFAULT_EXTRACT_BATCH,
     extract_concurrency=None,
 ):
     """frontier Dataset → WebPage Dataset.

@@ -261,14 +261,36 @@ def crawl_seed_urls(sf_dir: str, include_private: bool = True) -> list[str]:
     return urls
 
 
-def frontier_dataset(sf_dir: str):
+def frontier_dataset(sf_dir: str, repeat: int = 1, override_num_blocks: int | None = None):
     """Streaming frontier over ``{sf_dir}/documents.parquet`` — the
     generator runs inside map_batches, so frontier synthesis scales with
-    the cluster instead of materializing on the driver."""
+    the cluster instead of materializing on the driver.
+
+    ``repeat``: deterministic amplification for benchmarks — each doc
+    yields ``repeat`` frontier rows with doc_id' = doc_id + r*10^7
+    (distinct URLs/hosts via the same closed forms). The correctness
+    queries use repeat=1."""
     import ray.data
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=override_num_blocks,
     )
-    return docs.map_batches(synth_batch, batch_format="pyarrow", batch_size=1024)
+    if repeat > 1:
+
+        def _amplify(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            parts = []
+            for r in range(repeat):
+                s = t.set_column(
+                    t.column_names.index("doc_id"),
+                    "doc_id",
+                    pc.add(t["doc_id"], r * 10_000_000),
+                )
+                parts.append(s)
+            return pa.concat_tables(parts)
+
+        docs = docs.map_batches(_amplify, batch_format="pyarrow", batch_size=None)
+    return docs.map_batches(synth_batch, batch_format="pyarrow", batch_size=None)

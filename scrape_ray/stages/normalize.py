@@ -41,8 +41,11 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
     return pa.table(out)
 
 
-def normalize(ds, batch_size: int = 4096):
-    """Apply ingest normalization to a frontier Dataset (zero-copy Arrow)."""
+def normalize(ds, batch_size: int | None = None):
+    """Apply ingest normalization to a frontier Dataset (zero-copy
+    Arrow). batch_size=None ⇒ per-block batches — an explicit size
+    would become the fused chain's min-rows-per-task bundle and cap
+    parallelism on small inputs (see spine.DEFAULT_EXTRACT_BATCH)."""
     return ds.map_batches(
         normalize_batch, batch_format="pyarrow", batch_size=batch_size
     )

@@ -304,19 +304,27 @@ class CacheStore:
         return t.num_rows
 
     # -------------------------------------------------- distributed join
-    def attach(self, normalized_ds, now: datetime, num_partitions: int | None = None):
+    BROADCAST_LIMIT_BYTES = 128 * 1024 * 1024
+
+    def attach(self, normalized_ds, now: datetime, num_partitions: int | None = None,
+               strategy: str = "auto"):
         """J1+J2: left-join a normalized frontier Dataset against the
         cache, marking hits. Adds ``cache_hit`` (bool) and ``c_*``
         columns; downstream ExtractStage serves hits from them.
 
-        The id_map and urls sides are hash-partitioned Dataset.joins on
-        the 63-bit key — at 100 TB both sides shuffle once on the same
-        key, and host_shard locality keeps the exchange skew-bounded.
-        An empty cache short-circuits to a constant-column add.
+        ``strategy``:
+        - "broadcast" — ship the cache tables once via ``ray.put`` and
+          probe them per batch with a vectorized searchsorted (the
+          reference's J3 small-side pattern). No shuffle at all.
+        - "shuffle" — hash-partitioned ``Dataset.join``s on the 63-bit
+          key: at 10^10-URL scale both sides exchange once on the same
+          key and host_shard locality bounds the skew.
+        - "auto" (default) — broadcast while the cache's LWW view is
+          under BROADCAST_LIMIT_BYTES, else shuffle.
 
-        ``num_partitions`` defaults to the cluster CPU count (each join
-        partition is an aggregator actor — more partitions than CPUs
-        deadlocks a small cluster and over-fragments a big one)."""
+        ``num_partitions`` (shuffle path) defaults to the cluster CPU
+        count (each join partition is an aggregator actor — more
+        partitions than CPUs deadlocks a small cluster)."""
         import ray
         import ray.data
 
@@ -330,6 +338,10 @@ class CacheStore:
             return normalized_ds.map_batches(
                 _mark_all_miss, batch_format="pyarrow", batch_size=4096
             )
+        if strategy == "broadcast" or (
+            strategy == "auto" and urls_t.nbytes < self.BROADCAST_LIMIT_BYTES
+        ):
+            return self._attach_broadcast(normalized_ds, now, urls_t, idm_t)
 
         rename = {
             "id": "c_id",
@@ -377,6 +389,69 @@ class CacheStore:
         now_scalar = pa.scalar(now, pa.timestamp("us"))
         return ds.map_batches(
             lambda t: _mark_hits(t, now_scalar), batch_format="pyarrow", batch_size=8192
+        )
+
+
+    def _attach_broadcast(self, normalized_ds, now: datetime,
+                          urls_t: pa.Table, idm_t: pa.Table):
+        """Broadcast probe: cache tables go to the object store ONCE;
+        every map task binary-searches sorted key arrays (numpy) and
+        gathers hit rows with Table.take — zero shuffle, zero per-batch
+        re-shipping."""
+        import numpy as np
+        import ray
+
+        urls_sorted = urls_t.take(pc.sort_indices(urls_t["id"]))
+        cache_ids = urls_sorted["id"].to_numpy()
+        if idm_t.num_rows:
+            import pandas as pd
+
+            idm_df = (
+                idm_t.to_pandas()
+                .drop_duplicates(subset=["requested_id"], keep="last")
+                .sort_values("requested_id")
+            )
+            idm_req = idm_df["requested_id"].to_numpy()
+            idm_can = idm_df["canonical_id"].to_numpy()
+        else:
+            idm_req = np.array([], dtype=np.uint64)
+            idm_can = np.array([], dtype=np.uint64)
+        state_ref = ray.put((cache_ids, urls_sorted, idm_req, idm_can))
+        now_scalar = pa.scalar(now, pa.timestamp("us"))
+        rename = {
+            "id": "c_id",
+            "url": "c_url",
+            "parsed_url": "c_parsed_url",
+            "fetch_time": "c_fetch_time",
+            "fetch_method": "c_fetch_method",
+            "expires": "c_expires",
+            "metadata": "c_metadata",
+            "content_text": "c_content_text",
+        }
+
+        def _probe(t: pa.Table) -> pa.Table:
+            cache_ids_, urls_sorted_, idm_req_, idm_can_ = ray.get(state_ref)
+            keys = t["key"].to_numpy().astype(np.uint64)
+            eff = keys.copy()
+            if len(idm_req_):
+                pos = np.searchsorted(idm_req_, keys)
+                pos = np.clip(pos, 0, len(idm_req_) - 1)
+                m = idm_req_[pos] == keys
+                eff[m] = idm_can_[pos[m]]
+            pos = np.searchsorted(cache_ids_, eff)
+            pos = np.clip(pos, 0, len(cache_ids_) - 1)
+            found = cache_ids_[pos] == eff
+            # gather c_* columns: hit rows from the cache, null otherwise
+            gather = urls_sorted_.take(pa.array(pos, pa.int64()))
+            out = t.append_column("effective_id", pa.array(eff, pa.uint64()))
+            for src, dst in rename.items():
+                col = gather[src].combine_chunks()
+                masked = pc.if_else(pa.array(found), col, pa.nulls(len(found), col.type))
+                out = out.append_column(dst, masked)
+            return _mark_hits(out, now_scalar)
+
+        return normalized_ds.map_batches(
+            _probe, batch_format="pyarrow", batch_size=None
         )
 
 
