@@ -328,6 +328,88 @@ def _q_host_counts_sorted(sf_dir: str) -> Any:
     return agg.sort("domain").limit(10)
 
 
+def _q_tumbling_window(sf_dir: str) -> Any:
+    """Windowed aggregate: 10-min tumbling count+sum per user over the
+    events stream (partial per-batch combine, then one small groupby)."""
+    import ray.data
+
+    from scrape_ray.ops.windows import tumbling_aggregate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+    return tumbling_aggregate(ev, width_s=600)
+
+
+def _q_sessionize(sf_dir: str) -> Any:
+    """Gap-based sessionization (30-min gap) per user."""
+    import ray.data
+
+    from scrape_ray.ops.windows import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return sessionize(ev, gap_s=1800)
+
+
+def _q_json_props(sf_dir: str) -> Any:
+    """JSON metadata-blob field extraction over events.props."""
+    import ray.data
+
+    from scrape_ray.ops.windows import extract_json_prop
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    return extract_json_prop(ev).select_columns(["event_id", "prop_k"])
+
+
+def _q_ttl_expiry(sf_dir: str) -> Any:
+    """M12/M13: TTL arithmetic + expired-row filter — populate the
+    cache at t0, query at t0+31d (past the 30d TTL): every row must be
+    re-fetched (fetch_time = the later date)."""
+    import tempfile
+    from datetime import datetime
+
+    from scrape_ray.pipelines.spine import fetch_extract
+    from scrape_ray.sources.frontier_gen import frontier_dataset
+    from scrape_ray.state.cache import CacheStore
+    from scrape_ray.util import dataset_to_table
+
+    t0 = FIXED_FETCH_TIME
+    t_late = datetime(2024, 7, 5)  # t0 + 34 d > 30 d TTL
+    cs = CacheStore(tempfile.mkdtemp(prefix="scrape_ray_ttl_"))
+    out1 = fetch_extract(frontier_dataset(sf_dir), fixed_fetch_time=t0)
+    cs.save_pages(dataset_to_table(out1))
+    out2 = fetch_extract(
+        frontier_dataset(sf_dir), cache=cs, now=t_late, fixed_fetch_time=t_late
+    )
+    return out2.select_columns(["requested_url", "fetch_time"])
+
+
+def _q_cache_compaction(sf_dir: str) -> Any:
+    """G1 LWW compaction: two epochs of saves (different fetch times)
+    → compact → exactly one row per id with the LATEST fetch_time."""
+    import tempfile
+    from datetime import datetime
+
+    import pyarrow as pa
+
+    from scrape_ray.pipelines.spine import fetch_extract
+    from scrape_ray.sources.frontier_gen import frontier_dataset
+    from scrape_ray.state.cache import CacheStore
+    from scrape_ray.util import dataset_to_table
+
+    t0, t1 = FIXED_FETCH_TIME, datetime(2024, 6, 10)
+    cs = CacheStore(tempfile.mkdtemp(prefix="scrape_ray_lww_"))
+    cs.save_pages(
+        dataset_to_table(fetch_extract(frontier_dataset(sf_dir), fixed_fetch_time=t0))
+    )
+    cs.save_pages(
+        dataset_to_table(fetch_extract(frontier_dataset(sf_dir), fixed_fetch_time=t1))
+    )
+    cs.compact()
+    t = cs.latest_urls_table()
+    return pa.table({"url": t["url"], "fetch_time": t["fetch_time"]})
+
+
 def _q_feed_expand(sf_dir: str) -> Any:
     """S7/J4: synthetic RSS feeds (one per documents.source) parsed
     from real XML and flat-mapped to item links."""
@@ -354,6 +436,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "politeness_slots": _q_politeness_slots,
         "host_counts_sorted": _q_host_counts_sorted,
         "feed_expand": _q_feed_expand,
+        "tumbling_window": _q_tumbling_window,
+        "sessionize": _q_sessionize,
+        "json_props": _q_json_props,
+        "ttl_expiry": _q_ttl_expiry,
+        "cache_compaction": _q_cache_compaction,
     }
 
 
@@ -510,5 +597,45 @@ def oracle_sql() -> dict[str, str]:
                 {_DIRTY} AS url,
                 (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1) AS item_idx
             FROM documents
+        """,
+        "tumbling_window": """
+            SELECT user_id,
+                make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
+                COUNT(*) AS n_events,
+                SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH o AS (
+                SELECT user_id, ts,
+                    CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts,
+                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            )
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "json_props": """
+            SELECT event_id,
+                CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS prop_k
+            FROM events
+        """,
+        "ttl_expiry": f"""
+            SELECT {_CLEAN} AS requested_url,
+                   TIMESTAMP '2024-07-05' AS fetch_time
+            FROM documents
+        """,
+        "cache_compaction": f"""
+            SELECT {_CANONICAL} AS url,
+                   TIMESTAMP '2024-06-10' AS fetch_time
+            FROM documents WHERE {_IS_CONTENT}
         """,
     }

@@ -1,0 +1,142 @@
+"""Windowed aggregates over event streams — tumbling windows and
+gap-based sessions.
+
+No analog in the reference (its only reduce is the LWW upsert,
+SURVEY.md §2.5); these are the training-pipeline/streaming extensions,
+built the Ray-Data way:
+
+- **Tumbling**: window assignment + PARTIAL per-batch aggregation
+  inside ``map_batches`` (the combiner), then one small
+  ``groupby().aggregate()`` over partials — the shuffle moves
+  (keys × windows) rows, not events.
+- **Sessions**: per-user gap splitting needs every user's events
+  together once — ONE coarse hash exchange on ``user_id % P``, then a
+  vectorized per-user split inside each task (no per-user UDF calls).
+
+Money columns are aggregated in integer cents (``*_cents``) so
+results are bit-exact regardless of summation order — float sums
+would hash-differ between engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_aggregate(
+    ds,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    width_s: int = 600,
+):
+    """count + sum(value_cents) per (key, window_start). Partial
+    aggregation per batch, final aggregation per key — two-level, like
+    a combiner."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t[ts_col], pa.int64())  # µs since epoch
+        win = pc.multiply(
+            pc.divide(epoch, pa.scalar(width_s * 1_000_000, pa.int64())),
+            pa.scalar(width_s * 1_000_000, pa.int64()),
+        )
+        cents = pc.cast(pc.round(pc.multiply(t[value_col], 100.0)), pa.int64())
+        df = pa.table(
+            {
+                key_col: t[key_col].combine_chunks(),
+                "window_start": win,
+                "cents": cents,
+            }
+        ).to_pandas()
+        g = (
+            df.groupby([key_col, "window_start"], sort=False)
+            .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    final = partial.groupby([key_col, "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_cents", alias_name="sum_cents"),
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["window_start"], pa.timestamp("us"))
+        return t.set_column(
+            t.column_names.index("window_start"), "window_start", ts
+        )
+
+    return final.map_batches(_finish, batch_format="pyarrow", batch_size=None)
+
+
+def sessionize(
+    ds,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_s: int = 1800,
+    num_parts: int = 64,
+):
+    """Gap-based sessions: a new session starts when a user's
+    inter-event gap exceeds ``gap_s``. Output: one row per session
+    (key, session_start, session_end, n_events)."""
+
+    def _part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(
+                pc.cast(t[key_col], pa.int64()), pa.scalar(num_parts - 1, pa.int64())
+            ),
+            pa.int32(),
+        )
+        return t.append_column("__part", part)
+
+    gap_us = gap_s * 1_000_000
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        ts = g[ts_col].astype("int64").to_numpy()
+        keys = g[key_col].to_numpy()
+        new_key = np.ones(len(g), dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        gap = np.ones(len(g), dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_session = new_key | gap
+        sid = np.cumsum(new_session)
+        out = (
+            pd.DataFrame({key_col: keys, "__sid": sid, "ts": ts})
+            .groupby([key_col, "__sid"], sort=False)
+            .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                 n_events=("ts", "size"))
+            .reset_index()
+            .drop(columns="__sid")
+        )
+        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        return out
+
+    parted = ds.map_batches(_part, batch_format="pyarrow", batch_size=None)
+    return parted.groupby("__part").map_groups(_sessions, batch_format="pandas")
+
+
+def extract_json_prop(ds, props_col: str = "props", key: str = "k",
+                      out_col: str = "prop_k"):
+    """JSON property extraction (the reference stores metadata as a
+    JSON text blob, internal/storage/storage.go:83 — this is the read
+    side, vectorized per batch)."""
+    import json
+
+    def _f(t: pa.Table) -> pa.Table:
+        vals = []
+        for s in t[props_col].to_pylist():
+            try:
+                v = json.loads(s).get(key) if s else None
+            except (ValueError, AttributeError):
+                v = None
+            vals.append(v)
+        return t.append_column(out_col, pa.array(vals, pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=None)

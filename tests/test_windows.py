@@ -1,0 +1,73 @@
+"""Windowed-aggregate and sessionization tests."""
+
+from datetime import datetime
+
+import pyarrow as pa
+
+from scrape_ray.ops.windows import extract_json_prop, sessionize, tumbling_aggregate
+
+
+def _events(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def test_tumbling_aggregate(ray_session):
+    t = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (t.replace(minute=1), 1, 1.50),
+        (t.replace(minute=9), 1, 2.25),   # same 10-min window
+        (t.replace(minute=11), 1, 4.00),  # next window
+        (t.replace(minute=2), 2, 10.00),
+    ]
+    out = tumbling_aggregate(_events(rows), width_s=600).to_pandas()
+    out = out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    assert len(out) == 3
+    assert out.loc[0, "n_events"] == 2
+    assert out.loc[0, "sum_cents"] == 375
+    assert out.loc[0, "window_start"] == t
+    assert out.loc[1, "sum_cents"] == 400
+    assert out.loc[2, "user_id"] == 2
+
+
+def test_sessionize_gap_split(ray_session):
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (t0, 1, 0.0),
+        (t0.replace(minute=10), 1, 0.0),   # same session (10min < 30min gap)
+        (t0.replace(hour=2), 1, 0.0),      # new session
+        (t0, 2, 0.0),                      # other user
+    ]
+    out = sessionize(_events(rows), gap_s=1800).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_start")
+    assert len(u1) == 2
+    assert u1.iloc[0]["n_events"] == 2
+    assert u1.iloc[0]["session_end"] == t0.replace(minute=10)
+    assert u1.iloc[1]["n_events"] == 1
+    assert len(out[out["user_id"] == 2]) == 1
+
+
+def test_extract_json_prop(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "props": pa.array(['{"k": 87}', "not json", None], pa.string()),
+            }
+        )
+    )
+    out = extract_json_prop(ds).to_pandas().set_index("event_id")
+    assert out.loc[1, "prop_k"] == 87
+    assert out.loc[2, "prop_k"] != out.loc[2, "prop_k"] or out.loc[2, "prop_k"] is None  # NaN
+    assert out.loc[3, "prop_k"] != out.loc[3, "prop_k"] or out.loc[3, "prop_k"] is None
