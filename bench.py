@@ -73,12 +73,45 @@ def run_headline(sf_dir: str) -> tuple[float, int]:
     return time.perf_counter() - t0, n
 
 
+def run_crawl(sf_dir: str) -> tuple[float, int]:
+    """The full north-rule loop at the bench scale: seed → dedup →
+    seen-filter → politeness → fetch → extract → committed epoch
+    checkpoint. Returns (seconds, urls fetched)."""
+    import shutil
+    import tempfile
+
+    from scrape_ray.pipelines.crawl import crawl, load_corpus_ref, seed_frontier
+    from scrape_ray.sources.frontier_gen import crawl_seed_urls, robots_txt_for
+    from scrape_ray.state.frontier import FrontierStore
+    from scrape_ray.state.politeness import RobotsProvider
+
+    root = tempfile.mkdtemp(prefix="scrape_ray_bench_crawl_")
+    try:
+        store = FrontierStore(root)
+        seed_frontier(store, crawl_seed_urls(sf_dir))
+        t0 = time.perf_counter()
+        manifests = crawl(
+            store,
+            corpus_ref=load_corpus_ref(sf_dir),
+            robots_provider=RobotsProvider(robots_txt_for),
+            num_seen_shards=4,
+            max_epochs=1,
+        )
+        sec = time.perf_counter() - t0
+        fetched = sum(m["counters"]["fetched"] for m in manifests)
+        return sec, fetched
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_all(sf_dir: str) -> dict:
     import __ray_entry__ as e
 
     timings: dict[str, float] = {}
     headline_sec, headline_rows = run_headline(sf_dir)
     timings["fetch_extract"] = round(headline_sec, 3)
+    crawl_sec, crawl_rows = run_crawl(sf_dir)
+    timings["crawl_epoch"] = round(crawl_sec, 3)
 
     qs = e.queries()
     for name, fn in qs.items():
@@ -101,6 +134,8 @@ def run_all(sf_dir: str) -> dict:
         "num_cpus": NUM_CPUS,
         "rows": headline_rows,
         "urls_per_sec": round(headline_rows / headline_sec, 1),
+        "crawl_rows": crawl_rows,
+        "crawl_urls_per_sec": round(crawl_rows / crawl_sec, 1),
     }
 
 

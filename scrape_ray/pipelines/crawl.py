@@ -174,9 +174,20 @@ def _run_epoch(
     ).materialize()  # narrow columns (no html) — blocks stay in the
     # object store and may spill; never collected to the driver
 
-    admitted = verdict.filter(lambda r: r["admitted"])
-    deferred = verdict.filter(
-        lambda r: r["robots_allowed"] and not r["admitted"]
+    def _mask(keep_fn):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(keep_fn(t))
+
+        return _f
+
+    # vectorized masks (a row-lambda filter runs Python per row)
+    admitted = verdict.map_batches(
+        _mask(lambda t: t["admitted"]), batch_format="pyarrow", batch_size=None
+    )
+    deferred = verdict.map_batches(
+        _mask(lambda t: pc.and_(t["robots_allowed"], pc.invert(t["admitted"]))),
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
     # ---- fetch + extract the admitted rows (actor pools)
@@ -187,7 +198,7 @@ def _run_epoch(
         fetch_concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
     fetch_kwargs: dict = {
         "batch_format": "pyarrow",
-        "batch_size": 256,
+        "batch_size": None,
         "concurrency": fetch_concurrency,
     }
     fetched = admitted.map_batches(
@@ -198,7 +209,7 @@ def _run_epoch(
     pages = fetched.map_batches(
         ExtractStage(fixed_fetch_time=fixed_fetch_time),
         batch_format="pyarrow",
-        batch_size=256,
+        batch_size=None,
     ).map_batches(
         lambda t: t.drop_columns(
             [c for c in ("hostname_full", "robots_allowed", "admitted")

@@ -167,23 +167,34 @@ def apply_politeness(
     epoch_budget: float = float("inf"),
     order_col: str = "seed_seq",
     host_col: str = "hostname_full",
+    num_parts: int = 64,
 ):
-    """Group by host (the one exchange this stage needs — co-locates a
-    host's rows so slot ranks are global per host), then assign robots
-    verdicts + logical fetch slots. At scale the groupby runs within
-    host_shard partitions (the key's top bits already co-locate hosts).
-    """
+    """Assign robots verdicts + logical fetch slots. ONE coarse
+    exchange: hosts hash into ``num_parts`` partitions (co-locating
+    each host's rows so slot ranks are global per host), then the
+    per-host ranking runs vectorized inside each task — the UDF fires
+    num_parts times, not once per host (millions of hosts at crawl
+    scale). At 100 TB the partition key folds into ``host_shard``
+    (key's top bits), making this exchange shard-local."""
     import pandas as pd
 
     stage = PolitenessStage(robots_provider, epoch_budget, order_col)
 
     def _add_host(t: pa.Table) -> pa.Table:
-        hosts = [urlsplit(u).hostname or "" for u in t["url"].to_pylist()]
-        return t.append_column(host_col, pa.array(hosts, pa.string()))
+        from scrape_ray.functions.keys import fnv1a64
 
-    def _per_host(g: pd.DataFrame) -> pd.DataFrame:
-        out = stage(pa.Table.from_pandas(g, preserve_index=False))
+        hosts = [urlsplit(u).hostname or "" for u in t["url"].to_pylist()]
+        h = fnv1a64([x.encode() for x in hosts])
+        t = t.append_column(host_col, pa.array(hosts, pa.string()))
+        return t.append_column(
+            "__part", pa.array((h % num_parts).astype("int32"))
+        )
+
+    def _per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = stage(
+            pa.Table.from_pandas(g.drop(columns="__part"), preserve_index=False)
+        )
         return out.to_pandas()
 
-    with_host = ds.map_batches(_add_host, batch_format="pyarrow", batch_size=8192)
-    return with_host.groupby(host_col).map_groups(_per_host, batch_format="pandas")
+    with_host = ds.map_batches(_add_host, batch_format="pyarrow", batch_size=None)
+    return with_host.groupby("__part").map_groups(_per_part, batch_format="pandas")
