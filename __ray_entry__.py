@@ -328,6 +328,30 @@ def _q_host_counts_sorted(sf_dir: str) -> Any:
     return agg.sort("domain").limit(10)
 
 
+def _q_invalid_urls(sf_dir: str) -> Any:
+    """M2: invalid URLs become error ROWS with url falling back to the
+    original (internal/scrape.go:170-177), never exceptions."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.stages.normalize import normalize
+
+    def _gen(t: pa.Table) -> pa.Table:
+        from scrape_ray.sources.frontier_gen import dirty_url
+
+        ids = t["doc_id"].to_pylist()
+        urls = [
+            f"not-a-url-{d}" if d % 13 == 2 else dirty_url(d) for d in ids
+        ]
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "seed_seq": pa.array(ids, pa.int64())}
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = normalize(docs.map_batches(_gen, batch_format="pyarrow", batch_size=None))
+    return ds.select_columns(["original_url", "url", "parse_error"])
+
+
 def _q_tumbling_window(sf_dir: str) -> Any:
     """Windowed aggregate: 10-min tumbling count+sum per user over the
     events stream (partial per-batch combine, then one small groupby)."""
@@ -436,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "politeness_slots": _q_politeness_slots,
         "host_counts_sorted": _q_host_counts_sorted,
         "feed_expand": _q_feed_expand,
+        "invalid_urls": _q_invalid_urls,
         "tumbling_window": _q_tumbling_window,
         "sessionize": _q_sessionize,
         "json_props": _q_json_props,
@@ -596,6 +621,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://feeds.example.com/' || source || '.xml' AS feed_url,
                 {_DIRTY} AS url,
                 (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1) AS item_idx
+            FROM documents
+        """,
+        "invalid_urls": f"""
+            SELECT
+                CASE WHEN doc_id % 13 = 2 THEN 'not-a-url-' || doc_id
+                     ELSE {_DIRTY} END AS original_url,
+                CASE WHEN doc_id % 13 = 2 THEN 'not-a-url-' || doc_id
+                     ELSE {_CLEAN} END AS url,
+                CASE WHEN doc_id % 13 = 2
+                     THEN 'not an absolute http(s) URL: ' || chr(39)
+                          || 'not-a-url-' || doc_id || chr(39)
+                     ELSE NULL END AS parse_error
             FROM documents
         """,
         "tumbling_window": """

@@ -198,14 +198,21 @@ def extract_page(html: bytes | str | None, requested_url: str) -> dict:
             out["error"] = ERR_EMPTY_EXTRACTION
             return out
 
-    parser = _DocParser()
+    # fast regex scanner (same collector semantics, ~4×; differential
+    # test pins it against the html.parser path) with two fallbacks
     try:
-        parser.feed(html)
-        parser.close()
+        from scrape_ray.stages.fastparse import fast_parse
+
+        parser = fast_parse(html)
     except Exception:
-        # readability-style fallback: strip tags with regexes
         parser = _DocParser()
-        parser.text_parts = [_regex_strip(html)]
+        try:
+            parser.feed(html)
+            parser.close()
+        except Exception:
+            # readability-style fallback: strip tags with regexes
+            parser = _DocParser()
+            parser.text_parts = [_regex_strip(html)]
 
     meta = parser.meta
     title = _norm_ws("".join(parser.title_parts)) or None

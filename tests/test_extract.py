@@ -142,3 +142,68 @@ def test_plain_text_content_type_allowed():
     out = ExtractStage(fixed_fetch_time=datetime(2024, 6, 1))(t)
     assert out["error"].to_pylist() == [None]
     assert out["content_text"].to_pylist() == ["just some plain words"]
+
+
+# ---------------------------------------------------------------- fastparse
+def _slow_parse(html: str):
+    """The html.parser reference path (pre-fastparse semantics)."""
+    from scrape_ray.stages.extract import _DocParser
+
+    p = _DocParser()
+    p.feed(html)
+    p.close()
+    return p
+
+
+def _digest(p) -> tuple:
+    return (
+        dict(p.meta),
+        p.link_canonical,
+        p.html_lang,
+        "".join(p.title_parts).strip(),
+        " ".join(x.strip() for x in p.text_parts if x.strip()),
+    )
+
+
+def test_fastparse_differential_corpus():
+    """Scanner output must equal html.parser output over the whole
+    synthetic corpus (the byte-identical contract's parser layer)."""
+    import pyarrow.parquet as pq
+
+    from scrape_ray.sources.frontier_gen import synth_batch
+    from scrape_ray.stages.fastparse import fast_parse
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    fb = synth_batch(docs)
+    for h in fb["html"].to_pylist():
+        s = h.decode("utf-8")
+        assert _digest(fast_parse(s)) == _digest(_slow_parse(s))
+
+
+def test_fastparse_differential_edge_cases():
+    from scrape_ray.stages.fastparse import fast_parse
+
+    cases = [
+        "<html lang='de'><head><title>A &amp; B</title></head><body><p>x &lt; y</p></body></html>",
+        '<meta name="description" content="a &gt; b"><p>t</p>',
+        "<script>if (a<b) { x(\"</div>\"); }</script><p>after</p>",
+        "<style>a>b { color: red }</style><div>styled</div>",
+        '<img src="x.png" alt="a>b"><p>img text</p>',
+        "<!-- <p>commented out</p> --><p>real</p>",
+        "<!DOCTYPE html><?xml version='1.0'?><p>doc</p>",
+        "<p>unclosed paragraph",
+        "<nav><ul><li>menu</li></ul></nav><article>body text</article>",
+        "<P>UPPER <B>case</B> tags</P>",
+        "<p>self-closing <br/> void <hr></p><p>more</p>",
+        "<title>only title</title>",
+        "<svg><text>vector junk</text></svg><p>visible</p>",
+        "<textarea><p>not real tags</p></textarea><p>yes</p>",  # textarea parsed normally (html.parser parity)
+        "<link rel=canonical href=https://c.example/x><p>t</p>",
+        "a < b but not a tag",
+        "",
+    ]
+    for s in cases:
+        assert _digest(fast_parse(s)) == _digest(_slow_parse(s)), s
