@@ -180,14 +180,18 @@ def _run_epoch(
 
         return _f
 
-    # vectorized masks (a row-lambda filter runs Python per row)
+    # vectorized mask (a row-lambda filter runs Python per row)
     admitted = verdict.map_batches(
         _mask(lambda t: t["admitted"]), batch_format="pyarrow", batch_size=None
     )
-    deferred = verdict.map_batches(
-        _mask(lambda t: pc.and_(t["robots_allowed"], pc.invert(t["admitted"]))),
-        batch_format="pyarrow",
-        batch_size=None,
+
+    # ONE narrow collect of the verdict (keys/urls/flags — never
+    # html/content) serves the deferred re-enqueue, the seen-set
+    # commit and the counters; bounded by epoch width.
+    verdict_t = _collect_narrow(
+        verdict,
+        ["url", "original_url", "seed_seq", "priority", "host_shard", "key",
+         "robots_allowed", "admitted"],
     )
 
     # ---- fetch + extract the admitted rows (actor pools)
@@ -220,12 +224,13 @@ def _run_epoch(
     n_out = store.write_output(pages, epoch)
 
     # ---- defer the over-budget remainder to the next epoch's frontier
-    defer_cols = [
-        c
-        for c in ("url", "seed_seq", "priority", "host_shard")
-        if c in verdict.schema().names
-    ]
-    deferred_t = _collect_narrow(deferred, defer_cols + ["original_url"])
+    if verdict_t.num_rows:
+        defer_mask = pc.and_(
+            verdict_t["robots_allowed"], pc.invert(verdict_t["admitted"])
+        )
+        deferred_t = verdict_t.filter(defer_mask)
+    else:
+        deferred_t = verdict_t
     n_defer = deferred_t.num_rows
     if n_defer:
         # re-enqueue the ORIGINAL url (normalize re-derives key/shard)
@@ -242,7 +247,11 @@ def _run_epoch(
         store.write_frontier_table(out_t, epoch + 1)
 
     # ---- seen-set commit: the admitted (fetched) keys become seen
-    adm_keys = _collect_narrow(admitted, ["key", "host_shard"])
+    adm_keys = (
+        verdict_t.filter(verdict_t["admitted"])
+        if verdict_t.num_rows
+        else verdict_t
+    )
     newly = bulk_add(
         actors,
         adm_keys["key"].to_numpy().astype(np.uint64),
