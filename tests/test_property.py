@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) — the fuzz coverage the reference
+wished for (internal/storage/storage_test.go:66 TODO).
+
+- CleanURL idempotence: clean(clean(u)) == clean(u)
+- Key determinism + top-bit invariant over arbitrary URLs
+- Cuckoo filter: no false negatives under random insert sets
+- fastparse ≡ html.parser collector over generated HTML
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scrape_ray.functions.keys import url_keys
+from scrape_ray.functions.urlnorm import clean_url, clean_urls
+
+_host = st.from_regex(r"[a-z][a-z0-9]{0,10}(\.[a-z][a-z0-9]{1,8}){1,2}", fullmatch=True)
+_path = st.from_regex(r"(/[A-Za-z0-9._~-]{0,12}){0,4}", fullmatch=True)
+_qkey = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+_qval = st.from_regex(r"[A-Za-z0-9 ._-]{0,10}", fullmatch=True)
+
+
+@st.composite
+def _urls(draw):
+    host = draw(_host)
+    path = draw(_path)
+    n = draw(st.integers(0, 4))
+    pairs = [(draw(_qkey), draw(_qval)) for _ in range(n)]
+    from urllib.parse import quote_plus
+
+    query = "&".join(f"{k}={quote_plus(v)}" for k, v in pairs)
+    frag = draw(st.sampled_from(["", "#frag", "#x-1"]))
+    scheme = draw(st.sampled_from(["http", "https"]))
+    return f"{scheme}://{host}{path}" + (f"?{query}" if query else "") + frag
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urls())
+def test_clean_url_idempotent(u):
+    c = clean_url(u)
+    assert clean_url(c) == c
+    assert "#" not in c
+    assert "utm_source" not in c
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urls())
+def test_key_top_bit_and_determinism(u):
+    k1 = int(url_keys([u])[0])
+    k2 = int(url_keys([u])[0])
+    assert k1 == k2
+    assert k1 >> 63 == 0  # 63-bit invariant (key_test.go:7-15)
+    assert 0 <= (k1 >> 56) < 128  # host shard range
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(0, (1 << 62) - 1), min_size=1, max_size=500, unique=True))
+def test_cuckoo_no_false_negatives_property(keys):
+    from scrape_ray.state.seen import CuckooFilter
+
+    f = CuckooFilter(capacity=max(1024, len(keys) * 2), seed=1)
+    arr = np.array(keys, dtype=np.uint64)
+    f.add(arr)
+    assert f.contains(arr).all()
+
+
+_text = st.text(
+    alphabet=st.characters(blacklist_characters="<>&", blacklist_categories=("Cs",)),
+    max_size=40,
+)
+_tag = st.sampled_from(
+    ["p", "div", "span", "article", "nav", "header", "footer", "b", "i", "ul", "li"]
+)
+
+
+@st.composite
+def _html_doc(draw):
+    parts = ["<html lang='en'><head><title>", draw(_text), "</title>"]
+    if draw(st.booleans()):
+        parts.append(
+            f"<meta name=\"description\" content=\"{draw(_text)}\">"
+        )
+    parts.append("</head><body>")
+    for _ in range(draw(st.integers(0, 6))):
+        t = draw(_tag)
+        parts.append(f"<{t}>{draw(_text)}</{t}>")
+        if draw(st.booleans()):
+            parts.append(draw(_text))
+    if draw(st.booleans()):
+        parts.append(f"<script>var x = {draw(st.integers(0, 9))};</script>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_html_doc())
+def test_fastparse_equals_htmlparser(doc):
+    from scrape_ray.stages.extract import _DocParser
+    from scrape_ray.stages.fastparse import fast_parse
+
+    slow = _DocParser()
+    slow.feed(doc)
+    slow.close()
+    fast = fast_parse(doc)
+    assert dict(fast.meta) == dict(slow.meta)
+    assert fast.html_lang == slow.html_lang
+    assert "".join(fast.title_parts).strip() == "".join(slow.title_parts).strip()
+    f_txt = " ".join(x.strip() for x in fast.text_parts if x.strip())
+    s_txt = " ".join(x.strip() for x in slow.text_parts if x.strip())
+    assert f_txt == s_txt
