@@ -434,6 +434,104 @@ def _q_cache_compaction(sf_dir: str) -> Any:
     return pa.table({"url": t["url"], "fetch_time": t["fetch_time"]})
 
 
+def _q_crawl_epoch(sf_dir: str) -> Any:
+    """The FULL north-rule loop, oracle-checked: seed list (incl.
+    robots-blocked /private/ extras) → normalize → dedup → seen-filter
+    → politeness → fetch → extract → committed checkpoint. Single
+    epoch, infinite budget ⇒ output = every doc URL with its
+    politeness slot and extraction fields, all closed-form."""
+    import shutil
+    import tempfile
+
+    from scrape_ray.pipelines.crawl import crawl, load_corpus_ref, seed_frontier
+    from scrape_ray.sources.frontier_gen import crawl_seed_urls, robots_txt_for
+    from scrape_ray.state.frontier import FrontierStore
+    from scrape_ray.state.politeness import RobotsProvider
+
+    root = tempfile.mkdtemp(prefix="scrape_ray_q_crawl_")
+    try:
+        store = FrontierStore(root)
+        seed_frontier(store, crawl_seed_urls(sf_dir))
+        crawl(
+            store,
+            corpus_ref=load_corpus_ref(sf_dir),
+            robots_provider=RobotsProvider(robots_txt_for),
+            num_seen_shards=2,
+            max_epochs=1,
+            fixed_fetch_time=FIXED_FETCH_TIME,
+        )
+        out = store.read_output(0).select_columns(
+            ["requested_url", "fetch_slot", "epoch", "status_code", "error",
+             "title", "content_text"]
+        )
+        # driver compares after this returns — materialize before the
+        # backing tempdir is deleted
+        import pyarrow as pa
+
+        return pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow", batch_size=65536)]
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _q_simhash_dups(sf_dir: str) -> Any:
+    """SimHash near-dup pairs (pigeonhole-exact recall) over the
+    planted-dup corpus — rows-only check (hamming distance has no SQL
+    closed form)."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.dedup import simhash_dup_pairs
+
+    def _plant(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ids.append(d)
+            texts.append(x)
+            if d % 7 == 0:
+                ids.append(d + 1_000_000)
+                texts.append(x)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_plant, batch_format="pyarrow", batch_size=2048)
+    return simhash_dup_pairs(docs, max_hamming=3)
+
+
+def _q_ivf_topk(sf_dir: str) -> Any:
+    """IVF-bucketed approximate top-k (the ANN scale path) — rows-only
+    (approximate by design; recall vs brute force is pytest-gated)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from scrape_ray.ops.similarity import ivf_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    by_id = {
+        v: e
+        for v, e in zip(qt["vec_id"].to_pylist(), qt["embedding"].to_pylist())
+        if v < 3
+    }
+    queries_np = np.array([by_id[v] for v in sorted(by_id)], dtype=np.float32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ivf_topk(ds, queries_np, k=10, num_cells=8, nprobe=4)
+
+
+def _q_image_features(sf_dir: str) -> Any:
+    """Multimodal plumbing: image decode → per-channel features via an
+    actor pool (codec faked deterministically; rows-only)."""
+    from scrape_ray.ops.multimodal import decode_images, synthetic_media_dataset
+
+    return decode_images(synthetic_media_dataset(128), concurrency=2)
+
+
 def _q_feed_expand(sf_dir: str) -> Any:
     """S7/J4: synthetic RSS feeds (one per documents.source) parsed
     from real XML and flat-mapped to item links."""
@@ -466,6 +564,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": _q_json_props,
         "ttl_expiry": _q_ttl_expiry,
         "cache_compaction": _q_cache_compaction,
+        "crawl_epoch": _q_crawl_epoch,
+        "simhash_dups": _q_simhash_dups,
+        "ivf_topk": _q_ivf_topk,
+        "image_features": _q_image_features,
     }
 
 
@@ -674,5 +776,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_CANONICAL} AS url,
                    TIMESTAMP '2024-06-10' AS fetch_time
             FROM documents WHERE {_IS_CONTENT}
+        """,
+        "crawl_epoch": f"""
+            SELECT {_CLEAN} AS requested_url,
+                CAST((ROW_NUMBER() OVER (PARTITION BY {_HOST} ORDER BY doc_id) - 1)
+                     * (1 + ((CASE WHEN doc_id % 5 < 2 THEN 0 ELSE doc_id % 50 END) % 3))
+                     AS DOUBLE) AS fetch_slot,
+                CAST(0 AS BIGINT) AS epoch,
+                CAST(CASE WHEN doc_id % 29 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status_code,
+                {_ERROR} AS error,
+                CASE WHEN {_IS_CONTENT} THEN 'Doc ' || doc_id ELSE NULL END AS title,
+                CASE WHEN {_IS_CONTENT} THEN 'Doc ' || doc_id || ' ' || text ELSE NULL END AS content_text
+            FROM documents
         """,
     }

@@ -125,8 +125,8 @@ def run_all(sf_dir: str) -> dict:
 
     qs = e.queries()
     for name, fn in qs.items():
-        if name == "extract":
-            continue  # == headline
+        if name in ("extract", "crawl_epoch"):
+            continue  # == headline / == run_crawl above
         t0 = time.perf_counter()
         try:
             _consume(fn(sf_dir))
