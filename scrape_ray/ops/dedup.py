@@ -124,7 +124,8 @@ class MinHasher:
     def signature(self, text: str) -> np.ndarray:
         from scrape_ray.functions.keys import fnv1a64
 
-        shingles = sorted(word_ngrams(text, self.ngram))
+        # no sort: min over hashes is order-invariant
+        shingles = list(word_ngrams(text, self.ngram))
         if not shingles:
             return np.zeros(self.num_perm, dtype=np.uint64)
         hv = fnv1a64([s.encode("utf-8") for s in shingles])
@@ -375,7 +376,8 @@ def simhash64(text: str, ngram: int = 3) -> int:
     """64-bit SimHash over word n-gram FNV hashes (deterministic)."""
     from scrape_ray.functions.keys import fnv1a64
 
-    shingles = sorted(word_ngrams(text, ngram))
+    # no sort: the per-bit vote sum is order-invariant
+    shingles = list(word_ngrams(text, ngram))
     if not shingles:
         return 0
     hv = fnv1a64([s.encode("utf-8") for s in shingles])
