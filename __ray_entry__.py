@@ -434,6 +434,18 @@ def _q_cache_compaction(sf_dir: str) -> Any:
     return pa.table({"url": t["url"], "fetch_time": t["fetch_time"]})
 
 
+def _q_feed_refresh_due(sf_dir: str) -> Any:
+    """O3: feed_refresh due-first scheduling — filter to due+active
+    feeds at now=2024-06-02, due-first order."""
+    from datetime import datetime
+
+    from scrape_ray.sources.feeds import refresh_due, synthetic_feed_refresh_dataset
+
+    return refresh_due(
+        synthetic_feed_refresh_dataset(sf_dir), now=datetime(2024, 6, 2)
+    )
+
+
 def _q_crawl_epoch(sf_dir: str) -> Any:
     """The FULL north-rule loop, oracle-checked: seed list (incl.
     robots-blocked /private/ extras) → normalize → dedup → seen-filter
@@ -564,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": _q_json_props,
         "ttl_expiry": _q_ttl_expiry,
         "cache_compaction": _q_cache_compaction,
+        "feed_refresh_due": _q_feed_refresh_due,
         "crawl_epoch": _q_crawl_epoch,
         "simhash_dups": _q_simhash_dups,
         "ivf_topk": _q_ivf_topk,
@@ -776,6 +789,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_CANONICAL} AS url,
                    TIMESTAMP '2024-06-10' AS fetch_time
             FROM documents WHERE {_IS_CONTENT}
+        """,
+        "feed_refresh_due": """
+            WITH s AS (
+                SELECT DISTINCT CAST(SUBSTR(source, 4) AS INT) AS k FROM documents
+            ),
+            f AS (
+                SELECT 'https://feeds.example.com/src' || k || '.xml' AS url,
+                    TIMESTAMP '2024-06-01' + INTERVAL 1 HOUR * k AS last_request,
+                    CAST(43200 AS BIGINT) AS refresh_interval_s,
+                    CASE WHEN k % 5 = 0 THEN NULL
+                         ELSE TIMESTAMP '2024-06-01' + INTERVAL 1 HOUR * (2*k)
+                    END AS last_refresh,
+                    CAST(604800 AS BIGINT) AS idle_timeout_s
+                FROM s
+            )
+            SELECT url, last_request, refresh_interval_s, last_refresh, idle_timeout_s
+            FROM f
+            WHERE (last_refresh IS NULL
+                   OR last_refresh + INTERVAL 12 HOUR <= TIMESTAMP '2024-06-02')
+              AND last_request + INTERVAL 7 DAY > TIMESTAMP '2024-06-02'
         """,
         "crawl_epoch": f"""
             SELECT {_CLEAN} AS requested_url,

@@ -187,6 +187,9 @@ def _scaling() -> None:
     results = {}
     for cpus in (SCALE_LO, SCALE_HI):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
+        # scaling runs need long-enough jobs: default to 500k URLs
+        # (sf0.1 ×100) unless the caller pinned a repeat factor
+        env.setdefault("BENCH_REPEAT", "100")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env,

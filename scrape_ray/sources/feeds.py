@@ -111,6 +111,113 @@ def expand_feeds(ds, xml_col: str = "feed_xml", url_col: str = "feed_url",
     return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
 
 
+DEFAULT_REFRESH_INTERVAL_S = 12 * 3600  # 12h (00003_feed_refresh.sql:9)
+DEFAULT_IDLE_TIMEOUT_S = 7 * 24 * 3600  # 7d  (00003_feed_refresh.sql:14)
+
+
+def refresh_due(feeds_ds, now, batch_size=None):
+    """The reference's ``feed_refresh`` scheduling semantics
+    (/root/reference/database/sqlite/migrations/00003_feed_refresh.sql:5-22
+    — schema + due-first index ``(last_refresh ASC, refresh_interval
+    ASC, url ASC)``; no Go code drives it yet, so the semantics are
+    the schema's own defaults):
+
+    input columns (url, last_request, refresh_interval_s,
+    last_refresh, idle_timeout_s); a feed is DUE when it has never
+    been refreshed or ``last_refresh + refresh_interval <= now``, and
+    is not idle (``last_request + idle_timeout > now``). Output: due
+    feeds in due-first order — this is the priority-queue ordering the
+    crawl frontier generalizes (SURVEY.md §2.6 O3)."""
+    import pyarrow.compute as pc
+
+    now_us = pa.scalar(now, pa.timestamp("us"))
+
+    def _f(t: pa.Table) -> pa.Table:
+        interval_us = pc.multiply(
+            pc.cast(t["refresh_interval_s"], pa.int64()), pa.scalar(1_000_000, pa.int64())
+        )
+        idle_us = pc.multiply(
+            pc.cast(t["idle_timeout_s"], pa.int64()), pa.scalar(1_000_000, pa.int64())
+        )
+        last_refresh = pc.cast(t["last_refresh"], pa.int64())
+        last_request = pc.cast(t["last_request"], pa.int64())
+        now_i = pc.cast(now_us, pa.int64())
+        due = pc.or_kleene(
+            pc.is_null(t["last_refresh"]),
+            pc.less_equal(pc.add(last_refresh, interval_us), now_i),
+        )
+        active = pc.greater(pc.add(last_request, idle_us), now_i)
+        keep = pc.and_(pc.fill_null(due, True), pc.fill_null(active, False))
+        return t.filter(keep)
+
+    due_ds = feeds_ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
+
+    # null-safe due-first sort: never-refreshed feeds are most due
+    # (SQLite ASC puts NULLs first); Ray's sort rejects null keys, so
+    # fill with the epoch-min sentinel and drop it after
+    def _key(t: pa.Table) -> pa.Table:
+        from datetime import datetime
+
+        sentinel = pa.scalar(datetime(1970, 1, 1), pa.timestamp("us"))
+        return t.append_column(
+            "__lr", pc.fill_null(t["last_refresh"], sentinel)
+        )
+
+    import pyarrow.compute as pc
+
+    return (
+        due_ds.map_batches(_key, batch_format="pyarrow", batch_size=None)
+        .sort(["__lr", "refresh_interval_s", "url"])
+        .drop_columns(["__lr"])
+    )
+
+
+def synthetic_feed_refresh_dataset(sf_dir: str):
+    """feed_refresh rows synthesized closed-form from documents
+    sources: one feed per source s with
+    last_request = 2024-06-01 + k hours, refresh_interval = 12h,
+    last_refresh = NULL if k % 5 == 0 else 2024-06-01 + k*2 hours,
+    idle_timeout = 7d, where k = source index."""
+    import pyarrow as pa
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"])
+
+    def _gen(t: pa.Table) -> pa.Table:
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 6, 1)
+        srcs = sorted(set(t["source"].to_pylist()))
+        rows = {"url": [], "last_request": [], "refresh_interval_s": [],
+                "last_refresh": [], "idle_timeout_s": []}
+        for s in srcs:
+            k = int(s[3:]) if s.startswith("src") else 0
+            rows["url"].append(f"https://feeds.example.com/{s}.xml")
+            rows["last_request"].append(base + timedelta(hours=k))
+            rows["refresh_interval_s"].append(DEFAULT_REFRESH_INTERVAL_S)
+            rows["last_refresh"].append(
+                None if k % 5 == 0 else base + timedelta(hours=2 * k)
+            )
+            rows["idle_timeout_s"].append(DEFAULT_IDLE_TIMEOUT_S)
+        return pa.table(
+            {
+                "url": pa.array(rows["url"], pa.string()),
+                "last_request": pa.array(rows["last_request"], pa.timestamp("us")),
+                "refresh_interval_s": pa.array(rows["refresh_interval_s"], pa.int64()),
+                "last_refresh": pa.array(rows["last_refresh"], pa.timestamp("us")),
+                "idle_timeout_s": pa.array(rows["idle_timeout_s"], pa.int64()),
+            }
+        )
+
+    # distinct per url; Arrow-format groups (a pandas round-trip would
+    # degrade all-null timestamp groups to null-type columns)
+    def _dedup(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    gen = docs.map_batches(_gen, batch_format="pyarrow", batch_size=None)
+    return gen.groupby("url").map_groups(_dedup, batch_format="pyarrow")
+
+
 def synthetic_feed_dataset(sf_dir: str):
     """One RSS feed per ``source`` value of the documents table; item
     links = the dirty URLs of that source's docs in doc_id order —

@@ -52,3 +52,31 @@ def test_expand_feeds_dataset(ray_session):
     assert len(bad) == 1
     assert bad.iloc[0]["url"] is None
     assert bad.iloc[0]["feed_error"] is not None
+
+
+def test_refresh_due_scheduling(ray_session):
+    from datetime import datetime
+
+    import ray.data
+
+    from scrape_ray.sources.feeds import refresh_due
+
+    base = datetime(2024, 6, 1)
+    t = pa.table(
+        {
+            "url": pa.array(["a", "b", "c", "d"]),
+            "last_request": pa.array([base] * 3 + [datetime(2024, 1, 1)], pa.timestamp("us")),
+            "refresh_interval_s": pa.array([3600] * 4, pa.int64()),
+            "last_refresh": pa.array(
+                [None, datetime(2024, 5, 31), datetime(2024, 6, 1, 12), None],
+                pa.timestamp("us"),
+            ),
+            "idle_timeout_s": pa.array([7 * 86400] * 4, pa.int64()),
+        }
+    )
+    now = datetime(2024, 6, 1, 12, 30)
+    out = refresh_due(ray.data.from_arrow(t), now=now).to_pandas()
+    # a: never refreshed, active → due (first: null sorts most-due)
+    # b: stale by a day → due;  c: refreshed 12:00, interval 1h → not due
+    # d: idle (last_request 5 months ago) → excluded even though null refresh
+    assert out["url"].tolist() == ["a", "b"]
