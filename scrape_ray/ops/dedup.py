@@ -180,13 +180,11 @@ class MinHashStage:
 
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm=64, bands=16, ngram=3,
                       concurrency=None):
-    """Near-dup candidate pairs via MinHash+LSH: signature per doc
-    (map_batches) → explode to (band, bucket, id) → groupby(band,
-    bucket) → within-bucket pairs. Only bucket-mates are compared —
-    never all pairs. Returns a Dataset of (id_a, id_b) with id_a<id_b,
-    distinct."""
-    import pandas as pd
-
+    """Near-dup CANDIDATE pairs via MinHash+LSH (no exact verify —
+    ``near_dup_pairs`` is the verified variant): signature per doc
+    (actor-pool map_batches) → explode to (band, bucket, id) → coarse
+    hash partitions → in-task bucketing → distinct pairs. Only
+    bucket-mates pair — never all pairs."""
     kwargs = dict(
         fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, ngram=ngram
@@ -196,20 +194,30 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm=64, bands=16, ngr
     )
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
-    banded = ds.map_batches(MinHashStage, **kwargs)
+        banded = ds.map_batches(MinHashStage, **kwargs)
+    else:
+        banded = ds.map_batches(
+            MinHashStage(text_col=text_col, id_col=id_col, num_perm=num_perm,
+                         bands=bands, ngram=ngram),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col]))
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+    def _combine(t: pa.Table) -> pa.Table:
+        # one int64 bucket key = mix(band, bucket) for grouped_pairs
+        key = pc.bit_wise_xor(
+            pc.multiply(
+                pc.cast(t["band"], pa.int64()), pa.scalar(0x9E3779B9, pa.int64())
+            ),
+            pc.cast(
+                pc.bit_wise_and(t["bucket"], pa.scalar((1 << 62) - 1, pa.uint64())),
+                pa.int64(),
+            ),
+        )
+        return t.append_column("band_bucket", key)
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pandas")
-    # distinct pairs (a pair can surface from several bands)
-    return _distinct_pairs(pairs)
+    keyed = banded.map_batches(_combine, batch_format="pyarrow", batch_size=None)
+    return _distinct_pairs(grouped_pairs(keyed, "band_bucket", id_col))
 
 
 def near_dup_pairs(
