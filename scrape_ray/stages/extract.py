@@ -151,10 +151,21 @@ def _split_list(value: str | None, sep: str) -> list[str]:
 _DATE_FORMATS = ("%Y-%m-%d", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%dT%H:%M:%SZ", "%Y/%m/%d")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _parse_date_cached(v: str) -> datetime | None:
+    return _parse_date_uncached(v)
+
+
 def _parse_date(value: str | None) -> datetime | None:
     if not value:
         return None
-    v = value.strip()
+    return _parse_date_cached(value.strip())
+
+
+def _parse_date_uncached(v: str) -> datetime | None:
     for fmt in _DATE_FORMATS:
         try:
             return datetime.strptime(v, fmt)

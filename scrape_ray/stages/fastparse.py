@@ -117,12 +117,23 @@ def fast_parse(html: str) -> FastDoc:
             continue
         closing = m.group(1) == "/"
         name = m.group(2).lower()
-        endm = _TAG_END_RE.match(html, m.end())
-        if not endm:
+        # fast path: no quotes before the next '>' ⇒ that IS the tag
+        # end; the regex only runs for quoted attributes (rare)
+        gt = html.find(">", m.end())
+        if gt < 0:
             pos = n  # truncated tag at EOF
             break
-        tag_body = html[m.end() : endm.end() - 1]
-        pos = endm.end()
+        body = html[m.end() : gt]
+        if '"' in body or "'" in body:
+            endm = _TAG_END_RE.match(html, m.end())
+            if not endm:
+                pos = n
+                break
+            tag_body = html[m.end() : endm.end() - 1]
+            pos = endm.end()
+        else:
+            tag_body = body
+            pos = gt + 1
         self_closing = tag_body.rstrip().endswith("/")
 
         if closing:
