@@ -187,9 +187,10 @@ def _scaling() -> None:
     results = {}
     for cpus in (SCALE_LO, SCALE_HI):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
-        # scaling runs need long-enough jobs: default to 500k URLs
-        # (sf0.1 ×100) unless the caller pinned a repeat factor
-        env.setdefault("BENCH_REPEAT", "100")
+        # scaling runs need long-enough jobs: default to 1M URLs
+        # (sf0.1 ×200) unless the caller pinned a repeat factor —
+        # amortizes the fixed executor tail at the high-CPU level
+        env.setdefault("BENCH_REPEAT", "200")
         # best of 2: the shared sandbox adds ±20% run-to-run noise;
         # the max is the closer estimate of the machine's capability
         best = None

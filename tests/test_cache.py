@@ -166,3 +166,38 @@ def test_attach_join_hits_and_misses(tmp_path, ray_session):
     assert row["content_text"] == fg.expected_content(
         d_hit, docs["text"][docs["doc_id"].to_pylist().index(d_hit)].as_py()
     )
+
+
+def test_attach_shuffle_join_matches_broadcast(tmp_path, ray_session):
+    """The scale path (hash-partitioned Dataset.join) must mark the
+    same hits as the broadcast probe."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from scrape_ray.pipelines.spine import fetch_extract
+    from scrape_ray.stages.normalize import normalize
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").slice(0, 60)
+    frontier_t = fg.synth_batch(docs)
+    cs = CacheStore(str(tmp_path))
+    out1 = fetch_extract(ray.data.from_arrow(frontier_t), fixed_fetch_time=T0)
+    cs.save_pages(
+        pa.concat_tables(
+            [b for b in out1.iter_batches(batch_format="pyarrow", batch_size=4096)]
+        )
+    )
+
+    later = datetime(2024, 6, 1, 1, 0)
+    base = normalize(ray.data.from_arrow(frontier_t))
+    b_hits = (
+        cs.attach(base, now=later, strategy="broadcast")
+        .to_pandas()
+        .set_index("url")["cache_hit"]
+    )
+    s_hits = (
+        cs.attach(base, now=later, strategy="shuffle", num_partitions=4)
+        .to_pandas()
+        .set_index("url")["cache_hit"]
+    )
+    assert b_hits.sort_index().equals(s_hits.sort_index())
+    assert b_hits.sum() > 0
