@@ -268,7 +268,6 @@ def _q_ann_topk(sf_dir: str) -> Any:
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = brute_force_topk(ds, queries_np, k=10)
 
-    import pandas as pd
     import pyarrow as pa
 
     df = out.to_pandas().sort_values(

@@ -35,7 +35,6 @@ import re
 from datetime import datetime
 from html.parser import HTMLParser
 
-import numpy as np
 import pyarrow as pa
 
 from scrape_ray.functions.urlnorm import hostname_of, registrable_domain

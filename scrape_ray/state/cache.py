@@ -404,8 +404,6 @@ class CacheStore:
         urls_sorted = urls_t.take(pc.sort_indices(urls_t["id"]))
         cache_ids = urls_sorted["id"].to_numpy()
         if idm_t.num_rows:
-            import pandas as pd
-
             idm_df = (
                 idm_t.to_pandas()
                 .drop_duplicates(subset=["requested_id"], keep="last")
