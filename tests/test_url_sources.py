@@ -44,3 +44,31 @@ def test_write_json_sink_notext(ray_session, tmp_path):
     assert len(rows) == 1
     assert "content_text" not in rows[0]
     assert rows[0]["title"] == "T"
+
+
+def test_cli_main(ray_session, capsys, tmp_path):
+    """python -m scrape_ray parity: args + CSV sources, -notext, JSON
+    array output, error rows not exceptions."""
+    import json
+
+    from scrape_ray.__main__ import main
+
+    rc = main(
+        ["-notext", "https://host0.example.com/doc/5?utm_campaign=x", "not-a-url"]
+    )
+    assert rc == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert len(rows) == 2
+    by_url = {r["original_url"]: r for r in rows}
+    ok = by_url["https://host0.example.com/doc/5?utm_campaign=x"]
+    assert ok["title"] == "Doc 5"
+    assert "content_text" not in ok
+    bad = by_url["not-a-url"]
+    assert bad["error"] is not None
+
+    p = tmp_path / "u.csv"
+    p.write_text("url\nhttps://host7.example.com/doc/7\n")
+    assert main(["--csv", str(p)]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows[0]["title"] == "Doc 7"
+    assert rows[0]["content_text"].startswith("Doc 7 ")
