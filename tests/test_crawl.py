@@ -2,8 +2,6 @@
 across epochs, robots filtering, seen-set dedup, kill/resume
 equivalence (north-rule gates)."""
 
-import shutil
-
 import pytest
 
 from scrape_ray.pipelines.crawl import (
@@ -13,7 +11,6 @@ from scrape_ray.pipelines.crawl import (
     seed_frontier,
 )
 from scrape_ray.sources.frontier_gen import (
-    clean_url_expected,
     crawl_seed_urls,
     is_content_row,
     robots_txt_for,
@@ -90,7 +87,6 @@ def test_seen_set_blocks_refetch(tmp_path, corpus_ref):
     store, m1 = _run(tmp_path / "c4", corpus_ref)
     # re-seed the SAME urls as epoch 1 → all seen ⇒ zero fetched
     seed_urls = crawl_seed_urls(SF)
-    from scrape_ray.pipelines.crawl import seed_frontier as sf2
 
     import pyarrow as pa
 
