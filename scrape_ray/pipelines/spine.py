@@ -68,3 +68,14 @@ def fetch_extract(
         )
 
     return extracted
+
+
+def run_to_parquet(frontier_ds, out_dir: str, **kwargs) -> str:
+    """Spine → resumable partitioned-Parquet sink: output is written
+    as one directory per ``host_shard`` (never one giant file), so a
+    re-run can skip finished shards and downstream stages read
+    shard-pruned. The streaming executor writes as blocks complete —
+    nothing materializes on the driver."""
+    out = fetch_extract(frontier_ds, **kwargs)
+    out.write_parquet(out_dir, partition_cols=["host_shard"])
+    return out_dir

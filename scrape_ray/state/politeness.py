@@ -129,10 +129,12 @@ class PolitenessStage:
         robots_provider: RobotsProvider | None = None,
         epoch_budget: float = float("inf"),
         order_col: str = "seed_seq",
+        priority_col: str = "priority",
     ) -> None:
         self.robots = robots_provider or RobotsProvider()
         self.epoch_budget = epoch_budget
         self.order_col = order_col
+        self.priority_col = priority_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -140,6 +142,12 @@ class PolitenessStage:
             return t
         urls = t["url"].to_pylist()
         order = t[self.order_col].to_numpy()
+        # priority-queue semantics (O3 due-first): lower priority value
+        # = more urgent; ties broken by seed_seq. Absent column ⇒ FIFO.
+        if self.priority_col in t.column_names:
+            prio = t[self.priority_col].to_numpy()
+        else:
+            prio = np.zeros(n, dtype=np.int64)
         hosts = np.array([urlsplit(u).hostname or "" for u in urls])
         paths = [urlsplit(u).path or "/" for u in urls]
 
@@ -151,8 +159,10 @@ class PolitenessStage:
             ok = np.array([pol.allowed(paths[i]) for i in idx])
             allowed[idx] = ok
             adm = idx[ok]
-            # rank within host by seed_seq → slot = rank * delay
-            rank = np.argsort(np.argsort(order[adm], kind="stable"), kind="stable")
+            # rank within host by (priority, seed_seq) → slot = rank * delay
+            sort_idx = np.lexsort((order[adm], prio[adm]))
+            rank = np.empty(len(adm), dtype=np.int64)
+            rank[sort_idx] = np.arange(len(adm))
             slots[adm] = rank * pol.crawl_delay
         admitted = allowed & (slots < self.epoch_budget) & (slots >= 0)
         t = t.append_column("robots_allowed", pa.array(allowed))

@@ -207,3 +207,28 @@ def test_fastparse_differential_edge_cases():
     ]
     for s in cases:
         assert _digest(fast_parse(s)) == _digest(_slow_parse(s)), s
+
+
+def test_run_to_parquet_partitioned(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from scrape_ray.pipelines.spine import run_to_parquet
+    from scrape_ray.sources import frontier_gen as fg
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).slice(0, 100)
+    out = str(tmp_path / "out")
+    run_to_parquet(
+        ray.data.from_arrow(fg.synth_batch(docs)),
+        out,
+        fixed_fetch_time=__import__("datetime").datetime(2024, 6, 1),
+    )
+    shards = [d for d in os.listdir(out) if d.startswith("host_shard=")]
+    assert len(shards) > 1  # one directory per host shard
+    back = ray.data.read_parquet(out)
+    assert back.count() == 100

@@ -91,3 +91,23 @@ def test_determinism_shuffled_input():
     a = fwd.sort_values("seed_seq")["fetch_slot"].tolist()
     b = rev.sort_values("seed_seq")["fetch_slot"].tolist()
     assert a == b == [i * 3.0 for i in range(10)]
+
+
+def test_priority_queue_ordering():
+    """O3 due-first: lower priority value wins the earlier slot; ties
+    fall back to seed_seq FIFO."""
+    import pyarrow as pa
+
+    prov = RobotsProvider(lambda h: "User-agent: *\nCrawl-delay: 1\n")
+    stage = PolitenessStage(prov)
+    t = pa.table(
+        {
+            "url": pa.array([f"https://h.com/doc/{i}" for i in range(4)]),
+            "seed_seq": pa.array([0, 1, 2, 3], pa.int64()),
+            "priority": pa.array([5, 0, 0, 1], pa.int64()),
+        }
+    )
+    out = stage(t).to_pandas().set_index("seed_seq")["fetch_slot"]
+    # priority 0 rows first (seq 1 then 2), then priority 1 (seq 3),
+    # then priority 5 (seq 0)
+    assert out[1] == 0.0 and out[2] == 1.0 and out[3] == 2.0 and out[0] == 3.0
