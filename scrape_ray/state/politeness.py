@@ -208,3 +208,119 @@ def apply_politeness(
 
     with_host = ds.map_batches(_add_host, batch_format="pyarrow", batch_size=None)
     return with_host.groupby("__part").map_groups(_per_part, batch_format="pandas")
+
+
+def apply_politeness_salted(
+    ds,
+    robots_provider: RobotsProvider | None = None,
+    epoch_budget: float = float("inf"),
+    order_col: str = "seed_seq",
+    priority_col: str = "priority",
+    salt_width: int = 1024,
+    num_parts: int = 64,
+):
+    """Skew-proof politeness: identical output to ``apply_politeness``
+    but no single task ever holds a whole hot host.
+
+    A 40%-of-the-crawl host (the reference's real seed corpus shape,
+    internal/testdata/global_urls.csv) makes the per-host exchange
+    skewed: one partition gets 40% of the rows. This variant SALTS the
+    hot key — a distributed rank in two phases:
+
+    1. rows exchange on (host, priority, seed_seq // salt_width): each
+       salt range ranks independently (ordering within a range is by
+       seed_seq, and ranges are disjoint, ordered slices of the global
+       (priority, seed_seq) order);
+    2. the per-(host, priority, salt) ALLOWED counts — a table ~rows /
+       salt_width, tiny next to the data — come back to the driver,
+       prefix-sums give each range its global offset, and the offsets
+       broadcast (``ray.put``) into a final stateless map:
+       ``slot = (offset + local_rank) * crawl_delay``.
+
+    Deterministic and equal to the unsalted path (equality test in
+    tests/test_politeness.py)."""
+    import pandas as pd
+    import ray
+
+    robots = robots_provider or RobotsProvider()
+
+    def _add_keys(t: pa.Table) -> pa.Table:
+        from scrape_ray.functions.keys import fnv1a64
+
+        urls = t["url"].to_pylist()
+        hosts = [urlsplit(u).hostname or "" for u in urls]
+        order = t[order_col].to_numpy()
+        salt = (order // salt_width).astype(np.int64)
+        if priority_col in t.column_names:
+            prio = t[priority_col].to_numpy()
+        else:
+            prio = np.zeros(len(urls), dtype=np.int64)
+        h = fnv1a64([x.encode() for x in hosts])
+        part = ((h ^ salt.astype(np.uint64) ^ (prio.astype(np.uint64) << np.uint64(32)))
+                % num_parts).astype(np.int32)
+        t = t.append_column("hostname_full", pa.array(hosts, pa.string()))
+        t = t.append_column("__salt", pa.array(salt, pa.int64()))
+        t = t.append_column("__prio", pa.array(prio, pa.int64()))
+        return t.append_column("__part", pa.array(part))
+
+    def _local_rank(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (host, prio, salt), grp in g.groupby(
+            ["hostname_full", "__prio", "__salt"], sort=False
+        ):
+            pol = robots.policy(host)
+            grp = grp.sort_values(order_col, kind="mergesort")
+            paths = [urlsplit(u).path or "/" for u in grp["url"]]
+            allowed = np.array([pol.allowed(p) for p in paths])
+            lr = np.full(len(grp), -1, dtype=np.int64)
+            lr[allowed] = np.arange(int(allowed.sum()))
+            grp = grp.assign(robots_allowed=allowed, __local_rank=lr)
+            out.append(grp)
+        return pd.concat(out, ignore_index=True) if out else g.assign(
+            robots_allowed=pd.Series(dtype=bool), __local_rank=pd.Series(dtype="int64")
+        )
+
+    keyed = ds.map_batches(_add_keys, batch_format="pyarrow", batch_size=None)
+    ranked = keyed.groupby("__part").map_groups(_local_rank, batch_format="pandas")
+    ranked = ranked.materialize()
+
+    # phase 2: tiny counts table → per-range global offsets
+    from ray.data.aggregate import Count
+
+    counts = (
+        ranked.filter(expr="robots_allowed == True")
+        .groupby(["hostname_full", "__prio", "__salt"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(["hostname_full", "__prio", "__salt"])
+    counts["offset"] = (
+        counts.groupby("hostname_full")["n"].cumsum() - counts["n"]
+    )
+    offsets = {
+        (h, p, s): o
+        for h, p, s, o in zip(
+            counts["hostname_full"], counts["__prio"], counts["__salt"],
+            counts["offset"],
+        )
+    }
+    off_ref = ray.put(offsets)
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        hosts = t["hostname_full"].to_pylist()
+        prios = t["__prio"].to_numpy()
+        salts = t["__salt"].to_numpy()
+        lr = t["__local_rank"].to_numpy()
+        allowed = t["robots_allowed"].to_numpy(zero_copy_only=False)
+        slots = np.full(len(hosts), -1.0)
+        for i, h in enumerate(hosts):
+            if allowed[i]:
+                base = off.get((h, int(prios[i]), int(salts[i])), 0)
+                slots[i] = (base + lr[i]) * robots.policy(h).crawl_delay
+        admitted = allowed & (slots >= 0) & (slots < epoch_budget)
+        t = t.append_column("fetch_slot", pa.array(slots, pa.float64()))
+        t = t.append_column("admitted", pa.array(admitted))
+        return t.drop_columns(["__salt", "__prio", "__local_rank", "__part"])
+
+    return ranked.map_batches(_finalize, batch_format="pyarrow", batch_size=None)

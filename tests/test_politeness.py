@@ -111,3 +111,49 @@ def test_priority_queue_ordering():
     # priority 0 rows first (seq 1 then 2), then priority 1 (seq 3),
     # then priority 5 (seq 0)
     assert out[1] == 0.0 and out[2] == 1.0 and out[3] == 2.0 and out[0] == 3.0
+
+
+def test_salted_equals_unsalted(ray_session):
+    """The skew-proof two-phase rank must produce exactly the same
+    verdicts and slots as the per-host exchange."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.sources.frontier_gen import (
+        crawl_seed_urls,
+        robots_txt_for,
+    )
+    from scrape_ray.state.politeness import (
+        apply_politeness,
+        apply_politeness_salted,
+    )
+
+    urls = crawl_seed_urls("/root/testdata/sf0.001")
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "seed_seq": pa.array(range(len(urls)), pa.int64()),
+        }
+    )
+    prov = robots_txt_for
+    base = ray.data.from_arrow(t)
+    a = (
+        apply_politeness(base, RobotsProvider(prov), epoch_budget=50.0)
+        .to_pandas()
+        .sort_values("seed_seq")
+        .reset_index(drop=True)
+    )
+    b = (
+        apply_politeness_salted(
+            base, RobotsProvider(prov), epoch_budget=50.0, salt_width=37
+        )
+        .to_pandas()
+        .sort_values("seed_seq")
+        .reset_index(drop=True)
+    )
+    assert a["robots_allowed"].tolist() == b["robots_allowed"].tolist()
+    assert a["fetch_slot"].tolist() == b["fetch_slot"].tolist()
+    assert a["admitted"].tolist() == b["admitted"].tolist()
+    # the hot host really was split across many salt ranges
+    n_host0 = sum("host0.example.com" in u for u in urls)
+    assert n_host0 // 37 > 3
