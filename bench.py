@@ -47,7 +47,7 @@ def _consume(result) -> int:
     return result.count()  # ray.data.Dataset — streaming count
 
 
-REPEAT = int(os.environ.get("BENCH_REPEAT", "20"))
+REPEAT = int(os.environ.get("BENCH_REPEAT", "100"))
 
 
 def run_headline(sf_dir: str) -> tuple[float, int]:
