@@ -433,6 +433,121 @@ def _q_cache_compaction(sf_dir: str) -> Any:
     return pa.table({"url": t["url"], "fetch_time": t["fetch_time"]})
 
 
+def _q_pricing_summary(sf_dir: str) -> Any:
+    """TPC-H-Q1-shaped groupby over lineitem — the generic aggregate
+    machinery (partial per-batch combine → one small groupby; money in
+    integer cents for bit-exact sums)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"].combine_chunks(),
+                "l_linestatus": t["l_linestatus"].combine_chunks(),
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+                ),
+            }
+        ).to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("qty", "sum"),
+                sum_price_cents=("price_cents", "sum"),
+                count_order=("qty", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    return partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+def _q_top_orders(sf_dir: str) -> Any:
+    """TPC-H-Q3-shaped 3-way join + groupby + sort/limit: top-10
+    order revenues for one market segment. Small dims broadcast; the
+    lineitem side streams."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_keys = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    )
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    keep_orders = {
+        ok
+        for ok, ck in zip(
+            orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()
+        )
+        if ck in seg_keys
+    }
+    keep_ref = ray.put(np.array(sorted(keep_orders), dtype=np.int64))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _filter_and_revenue(t: pa.Table) -> pa.Table:
+        keep = ray.get(keep_ref)
+        ok = t["l_orderkey"].to_numpy()
+        if len(keep) == 0:
+            mask = np.zeros(len(ok), dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(keep, ok), 0, len(keep) - 1)
+            mask = keep[pos] == ok
+        t = t.filter(pa.array(mask))
+        # DuckDB ROUND is half-away-from-zero; Arrow defaults to
+        # half-to-even — exact .5 cents occur (price*0.95), pin the mode
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+                    100.0,
+                ),
+                round_mode="half_towards_infinity",  # = half away from zero for positive revenues (DuckDB ROUND)
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"].combine_chunks(), "revenue_cents": rev}
+        )
+
+    rev = li.map_batches(_filter_and_revenue, batch_format="pyarrow", batch_size=None)
+    agg = rev.groupby("l_orderkey").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents")
+    )
+    return agg.sort(
+        ["revenue_cents", "l_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
 def _q_feed_refresh_due(sf_dir: str) -> Any:
     """O3: feed_refresh due-first scheduling — filter to due+active
     feeds at now=2024-06-02, due-first order."""
@@ -575,6 +690,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": _q_json_props,
         "ttl_expiry": _q_ttl_expiry,
         "cache_compaction": _q_cache_compaction,
+        "pricing_summary": _q_pricing_summary,
+        "top_orders": _q_top_orders,
         "feed_refresh_due": _q_feed_refresh_due,
         "crawl_epoch": _q_crawl_epoch,
         "simhash_dups": _q_simhash_dups,
@@ -788,6 +905,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_CANONICAL} AS url,
                    TIMESTAMP '2024-06-10' AS fetch_time
             FROM documents WHERE {_IS_CONTENT}
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+                SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                COUNT(*) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "top_orders": """
+            SELECT l.l_orderkey,
+                SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                    AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue_cents DESC, l.l_orderkey ASC
+            LIMIT 10
         """,
         "feed_refresh_due": """
             WITH s AS (
