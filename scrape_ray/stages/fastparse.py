@@ -39,8 +39,11 @@ _VOID = frozenset(
 )
 
 _TAG_NAME_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)")
-# everything up to the tag's real '>' — quoted attr values may hold '>'
-_TAG_END_RE = re.compile(r"""(?:[^>"']|"[^"]*"|'[^']*')*>""")
+# everything up to the tag's real '>' — quoted attr values may hold
+# '>' but not '<': an unbalanced quote must not let the "value" swallow
+# the rest of the document (html.parser ends such a tag at the first
+# '>', which the no-match fallback below reproduces)
+_TAG_END_RE = re.compile(r"""(?:[^>"']|"[^"<]*"|'[^'<]*')*>""")
 # unquoted values may contain '/' (html.parser's attrfind_tolerant)
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]+))?"""
@@ -126,11 +129,14 @@ def fast_parse(html: str) -> FastDoc:
         body = html[m.end() : gt]
         if '"' in body or "'" in body:
             endm = _TAG_END_RE.match(html, m.end())
-            if not endm:
-                pos = n
-                break
-            tag_body = html[m.end() : endm.end() - 1]
-            pos = endm.end()
+            if endm:
+                tag_body = html[m.end() : endm.end() - 1]
+                pos = endm.end()
+            else:
+                # unbalanced quote in the tag — html.parser's tolerant
+                # path ends the tag at the first '>'
+                tag_body = body
+                pos = gt + 1
         else:
             tag_body = body
             pos = gt + 1
