@@ -11,9 +11,10 @@ Epoch dataflow (all stages streaming over Arrow batches):
 
     read frontier epoch K                       [partitioned parquet]
     → normalize (CleanURL + Key + host_shard)   [stateless map_batches]
-    → within-epoch exact dedup                  [groupby(key) min seed_seq]
-    → seen filter vs epochs < K                 [sharded cuckoo actors, query-only]
-    → politeness (robots + logical slots)       [groupby(host)]
+    → seen filter vs epochs < K                 [sharded cuckoo actors, query-only;
+                                                 stateless map — shrinks the shuffle]
+    → dedup (keep min seed_seq per key)         ┐ ONE host-partitioned
+    → politeness (robots + logical slots)       ┘ all-to-all (dups share a host)
     → admitted? ──yes→ fetch (actor pool, broadcast corpus) → extract
                └─no──→ defer to frontier K+1 (robots-blocked rows drop)
     → write out/epoch=K, add keys to seen, snapshot, COMMIT manifest
@@ -33,7 +34,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from scrape_ray.ops.dedup import dedup_exact
 from scrape_ray.stages.extract import ExtractStage
 from scrape_ray.stages.normalize import normalize
 from scrape_ray.state.frontier import FrontierStore
@@ -167,10 +167,13 @@ def _run_epoch(
         [c for c in ("epoch", "shard") if c in ds.schema().names]
     )
     ds = normalize(ds)
-    ds = dedup_exact(ds, "key", "seed_seq", keep="first")
+    # seen-filter FIRST (stateless map — shrinks the shuffle), then
+    # dedup fused into the politeness exchange: duplicate URLs share a
+    # host, so one host-partitioned all-to-all serves both D1 dedup
+    # and slot ranking
     ds = filter_unseen(ds, actors)
     verdict = apply_politeness(
-        ds, robots_provider, epoch_budget=epoch_budget
+        ds, robots_provider, epoch_budget=epoch_budget, dedup_key="key"
     ).materialize()  # narrow columns (no html) — blocks stay in the
     # object store and may spill; never collected to the driver
 

@@ -178,6 +178,7 @@ def apply_politeness(
     order_col: str = "seed_seq",
     host_col: str = "hostname_full",
     num_parts: int = 64,
+    dedup_key: str | None = None,
 ):
     """Assign robots verdicts + logical fetch slots. ONE coarse
     exchange: hosts hash into ``num_parts`` partitions (co-locating
@@ -185,7 +186,14 @@ def apply_politeness(
     per-host ranking runs vectorized inside each task — the UDF fires
     num_parts times, not once per host (millions of hosts at crawl
     scale). At 100 TB the partition key folds into ``host_shard``
-    (key's top bits), making this exchange shard-local."""
+    (key's top bits), making this exchange shard-local.
+
+    ``dedup_key``: optional column (the 63-bit url key) to exact-dedup
+    on INSIDE the same exchange — duplicate URLs share a host, so
+    their rows land in the same partition and a per-partition
+    keep-first (by ``order_col``) equals a global dedup. Fuses the
+    crawl's D1 dedup with the politeness shuffle (one all-to-all
+    instead of two)."""
     import pandas as pd
 
     stage = PolitenessStage(robots_provider, epoch_budget, order_col)
@@ -201,6 +209,9 @@ def apply_politeness(
         )
 
     def _per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if dedup_key is not None:
+            g = g.sort_values([dedup_key, order_col], kind="mergesort")
+            g = g.drop_duplicates(subset=[dedup_key], keep="first")
         out = stage(
             pa.Table.from_pandas(g.drop(columns="__part"), preserve_index=False)
         )
