@@ -232,3 +232,30 @@ def test_run_to_parquet_partitioned(ray_session, tmp_path):
     assert len(shards) > 1  # one directory per host shard
     back = ray.data.read_parquet(out)
     assert back.count() == 100
+
+
+def test_strict_input_hint_schema(ray_session):
+    """BASELINE.json input_hint: the spine must accept a table of
+    EXACTLY (url, warc_ts, html, text, lang) — no sidecar columns.
+    Without a status/content-type column, every page extracts."""
+    import ray.data
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).slice(0, 50)
+    full = fg.synth_batch(docs)
+    strict = full.select(["url", "warc_ts", "html", "text", "lang"])
+    assert strict.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+
+    from scrape_ray.pipelines.spine import fetch_extract
+
+    out = fetch_extract(
+        ray.data.from_arrow(strict), fixed_fetch_time=datetime(2024, 6, 1)
+    ).to_pandas()
+    assert len(out) == 50
+    # no status column ⇒ no HTTP-gated rows; only the empty-page class errors
+    d_ok = next(d for d in docs["doc_id"].to_pylist() if fg.is_content_row(d))
+    row = out.set_index("requested_url").loc[fg.clean_url_expected(d_ok)]
+    assert row["error"] is None
+    assert row["content_text"].startswith(f"Doc {d_ok} ")
