@@ -88,6 +88,61 @@ class ImageDecodeStage:
         )
 
 
+class ImageResizeStage:
+    """Resize stage: decode → nearest-neighbor resample to
+    (target_h, target_w) → re-emit as raw RGB bytes + dims. The
+    resample kernel is pure numpy index sampling (deterministic, no
+    PIL); a production build swaps ``decoder`` for a real codec and
+    keeps everything else."""
+
+    def __init__(self, target_h: int = 4, target_w: int = 4, decoder="fake") -> None:
+        self.target_h = target_h
+        self.target_w = target_w
+        if decoder == "fake":
+            self.decode = fake_image_decode
+        elif decoder == "stub":
+            self.decode = stub_decode
+        else:
+            self.decode = decoder
+
+    def _resample(self, arr: np.ndarray) -> np.ndarray:
+        h, w = arr.shape[:2]
+        ys = (np.arange(self.target_h) * h) // self.target_h
+        xs = (np.arange(self.target_w) * w) // self.target_w
+        return arr[ys][:, xs]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        out_bytes, hs, ws = [], [], []
+        for p in payloads:
+            small = self._resample(self.decode(p))
+            out_bytes.append(small.tobytes())
+            hs.append(small.shape[0])
+            ws.append(small.shape[1])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "pixels_rgb": pa.array(out_bytes, pa.binary()),
+                "height": pa.array(hs, pa.int32()),
+                "width": pa.array(ws, pa.int32()),
+            }
+        )
+
+
+def resize_images(ds, target_h=4, target_w=4, decoder="fake", concurrency=2,
+                  batch_size: int = 64):
+    return ds.map_batches(
+        ImageResizeStage,
+        fn_constructor_kwargs={
+            "target_h": target_h, "target_w": target_w, "decoder": decoder
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class FrameSampleStage:
     """Video frame sampling: every Nth logical frame from a payload.
     With no real demuxer, frames are fake-decoded slices; the sampling

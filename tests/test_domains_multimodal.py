@@ -117,3 +117,21 @@ def test_stub_decoder_raises():
     )
     with pytest.raises(NotImplementedError):
         stage(t)
+
+
+def test_image_resize_stage(ray_session):
+    from scrape_ray.ops.multimodal import resize_images, synthetic_media_dataset
+
+    out = resize_images(
+        synthetic_media_dataset(16), target_h=2, target_w=3
+    ).to_pandas()
+    assert len(out) == 16
+    assert (out["height"] == 2).all() and (out["width"] == 3).all()
+    assert all(len(b) == 2 * 3 * 3 for b in out["pixels_rgb"])  # h*w*rgb
+    # deterministic
+    out2 = resize_images(
+        synthetic_media_dataset(16), target_h=2, target_w=3
+    ).to_pandas()
+    a = out.sort_values("media_id")["pixels_rgb"].tolist()
+    b = out2.sort_values("media_id")["pixels_rgb"].tolist()
+    assert a == b
