@@ -175,6 +175,65 @@ class FrameSampleStage:
         )
 
 
+def fake_audio_decode(payload: bytes, sr: int = 16000) -> np.ndarray:
+    """Deterministic stand-in for an audio decoder: a 1-second int16
+    waveform derived from the payload's SHA1."""
+    h = hashlib.sha1(payload or b"").digest()
+    rng = np.random.RandomState(int.from_bytes(h[4:8], "big"))
+    return (rng.standard_normal(sr) * 3000).astype(np.int16)
+
+
+class AudioFeatureStage:
+    """Audio → frame features (RMS energy + zero-crossing rate per
+    25 ms frame). Decoder pluggable like the image stages; the framing
+    arithmetic and output layout are real."""
+
+    def __init__(self, frame_ms: int = 25, sr: int = 16000, decoder="fake") -> None:
+        self.frame = int(sr * frame_ms / 1000)
+        self.sr = sr
+        if decoder == "fake":
+            self.decode = lambda p: fake_audio_decode(p, sr)
+        elif decoder == "stub":
+            self.decode = stub_decode
+        else:
+            self.decode = decoder
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        payloads = t["payload"].to_pylist()
+        out_id, out_fr, out_rms, out_zcr = [], [], [], []
+        for mid, p in zip(ids, payloads):
+            wav = self.decode(p).astype(np.float32)
+            n = len(wav) // self.frame
+            frames = wav[: n * self.frame].reshape(n, self.frame)
+            rms = np.sqrt((frames**2).mean(axis=1))
+            zcr = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+            for i in range(n):
+                out_id.append(mid)
+                out_fr.append(i)
+                out_rms.append(float(rms[i]))
+                out_zcr.append(float(zcr[i]))
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_fr, pa.int32()),
+                "rms": pa.array(out_rms, pa.float32()),
+                "zcr": pa.array(out_zcr, pa.float32()),
+            }
+        )
+
+
+def audio_features(ds, frame_ms=25, decoder="fake", concurrency=2,
+                   batch_size: int = 32):
+    return ds.map_batches(
+        AudioFeatureStage,
+        fn_constructor_kwargs={"frame_ms": frame_ms, "decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_images(ds, decoder="fake", concurrency=2, batch_size: int = 64):
     """Image decode as an actor pool: small batches (wide rows),
     kernel bound once per actor."""

@@ -135,3 +135,14 @@ def test_image_resize_stage(ray_session):
     a = out.sort_values("media_id")["pixels_rgb"].tolist()
     b = out2.sort_values("media_id")["pixels_rgb"].tolist()
     assert a == b
+
+
+def test_audio_features(ray_session):
+    from scrape_ray.ops.multimodal import audio_features, synthetic_media_dataset
+
+    out = audio_features(synthetic_media_dataset(8, kind="audio")).to_pandas()
+    # 1s @ 16kHz / 25ms frames = 40 frames per clip
+    counts = out.groupby("media_id").size()
+    assert (counts == 40).all()
+    assert (out["rms"] > 0).all()
+    assert out["zcr"].between(0, 1).all()
