@@ -129,6 +129,14 @@ def expected_content(doc_id: int, text: str) -> str | None:
     return f"Doc {doc_id} {text}"
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=512)
+def _date_str(day: int) -> str:
+    return (EPOCH0 + timedelta(days=day)).strftime("%Y-%m-%d")
+
+
 def page_html(doc_id: int, text: str, lang: str, source: str) -> bytes:
     """Deterministic page whose extraction equals the closed forms above."""
     if is_empty_page(doc_id):
@@ -157,7 +165,7 @@ def page_html(doc_id: int, text: str, lang: str, source: str) -> bytes:
         description=escape(f"Synthetic doc {doc_id} from {source}"),
         keywords=escape(source),
         author=f"Author {doc_id % 11}",
-        date=(EPOCH0 + timedelta(days=doc_id % 365)).strftime("%Y-%m-%d"),
+        date=_date_str(doc_id % 365),
         section=f"Cat{doc_id % 3}",
         canonical_tag=canonical_tag,
         paragraphs=paragraphs,
@@ -177,18 +185,22 @@ def synth_batch(batch: pa.Table) -> pa.Table:
     langs = batch["lang"].to_pylist()
     sources = batch["source"].to_pylist()
 
-    urls, ts, htmls, exp_text, status, ctypes = [], [], [], [], [], []
+    urls, htmls, exp_text, status, ctypes = [], [], [], [], []
     for d, t, lg, s in zip(doc_ids, texts, langs, sources):
         urls.append(dirty_url(d))
-        ts.append(EPOCH0 + timedelta(seconds=d))
         htmls.append(page_html(d, t, lg, s))
         exp_text.append(expected_content(d, t))
         status.append(status_of(d))
         ctypes.append(ctype_of(d))
+    import numpy as np
+
+    ts_arr = np.datetime64("2024-01-01", "us") + np.asarray(
+        doc_ids, dtype="int64"
+    ) * np.timedelta64(1_000_000, "us")
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
-            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "warc_ts": pa.array(ts_arr, pa.timestamp("us")),
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(exp_text, pa.string()),
             "lang": pa.array(langs, pa.string()),

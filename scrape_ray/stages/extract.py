@@ -39,6 +39,7 @@ import pyarrow as pa
 
 from scrape_ray.functions.urlnorm import hostname_of, registrable_domain
 from scrape_ray.schema import FETCH_METHOD_DIRECT
+from scrape_ray.stages.fastparse import fast_parse
 
 ALLOWED_CONTENT_TYPES = frozenset(
     ["text/html", "application/xhtml+xml", "text/plain"]
@@ -211,8 +212,6 @@ def extract_page(html: bytes | str | None, requested_url: str) -> dict:
     # fast regex scanner (same collector semantics, ~4×; differential
     # test pins it against the html.parser path) with two fallbacks
     try:
-        from scrape_ray.stages.fastparse import fast_parse
-
         parser = fast_parse(html)
     except Exception:
         parser = _DocParser()
@@ -226,7 +225,9 @@ def extract_page(html: bytes | str | None, requested_url: str) -> dict:
 
     meta = parser.meta
     title = _norm_ws("".join(parser.title_parts)) or None
-    body = _norm_ws(" ".join(_norm_ws(p) for p in parser.text_parts))
+    # single collapse pass — parts joined with " " normalize to the
+    # same string as per-part normalization would
+    body = _norm_ws(" ".join(parser.text_parts))
     content = " ".join(x for x in (title, body) if x)
     if not content:
         out["error"] = ERR_EMPTY_EXTRACTION

@@ -48,6 +48,10 @@ _TAG_END_RE = re.compile(r"""(?:[^>"']|"[^"<]*"|'[^'<]*')*>""")
 _ATTR_RE = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("[^"]*"|'[^']*'|[^\s>]+))?"""
 )
+# precompiled close-tag scanners for the raw-text elements
+_RAWTEXT_CLOSE = {
+    name: re.compile(rf"</{name}\s*>", re.I) for name in _RAWTEXT
+}
 
 
 class FastDoc:
@@ -82,56 +86,63 @@ def fast_parse(html: str) -> FastDoc:
     pos = 0
     skip_depth = 0
     in_title = False
-
-    def emit(chunk: str) -> None:
-        if not chunk or chunk.isspace():
-            return
-        if "&" in chunk:
-            chunk = unescape(chunk)
-        if in_title:
-            doc.title_parts.append(chunk)
-        elif skip_depth == 0:
-            doc.text_parts.append(chunk)
+    # bound methods/locals hoisted out of the scan loop (hot path)
+    find = html.find
+    tag_match = _TAG_NAME_RE.match
+    text_append = doc.text_parts.append
+    title_append = doc.title_parts.append
 
     while pos < n:
-        lt = html.find("<", pos)
-        if lt < 0:
-            emit(html[pos:])
-            break
-        if lt > pos:
-            emit(html[pos:lt])
+        lt = find("<", pos)
+        if lt != pos:
+            chunk = html[pos:lt] if lt >= 0 else html[pos:]
+            if not chunk.isspace():
+                if "&" in chunk:
+                    chunk = unescape(chunk)
+                if in_title:
+                    title_append(chunk)
+                elif skip_depth == 0:
+                    text_append(chunk)
+            if lt < 0:
+                break
         nxt = html[lt + 1 : lt + 2]
         if nxt == "!":
             if html.startswith("<!--", lt):
-                end = html.find("-->", lt + 4)
+                end = find("-->", lt + 4)
                 pos = n if end < 0 else end + 3
             else:  # doctype / CDATA-ish declarations
-                end = html.find(">", lt)
+                end = find(">", lt)
                 pos = n if end < 0 else end + 1
             continue
         if nxt == "?":
-            end = html.find(">", lt)
+            end = find(">", lt)
             pos = n if end < 0 else end + 1
             continue
-        m = _TAG_NAME_RE.match(html, lt)
+        m = tag_match(html, lt)
         if not m:
-            emit("<")
+            if in_title:
+                title_append("<")
+            elif skip_depth == 0:
+                text_append("<")
             pos = lt + 1
             continue
-        closing = m.group(1) == "/"
-        name = m.group(2).lower()
+        slash, name = m.group(1, 2)
+        me = m.end()
+        if not name.islower():
+            name = name.lower()
         # fast path: no quotes before the next '>' ⇒ that IS the tag
         # end; the regex only runs for quoted attributes (rare)
-        gt = html.find(">", m.end())
+        gt = find(">", me)
         if gt < 0:
             pos = n  # truncated tag at EOF
             break
-        body = html[m.end() : gt]
+        body = html[me:gt]
         if '"' in body or "'" in body:
-            endm = _TAG_END_RE.match(html, m.end())
+            endm = _TAG_END_RE.match(html, me)
             if endm:
-                tag_body = html[m.end() : endm.end() - 1]
-                pos = endm.end()
+                pe = endm.end()
+                tag_body = html[me : pe - 1]
+                pos = pe
             else:
                 # unbalanced quote in the tag — html.parser's tolerant
                 # path ends the tag at the first '>'
@@ -140,9 +151,8 @@ def fast_parse(html: str) -> FastDoc:
         else:
             tag_body = body
             pos = gt + 1
-        self_closing = tag_body.rstrip().endswith("/")
 
-        if closing:
+        if slash:
             if name == "title":
                 in_title = False
             elif name in _SKIP_SUBTREE:
@@ -171,13 +181,12 @@ def fast_parse(html: str) -> FastDoc:
             in_title = True
             continue
 
-        if name in _VOID or self_closing:
+        if name in _VOID or tag_body.rstrip().endswith("/"):
             continue
 
         if name in _RAWTEXT:
             # raw text: skip verbatim to the matching close tag
-            close = re.compile(rf"</{name}\s*>", re.I)
-            cm = close.search(html, pos)
+            cm = _RAWTEXT_CLOSE[name].search(html, pos)
             pos = n if cm is None else cm.end()
             continue
 

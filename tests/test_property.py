@@ -47,6 +47,24 @@ def test_clean_url_idempotent(u):
 
 @settings(max_examples=200, deadline=None)
 @given(_urls())
+def test_clean_url_fast_path_equals_full_parse(u):
+    """The no-query fast path in clean_url must agree byte-for-byte
+    with the full urlsplit/re-encode path."""
+    from urllib.parse import parse_qsl, urlsplit, urlunsplit
+
+    from scrape_ray.functions.urlnorm import _ILLEGAL, encode_query
+
+    parts = urlsplit(u)
+    pairs = parse_qsl(parts.query, keep_blank_values=True)
+    kept = [(k, v) for k, v in pairs if k not in _ILLEGAL]
+    full = urlunsplit(
+        (parts.scheme, parts.netloc, parts.path, encode_query(kept), "")
+    )
+    assert clean_url(u) == full
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urls())
 def test_key_top_bit_and_determinism(u):
     k1 = int(url_keys([u])[0])
     k2 = int(url_keys([u])[0])
