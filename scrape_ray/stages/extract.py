@@ -97,8 +97,18 @@ class _DocParser(HTMLParser):
         self.html_lang: str | None = None
         self.title_parts: list[str] = []
         self.text_parts: list[str] = []
+        self.microdata_authors: list[str] = []
+        self.article_body_parts: list[str] = []
         self._skip_depth = 0
         self._in_title = False
+        # microdata capture state (same spec as fastparse.fast_parse)
+        self._author_tag: str | None = None
+        self._author_depth = 0
+        self._author_buf: list[str] = []
+        self._name_tag: str | None = None
+        self._name_depth = 0
+        self._body_tag: str | None = None
+        self._body_depth = 0
 
     def handle_starttag(self, tag, attrs):
         if tag in _VOID_TAGS:
@@ -110,6 +120,30 @@ class _DocParser(HTMLParser):
         if tag == "title":
             self._in_title = True
             return
+        if tag not in ("script", "style"):
+            if self._name_tag is not None and tag == self._name_tag:
+                self._name_depth += 1
+            if self._body_tag is not None and tag == self._body_tag:
+                self._body_depth += 1
+            if self._author_tag is not None and tag == self._author_tag:
+                self._author_depth += 1
+            prop = next((v for k, v in attrs if k == "itemprop"), None)
+            if prop:
+                tokens = prop.split()
+                if self._author_tag is None and "author" in tokens:
+                    self._author_tag = tag
+                    self._author_depth = 1
+                    self._name_tag = None
+                elif (
+                    self._author_tag is not None
+                    and self._name_tag is None
+                    and "name" in tokens
+                ):
+                    self._name_tag = tag
+                    self._name_depth = 1
+                if self._body_tag is None and "articleBody" in tokens:
+                    self._body_tag = tag
+                    self._body_depth = 1
         if tag in _SKIP_SUBTREE and tag != "head":
             self._skip_depth += 1
 
@@ -132,12 +166,36 @@ class _DocParser(HTMLParser):
         elif tag in _SKIP_SUBTREE and tag != "head":
             if self._skip_depth > 0:
                 self._skip_depth -= 1
+        if self._name_tag is not None and tag == self._name_tag:
+            self._name_depth -= 1
+            if self._name_depth == 0:
+                self._name_tag = None
+        if self._body_tag is not None and tag == self._body_tag:
+            self._body_depth -= 1
+            if self._body_depth == 0:
+                self._body_tag = None
+        if self._author_tag is not None and tag == self._author_tag:
+            self._author_depth -= 1
+            if self._author_depth == 0:
+                self._author_tag = None
+                self._name_tag = None
+                if self._author_buf:
+                    self.microdata_authors.append("".join(self._author_buf))
+                    self._author_buf = []
 
     def handle_data(self, data):
+        if not data or data.isspace():
+            if self._in_title:
+                self.title_parts.append(data)
+            return
+        if self._name_tag is not None:
+            self._author_buf.append(data)
         if self._in_title:
             self.title_parts.append(data)
-        elif self._skip_depth == 0 and data and not data.isspace():
+        elif self._skip_depth == 0:
             self.text_parts.append(data)
+            if self._body_tag is not None:
+                self.article_body_parts.append(data)
 
 
 def _split_list(value: str | None, sep: str) -> list[str]:
@@ -224,10 +282,21 @@ def extract_page(html: bytes | str | None, requested_url: str) -> dict:
             parser.text_parts = [_regex_strip(html)]
 
     meta = parser.meta
-    title = _norm_ws("".join(parser.title_parts)) or None
+    # og:title wins over <title> (trafilatura precedence — strips the
+    # " | Sitename" suffix sites put in <title>; pinned by the ars
+    # reference fixture, internal/test_support/ars-2003724.json)
+    title = (
+        _norm_ws(meta.get("og:title") or "")
+        or _norm_ws("".join(parser.title_parts))
+        or None
+    )
     # single collapse pass — parts joined with " " normalize to the
-    # same string as per-part normalization would
-    body = _norm_ws(" ".join(parser.text_parts))
+    # same string as per-part normalization would. When the page
+    # declares a schema.org articleBody, confine the body to it
+    # (declared content beats heuristics).
+    body = _norm_ws(" ".join(parser.article_body_parts)) or _norm_ws(
+        " ".join(parser.text_parts)
+    )
     content = " ".join(x for x in (title, body) if x)
     if not content:
         out["error"] = ERR_EMPTY_EXTRACTION
@@ -237,12 +306,22 @@ def extract_page(html: bytes | str | None, requested_url: str) -> dict:
     out["url"] = canonical or requested_url
     out["title"] = title
     out["description"] = meta.get("description") or meta.get("og:description")
-    out["authors"] = _split_list(meta.get("author") or meta.get("article:author"), ";")
+    # meta author first; schema.org itemprop="author"/"name" microdata
+    # as fallback (the ars fixture's byline markup)
+    out["authors"] = _split_list(
+        meta.get("author") or meta.get("article:author"), ";"
+    ) or [
+        a
+        for a in (_norm_ws(x) for x in parser.microdata_authors)
+        if a
+    ]
     out["tags"] = _split_list(meta.get("keywords"), ",")
     out["categories"] = _split_list(meta.get("article:section"), ",")
-    out["date"] = _parse_date(
-        meta.get("article:published_time") or meta.get("date")
-    )
+    # date-only, midnight UTC — trafilatura (htmldate) extracts dates,
+    # not datetimes: ars publishes 22:00:17 but the golden JSON pins
+    # 2024-02-15T00:00:00Z
+    d = _parse_date(meta.get("article:published_time") or meta.get("date"))
+    out["date"] = d.replace(hour=0, minute=0, second=0, microsecond=0) if d else None
     out["image"] = meta.get("og:image")
     out["page_type"] = meta.get("og:type")
     out["license"] = meta.get("license")

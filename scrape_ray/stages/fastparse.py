@@ -55,7 +55,15 @@ _RAWTEXT_CLOSE = {
 
 
 class FastDoc:
-    __slots__ = ("meta", "link_canonical", "html_lang", "title_parts", "text_parts")
+    __slots__ = (
+        "meta",
+        "link_canonical",
+        "html_lang",
+        "title_parts",
+        "text_parts",
+        "microdata_authors",
+        "article_body_parts",
+    )
 
     def __init__(self) -> None:
         self.meta: dict[str, str] = {}
@@ -63,6 +71,11 @@ class FastDoc:
         self.html_lang: str | None = None
         self.title_parts: list[str] = []
         self.text_parts: list[str] = []
+        # schema.org microdata: authors = text of itemprop~="name"
+        # descendants of each itemprop~="author" element; articleBody
+        # text confines the extracted body when present
+        self.microdata_authors: list[str] = []
+        self.article_body_parts: list[str] = []
 
 
 def _parse_attrs(s: str) -> dict[str, str | None]:
@@ -86,11 +99,21 @@ def fast_parse(html: str) -> FastDoc:
     pos = 0
     skip_depth = 0
     in_title = False
+    # microdata capture state (same spec as _DocParser): author/name/
+    # articleBody elements tracked by same-tag-name nesting depth
+    author_tag: str | None = None
+    author_depth = 0
+    author_buf: list[str] = []
+    name_tag: str | None = None
+    name_depth = 0
+    body_tag: str | None = None
+    body_depth = 0
     # bound methods/locals hoisted out of the scan loop (hot path)
     find = html.find
     tag_match = _TAG_NAME_RE.match
     text_append = doc.text_parts.append
     title_append = doc.title_parts.append
+    body_append = doc.article_body_parts.append
 
     while pos < n:
         lt = find("<", pos)
@@ -99,10 +122,14 @@ def fast_parse(html: str) -> FastDoc:
             if not chunk.isspace():
                 if "&" in chunk:
                     chunk = unescape(chunk)
+                if name_tag is not None:
+                    author_buf.append(chunk)
                 if in_title:
                     title_append(chunk)
                 elif skip_depth == 0:
                     text_append(chunk)
+                    if body_tag is not None:
+                        body_append(chunk)
             if lt < 0:
                 break
         nxt = html[lt + 1 : lt + 2]
@@ -120,10 +147,14 @@ def fast_parse(html: str) -> FastDoc:
             continue
         m = tag_match(html, lt)
         if not m:
+            if name_tag is not None:
+                author_buf.append("<")
             if in_title:
                 title_append("<")
             elif skip_depth == 0:
                 text_append("<")
+                if body_tag is not None:
+                    body_append("<")
             pos = lt + 1
             continue
         slash, name = m.group(1, 2)
@@ -158,6 +189,22 @@ def fast_parse(html: str) -> FastDoc:
             elif name in _SKIP_SUBTREE:
                 if skip_depth > 0:
                     skip_depth -= 1
+            if name_tag is not None and name == name_tag:
+                name_depth -= 1
+                if name_depth == 0:
+                    name_tag = None
+            if body_tag is not None and name == body_tag:
+                body_depth -= 1
+                if body_depth == 0:
+                    body_tag = None
+            if author_tag is not None and name == author_tag:
+                author_depth -= 1
+                if author_depth == 0:
+                    author_tag = None
+                    name_tag = None
+                    if author_buf:
+                        doc.microdata_authors.append("".join(author_buf))
+                        author_buf = []
             continue
 
         # open tag
@@ -189,6 +236,28 @@ def fast_parse(html: str) -> FastDoc:
             cm = _RAWTEXT_CLOSE[name].search(html, pos)
             pos = n if cm is None else cm.end()
             continue
+
+        # microdata nesting + triggers (non-void, non-self-closing,
+        # non-rawtext only — same spec as _DocParser)
+        if name_tag is not None and name == name_tag:
+            name_depth += 1
+        if body_tag is not None and name == body_tag:
+            body_depth += 1
+        if author_tag is not None and name == author_tag:
+            author_depth += 1
+        if "itemprop" in tag_body:
+            prop = _parse_attrs(tag_body).get("itemprop") or ""
+            tokens = prop.split()
+            if author_tag is None and "author" in tokens:
+                author_tag = name
+                author_depth = 1
+                name_tag = None
+            elif author_tag is not None and name_tag is None and "name" in tokens:
+                name_tag = name
+                name_depth = 1
+            if body_tag is None and "articleBody" in tokens:
+                body_tag = name
+                body_depth = 1
 
         if name in _SKIP_SUBTREE:
             skip_depth += 1

@@ -162,6 +162,8 @@ def _digest(p) -> tuple:
         p.html_lang,
         "".join(p.title_parts).strip(),
         " ".join(x.strip() for x in p.text_parts if x.strip()),
+        [" ".join(a.split()) for a in p.microdata_authors],
+        " ".join(x.strip() for x in p.article_body_parts if x.strip()),
     )
 
 
@@ -204,9 +206,54 @@ def test_fastparse_differential_edge_cases():
         "<link rel=canonical href=https://c.example/x><p>t</p>",
         "a < b but not a tag",
         "",
+        # --- schema.org microdata (author/name, articleBody) ---
+        '<p itemprop="author creator"><a href="/a"><span itemprop="name">Kyle Orland</span></a> - Feb 15</p>',
+        '<div itemprop="author"><div><span itemprop="name">Nested Div</span></div></div>after',
+        '<header><p itemprop="author"><span itemprop="name">In Header</span></p></header><p>body</p>',
+        '<span itemprop="author">no name child</span><p>t</p>',
+        '<div itemprop="articleBody"><p>the article</p><nav>menu</nav></div><footer>foot</footer>',
+        '<div itemprop="articleBody"><div>inner same-tag</div>still body</div>outside',
+        '<p itemprop="author"><span itemprop="name">A</span></p><p itemprop="author"><span itemprop="name">B</span></p>',
+        '<meta itemprop="author" content="void cannot capture"><p>t</p>',
+        '<div itemprop="author"/><p>self-closing no capture</p>',
+        '<script itemprop="author">var x = "<span>";</script><p>after</p>',
+        '<div itemprop="articleBody"><title>odd title</title>text</div>',
+        '<div itemprop="author"><span itemprop="name">A &amp; B</span></div>',
     ]
     for s in cases:
         assert _digest(fast_parse(s)) == _digest(_slow_parse(s)), s
+
+
+def test_microdata_extraction_semantics():
+    """Author microdata is a fallback (meta author wins); articleBody
+    confines content; both survive the skip-subtree rules."""
+    from scrape_ray.stages.extract import extract_page
+
+    html = (
+        '<html lang="en"><head><title>T</title></head><body>'
+        '<header><p itemprop="author"><span itemprop="name">Jane Doe</span></p></header>'
+        '<div itemprop="articleBody"><p>Real content here.</p></div>'
+        "<footer>boilerplate</footer></body></html>"
+    )
+    out = extract_page(html, "https://h.example/x")
+    assert out["authors"] == ["Jane Doe"]  # captured inside <header>
+    assert out["content_text"] == "T Real content here."
+
+    # meta author beats microdata
+    html2 = html.replace(
+        "<title>T</title>", '<title>T</title><meta name="author" content="Meta Guy">'
+    )
+    out2 = extract_page(html2, "https://h.example/x")
+    assert out2["authors"] == ["Meta Guy"]
+
+    # og:title beats <title>
+    html3 = html.replace(
+        "<title>T</title>",
+        '<title>T | Site</title><meta property="og:title" content="T">',
+    )
+    out3 = extract_page(html3, "https://h.example/x")
+    assert out3["title"] == "T"
+    assert out3["content_text"] == "T Real content here."
 
 
 def test_run_to_parquet_partitioned(ray_session, tmp_path):
