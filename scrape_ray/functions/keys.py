@@ -38,10 +38,12 @@ def _bytes_matrix(values: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     if maxlen == 0:
         return np.zeros((n, 0), dtype=np.uint8), lens
     flat = np.frombuffer(b"".join(values), dtype=np.uint8)
-    offsets = np.concatenate(([0], np.cumsum(lens[:-1]))) if n else np.zeros(0, np.int64)
-    idx = offsets[:, None] + np.arange(maxlen)[None, :]
+    # boolean scatter: row-major masked positions are exactly the
+    # concatenation order — one bool temp instead of three int64
+    # index/clip/where temporaries (large temps page-fault heavily)
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
     mask = np.arange(maxlen)[None, :] < lens[:, None]
-    buf = np.where(mask, flat[np.clip(idx, 0, max(len(flat) - 1, 0))], 0).astype(np.uint8)
+    buf[mask] = flat
     return buf, lens
 
 

@@ -94,6 +94,33 @@ def word_ngrams(text: str, n: int = 3) -> set[str]:
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
+def word_ngram_list(text: str, n: int = 3) -> list[str]:
+    """Like word_ngrams but keeps duplicates (min/vote sketches are
+    duplicate-insensitive, and skipping the set is ~30% faster)."""
+    words = text.split()
+    if len(words) < n:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def _shingle_hashes_flat(
+    texts: list[str], ngram: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All docs' word-shingle FNV hashes in one flat uint64 array plus
+    a per-doc count vector — ONE vectorized hash pass per batch
+    instead of one numpy round-trip per document."""
+    from scrape_ray.functions.keys import fnv1a64
+
+    all_shingles: list[bytes] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        sh = word_ngram_list(t or "", ngram)
+        counts[i] = len(sh)
+        all_shingles.extend(s.encode("utf-8") for s in sh)
+    hv = fnv1a64(all_shingles) if all_shingles else np.zeros(0, np.uint64)
+    return hv, counts
+
+
 def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
@@ -122,16 +149,76 @@ class MinHasher:
         )
 
     def signature(self, text: str) -> np.ndarray:
-        from scrape_ray.functions.keys import fnv1a64
+        return self.signatures_batch([text])[0]
 
-        # no sort: min over hashes is order-invariant
-        shingles = list(word_ngrams(text, self.ngram))
-        if not shingles:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        hv = fnv1a64([s.encode("utf-8") for s in shingles])
+    # chunk size: (num_perm × _CHUNK) uint64 ≈ 2 MB at 64 perms —
+    # stays in L2/L3; big flat temporaries page-fault and dominate
+    _CHUNK = 4096
+
+    def signatures_batch(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signatures — one flat hash pass,
+        then per ~4k-shingle chunk a broadcast into a REUSED buffer +
+        segmented min (np.minimum.reduceat). No per-document numpy
+        round-trips, no large allocations."""
+        n = len(texts)
+        out = np.zeros((n, self.num_perm), dtype=np.uint64)
+        hv, counts = _shingle_hashes_flat(texts, self.ngram)
+        if not len(hv):
+            return out
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        nonempty = np.flatnonzero(counts)
+        budget = self._CHUNK
+        buf = np.empty((self.num_perm, budget), dtype=np.uint64)
+        a_col = self.a[:, None]
+        b_col = self.b[:, None]
+        lo = 0
         with np.errstate(over="ignore"):
-            m = self.a[:, None] * hv[None, :] + self.b[:, None]  # wraps mod 2^64
-        return m.min(axis=1)
+            while lo < len(nonempty):
+                hi = lo
+                tot = 0
+                while hi < len(nonempty) and (
+                    tot == 0 or tot + counts[nonempty[hi]] <= budget
+                ):
+                    tot += counts[nonempty[hi]]
+                    hi += 1
+                docs = nonempty[lo:hi]
+                s0 = starts[docs[0]]
+                end = starts[docs[-1]] + counts[docs[-1]]
+                seg = hv[s0:end]
+                w = len(seg)
+                if w > budget:  # single doc wider than the buffer
+                    buf2 = np.empty((self.num_perm, w), dtype=np.uint64)
+                    np.multiply(a_col, seg[None, :], out=buf2)
+                    buf2 += b_col
+                    m = buf2
+                else:
+                    m = buf[:, :w]
+                    np.multiply(a_col, seg[None, :], out=m)
+                    m += b_col
+                bounds = (starts[docs] - s0).astype(np.int64)
+                mins = np.minimum.reduceat(m, bounds, axis=1)
+                out[docs] = mins.T
+                lo = hi
+        return out
+
+
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRM = np.uint64(0x100000001B3)
+
+
+def _band_bucket_matrix(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) uint64 bucket keys: FNV-style fold of each
+    band's signature values (vectorized over docs × bands). Equal band
+    contents always collide, which is all LSH recall needs."""
+    n, perm = sigs.shape
+    r = perm // bands
+    s = sigs.reshape(n, bands, r)
+    h = np.full((n, bands), _FNV_OFF, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            h = (h ^ s[:, :, j]) * _FNV_PRM
+    return h
 
 
 class MinHashStage:
@@ -154,26 +241,18 @@ class MinHashStage:
         self.rows_per_band = num_perm // bands
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from scrape_ray.functions.keys import fnv1a64
-
-        ids = t[self.id_col].to_pylist()
+        n = t.num_rows
         texts = t[self.text_col].to_pylist()
-        out_id, out_band, out_bucket, out_sig = [], [], [], []
-        for i, txt in enumerate(texts):
-            sig = self.hasher.signature(txt or "")
-            r = self.rows_per_band
-            for b in range(self.bands):
-                band_bytes = sig[b * r : (b + 1) * r].tobytes()
-                bucket = int(fnv1a64([band_bytes])[0])
-                out_id.append(ids[i])
-                out_band.append(b)
-                out_bucket.append(bucket)
-            out_sig.append(sig)
+        sigs = self.hasher.signatures_batch(texts)
+        buckets = _band_bucket_matrix(sigs, self.bands)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.bands))
         return pa.table(
             {
-                self.id_col: pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_bucket, pa.uint64()),
+                self.id_col: pc.take(t[self.id_col].combine_chunks(), idx),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n)
+                ),
+                "bucket": pa.array(buckets.reshape(-1), pa.uint64()),
             }
         )
 
@@ -243,28 +322,19 @@ def near_dup_pairs(
     import pandas as pd
 
     hasher = MinHasher(num_perm=num_perm, ngram=3)
-    rows_per_band = num_perm // bands
 
     def _band(t: pa.Table) -> pa.Table:
-        from scrape_ray.functions.keys import fnv1a64
-
-        ids = t[id_col].to_pylist()
+        n = t.num_rows
         texts = t[text_col].to_pylist()
-        out_id, out_text, out_band, out_bucket = [], [], [], []
-        for i, txt in enumerate(texts):
-            sig = hasher.signature(txt or "")
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band].tobytes()
-                out_id.append(ids[i])
-                out_text.append(txt)
-                out_band.append(b)
-                out_bucket.append(int(fnv1a64([chunk])[0]))
+        sigs = hasher.signatures_batch(texts)
+        buckets = _band_bucket_matrix(sigs, bands)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
         return pa.table(
             {
-                id_col: pa.array(out_id),
-                text_col: pa.array(out_text, pa.string()),
-                "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_bucket, pa.uint64()),
+                id_col: pc.take(t[id_col].combine_chunks(), idx),
+                text_col: pc.take(t[text_col].combine_chunks(), idx),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "bucket": pa.array(buckets.reshape(-1), pa.uint64()),
             }
         )
 
@@ -382,26 +452,49 @@ def _distinct_pairs(pairs_ds):
 # -------------------------------------------------------------------- simhash
 def simhash64(text: str, ngram: int = 3) -> int:
     """64-bit SimHash over word n-gram FNV hashes (deterministic)."""
-    from scrape_ray.functions.keys import fnv1a64
+    return int(simhash64_batch([text], ngram)[0])
 
-    # no sort: the per-bit vote sum is order-invariant
-    shingles = list(word_ngrams(text, ngram))
-    if not shingles:
-        return 0
-    hv = fnv1a64([s.encode("utf-8") for s in shingles])
-    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-    counts = bits.sum(axis=0)
-    vote = counts * 2 - len(hv)
-    out = 0
-    for i in range(64):
-        if vote[i] > 0:
-            out |= 1 << i
+
+def simhash64_batch(texts: list[str], ngram: int = 3) -> np.ndarray:
+    """Vectorized SimHash for a batch: one flat shingle-hash pass, one
+    bit-unpack + segmented vote sum (np.add.reduceat) per ~2^18-shingle
+    chunk. Duplicate shingles vote twice — same as hashing a list; the
+    per-bit majority is order-invariant."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    hv, counts = _shingle_hashes_flat(texts, ngram)
+    if not len(hv):
+        return out
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    nonempty = np.flatnonzero(counts)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    budget = 4096  # (budget × 64) int64 ≈ 2 MB reused buffer
+    bitbuf = np.empty((budget, 64), dtype=np.int64)
+    lo = 0
+    while lo < len(nonempty):
+        hi = lo
+        tot = 0
+        while hi < len(nonempty) and (tot == 0 or tot + counts[nonempty[hi]] <= budget):
+            tot += counts[nonempty[hi]]
+            hi += 1
+        docs = nonempty[lo:hi]
+        s0 = starts[docs[0]]
+        seg = hv[s0 : starts[docs[-1]] + counts[docs[-1]]]
+        w = len(seg)
+        bits = bitbuf[:w] if w <= budget else np.empty((w, 64), dtype=np.int64)
+        np.bitwise_and(seg[:, None] >> shifts, np.uint64(1), out=bits, casting="unsafe")
+        sums = np.add.reduceat(bits, (starts[docs] - s0).astype(np.int64), axis=0)
+        vote = sums * 2 - counts[docs][:, None]
+        out[docs] = (vote > 0).astype(np.uint64) @ powers
+        lo = hi
     return out
 
 
 def add_simhash_column(ds, text_col: str, out_col: str = "simhash", ngram: int = 3):
     def _s(t: pa.Table) -> pa.Table:
-        vals = [simhash64(v or "", ngram) for v in t[text_col].to_pylist()]
+        vals = simhash64_batch(t[text_col].to_pylist(), ngram)
         return t.append_column(out_col, pa.array(vals, pa.uint64()))
 
     return ds.map_batches(_s, batch_format="pyarrow", batch_size=2048)
@@ -427,23 +520,18 @@ def simhash_dup_pairs(
     bits = 64 // nblocks
 
     def _band(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        texts = t[text_col].to_pylist()
-        out_id, out_sh, out_blk, out_val = [], [], [], []
-        for i, txt in enumerate(texts):
-            sh = simhash64(txt or "", ngram)
-            for b in range(nblocks):
-                val = (sh >> (b * bits)) & ((1 << bits) - 1)
-                out_id.append(ids[i])
-                out_sh.append(sh)
-                out_blk.append(b)
-                out_val.append(val)
+        n = t.num_rows
+        sh = simhash64_batch(t[text_col].to_pylist(), ngram)  # (n,)
+        shift = (np.arange(nblocks, dtype=np.uint64) * np.uint64(bits))[None, :]
+        mask = np.uint64((1 << bits) - 1)
+        vals = (sh[:, None] >> shift) & mask  # (n, nblocks)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), nblocks))
         return pa.table(
             {
-                id_col: pa.array(out_id),
-                "simhash": pa.array(out_sh, pa.uint64()),
-                "block": pa.array(out_blk, pa.int32()),
-                "block_val": pa.array(out_val, pa.uint64()),
+                id_col: pc.take(t[id_col].combine_chunks(), idx),
+                "simhash": pa.array(np.repeat(sh, nblocks), pa.uint64()),
+                "block": pa.array(np.tile(np.arange(nblocks, dtype=np.int32), n)),
+                "block_val": pa.array(vals.reshape(-1), pa.uint64()),
             }
         )
 
