@@ -537,23 +537,60 @@ def simhash_dup_pairs(
 
     banded = ds.map_batches(_band, batch_format="pyarrow", batch_size=batch_size)
 
-    def _verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].tolist()
-        hashes = g["simhash"].tolist()
+    # ONE coarse exchange (same pattern as near_dup_pairs): hash
+    # (block, block_val) into 64 partitions, bucket locally per task —
+    # a per-(block,block_val) map_groups runs the UDF once per bucket
+    num_parts = 64
+
+    def _part(t: pa.Table) -> pa.Table:
+        part = pc.cast(
+            pc.bit_wise_and(
+                pc.add(
+                    pc.multiply(
+                        pc.cast(t["block"], pa.int64()),
+                        pa.scalar(1_000_003, pa.int64()),
+                    ),
+                    pc.cast(
+                        pc.bit_wise_and(
+                            t["block_val"], pa.scalar((1 << 62) - 1, pa.uint64())
+                        ),
+                        pa.int64(),
+                    ),
+                ),
+                pa.scalar(num_parts - 1, pa.int64()),
+            ),
+            pa.int32(),
+        )
+        return t.append_column("part", part)
+
+    def _verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        from collections import defaultdict
+
+        buckets: dict = defaultdict(list)
+        for i, b, v in zip(g[id_col], g["block"], g["block_val"]):
+            buckets[(b, v)].append(i)
+        hashes = dict(zip(g[id_col], g["simhash"]))
+        seen_pairs = set()
         out_a, out_b, out_d = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(int(hashes[i]) ^ int(hashes[j])).count("1")
-                if d <= max_hamming:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_d.append(d)
+        for members in buckets.values():
+            if len(members) < 2:
+                continue
+            ms = sorted(set(members))
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    p = (ms[x], ms[y])
+                    if p in seen_pairs:
+                        continue
+                    seen_pairs.add(p)
+                    d = bin(int(hashes[p[0]]) ^ int(hashes[p[1]])).count("1")
+                    if d <= max_hamming:
+                        out_a.append(p[0])
+                        out_b.append(p[1])
+                        out_d.append(d)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
 
-    pairs = banded.groupby(["block", "block_val"]).map_groups(
-        _verify, batch_format="pandas"
-    )
+    pairs = banded.map_batches(_part, batch_format="pyarrow", batch_size=None)
+    pairs = pairs.groupby("part").map_groups(_verify_part, batch_format="pandas")
     return _distinct_pairs(pairs)
 
 
