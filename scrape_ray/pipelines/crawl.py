@@ -118,6 +118,7 @@ def crawl(
     fetch_concurrency=None,
     fixed_fetch_time: datetime | None = None,
     resume: bool = True,
+    discover: bool = False,
 ) -> list[dict]:
     """Drain the frontier. Returns the list of committed manifests.
 
@@ -145,9 +146,41 @@ def crawl(
                 epoch_budget=epoch_budget,
                 fetch_concurrency=fetch_concurrency,
                 fixed_fetch_time=fixed_fetch_time,
+                discover=discover,
             )
         )
     return manifests
+
+
+DISCOVERY_SEQ_BASE = 1 << 40  # child seqs never collide with seed seqs
+MAX_LINKS_PER_PAGE = 64
+
+
+def _explode_links(t: pa.Table) -> pa.Table:
+    """(links, seed_seq) → one frontier row per discovered link, with
+    a deterministic child seed_seq = BASE + (parent % BASE)*64 + idx.
+    The modulo keeps chained discovery (children of children) bounded
+    in int64 at any depth; cross-generation seq collisions are rare
+    and harmless — crawl_order breaks remaining ties on requested_url,
+    so emission order stays total and deterministic."""
+    from scrape_ray.functions.keys import key_columns
+
+    urls: list[str] = []
+    seqs: list[int] = []
+    for s, ls in zip(t["seed_seq"].to_pylist(), t["links"].to_pylist()):
+        base = DISCOVERY_SEQ_BASE + (s % DISCOVERY_SEQ_BASE) * MAX_LINKS_PER_PAGE
+        for i, u in enumerate((ls or [])[:MAX_LINKS_PER_PAGE]):
+            urls.append(u)
+            seqs.append(base + i)
+    _, shard = key_columns(urls)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "seed_seq": pa.array(seqs, pa.int64()),
+            "priority": pa.array([0] * len(urls), pa.int64()),
+            "host_shard": shard,
+        }
+    )
 
 
 def _run_epoch(
@@ -160,6 +193,7 @@ def _run_epoch(
     epoch_budget,
     fetch_concurrency,
     fixed_fetch_time,
+    discover: bool = False,
 ) -> dict:
     ds = store.read_frontier(epoch)
     # drop hive partition columns (epoch=K/shard=S) — re-stamped below
@@ -214,7 +248,7 @@ def _run_epoch(
         **fetch_kwargs,
     )
     pages = fetched.map_batches(
-        ExtractStage(fixed_fetch_time=fixed_fetch_time),
+        ExtractStage(fixed_fetch_time=fixed_fetch_time, emit_links=discover),
         batch_format="pyarrow",
         batch_size=None,
     ).map_batches(
@@ -224,6 +258,18 @@ def _run_epoch(
         ).append_column("epoch", pa.array([epoch] * t.num_rows, pa.int64())),
         batch_format="pyarrow",
     )
+    n_disc = 0
+    if discover:
+        # two consumers (links → next frontier, pages → output):
+        # materialize once in the object store, never on the driver
+        pages = pages.materialize()
+        links_ds = pages.select_columns(["links", "seed_seq"]).map_batches(
+            _explode_links, batch_format="pyarrow", batch_size=None
+        ).materialize()
+        n_disc = links_ds.count()
+        if n_disc:
+            store.write_frontier_ds(links_ds, epoch + 1)
+        pages = pages.drop_columns(["links"])
     n_out = store.write_output(pages, epoch)
 
     # ---- defer the over-budget remainder to the next epoch's frontier
@@ -269,6 +315,7 @@ def _run_epoch(
         "fetched": adm_keys.num_rows,
         "extracted": n_out,
         "deferred": n_defer,
+        "discovered": n_disc,
         "seen_added": newly,
     }
     shards = pc.unique(adm_keys["host_shard"]).to_pylist()
@@ -325,4 +372,4 @@ def crawl_order(store: FrontierStore):
     ds = parts[0]
     for p in parts[1:]:
         ds = ds.union(p)
-    return ds.sort(["epoch", "fetch_slot", "seed_seq"])
+    return ds.sort(["epoch", "fetch_slot", "seed_seq", "requested_url"])

@@ -57,7 +57,7 @@ _PAGE_TMPL = """<!DOCTYPE html>
 <style>.x {{ color: red }}</style>
 </head>
 <body>
-<nav><a href="/">Home</a> <a href="/about">About</a></nav>
+<nav><a href="/">Home</a> <a href="/about">About</a> <a href="{link1}">Next</a> <a href="{link2}">Related</a></nav>
 <header><h2>Site Header Boilerplate</h2></header>
 <article>
 {paragraphs}
@@ -129,6 +129,30 @@ def expected_content(doc_id: int, text: str) -> str | None:
     return f"Doc {doc_id} {text}"
 
 
+def link_targets(doc_id: int) -> tuple[int, int]:
+    """The two doc-ids a page links to (nav 'Next'/'Related'): cycle
+    within the page's own decade of doc-ids, so every target exists in
+    any documents table whose size is a multiple of 10.
+    SQL: (d//10)*10 + (d+1)%10 and (d//10)*10 + (d+3)%10."""
+    base = (doc_id // 10) * 10
+    return base + (doc_id + 1) % 10, base + (doc_id + 3) % 10
+
+
+def expected_links(doc_id: int) -> list[str]:
+    """Closed-form absolute link set a parsed content page yields (in
+    document order): site chrome (/, /about on the page's own host)
+    then the two doc links on their true hosts. Pages that extract
+    empty or fail the gates yield no links."""
+    h = host_of(doc_id)
+    n1, n2 = link_targets(doc_id)
+    return [
+        f"https://{h}/",
+        f"https://{h}/about",
+        base_url(n1),
+        base_url(n2),
+    ]
+
+
 from functools import lru_cache
 
 
@@ -159,8 +183,11 @@ def page_html(doc_id: int, text: str, lang: str, source: str) -> bytes:
         canonical_tag = (
             f'<meta property="og:url" content="{canonical_of(doc_id)}">\n'
         )
+    n1, n2 = link_targets(doc_id)
     page = _PAGE_TMPL.format(
         lang=lang,
+        link1=base_url(n1),
+        link2=base_url(n2),
         title=f"Doc {doc_id}",
         description=escape(f"Synthetic doc {doc_id} from {source}"),
         keywords=escape(source),

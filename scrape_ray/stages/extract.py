@@ -99,6 +99,7 @@ class _DocParser(HTMLParser):
         self.text_parts: list[str] = []
         self.microdata_authors: list[str] = []
         self.article_body_parts: list[str] = []
+        self.links: list[str] = []
         self._skip_depth = 0
         self._in_title = False
         # microdata capture state (same spec as fastparse.fast_parse)
@@ -117,6 +118,10 @@ class _DocParser(HTMLParser):
             for k, v in attrs:
                 if k == "lang" and v:
                     self.html_lang = v
+        if tag == "a":
+            href = next((v for k, v in attrs if k == "href"), None)
+            if href:
+                self.links.append(href)
         if tag == "title":
             self._in_title = True
             return
@@ -159,6 +164,10 @@ class _DocParser(HTMLParser):
             if d.get("rel") == "canonical" and d.get("href"):
                 if self.link_canonical is None:
                     self.link_canonical = d["href"]
+        elif tag == "a":
+            href = next((v for k, v in attrs if k == "href"), None)
+            if href:
+                self.links.append(href)
 
     def handle_endtag(self, tag):
         if tag == "title":
@@ -236,11 +245,16 @@ def _parse_date_uncached(v: str) -> datetime | None:
         return None
 
 
-def extract_page(html: bytes | str | None, requested_url: str) -> dict:
+def extract_page(
+    html: bytes | str | None, requested_url: str, resolve_links: bool = False
+) -> dict:
     """Extract one page. Always returns a full field dict; failures are
-    reported via the ``error`` key."""
+    reported via the ``error`` key. With ``resolve_links`` the
+    ``links`` key carries every <a href> resolved to an absolute URL
+    (the crawl loop's discovery source); otherwise it stays []."""
     out: dict = {
         "url": requested_url,
+        "links": [],
         "requested_url": requested_url,
         "hostname": _hostname_field(requested_url),
         "error": None,
@@ -332,6 +346,10 @@ def extract_page(html: bytes | str | None, requested_url: str) -> dict:
         or _sitename_from(requested_url)
     )
     out["content_text"] = content
+    if resolve_links and parser.links:
+        from urllib.parse import urljoin
+
+        out["links"] = [urljoin(requested_url, h) for h in parser.links]
     return out
 
 
@@ -391,8 +409,13 @@ class ExtractStage:
         "c_content_text",
     )
 
-    def __init__(self, fixed_fetch_time: datetime | None = None) -> None:
+    def __init__(
+        self,
+        fixed_fetch_time: datetime | None = None,
+        emit_links: bool = False,
+    ) -> None:
         self.fixed_fetch_time = fixed_fetch_time
+        self.emit_links = emit_links
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -470,7 +493,9 @@ class ExtractStage:
                 rec["error"] = err_content_type(ct)
                 rec["content_text"] = None
             else:
-                rec = extract_page(htmls[i], urls[i])
+                rec = extract_page(
+                    htmls[i], urls[i], resolve_links=self.emit_links
+                )
             rec["status_code"] = st
             rec["original_url"] = originals[i]
             rows.append(rec)
@@ -500,6 +525,10 @@ class ExtractStage:
         out["content_text"] = pa.array(
             [r["content_text"] for r in rows], pa.large_string()
         )
+        if self.emit_links:
+            out["links"] = pa.array(
+                [r.get("links") or [] for r in rows], pa.list_(pa.string())
+            )
         # passthrough of engine columns
         for name in batch.column_names:
             if name not in out and name not in self._CONSUMED and name != "url":

@@ -63,6 +63,7 @@ class FastDoc:
         "text_parts",
         "microdata_authors",
         "article_body_parts",
+        "links",
     )
 
     def __init__(self) -> None:
@@ -76,6 +77,10 @@ class FastDoc:
         # text confines the extracted body when present
         self.microdata_authors: list[str] = []
         self.article_body_parts: list[str] = []
+        # every <a href> in document order (raw, unresolved) — the
+        # crawl loop's link-discovery source; nav/footer links included
+        # (a crawler follows chrome links too; SEEN dedups them)
+        self.links: list[str] = []
 
 
 def _parse_attrs(s: str) -> dict[str, str | None]:
@@ -224,6 +229,11 @@ def fast_parse(html: str) -> FastDoc:
             if attrs.get("rel") == "canonical" and attrs.get("href"):
                 if doc.link_canonical is None:
                     doc.link_canonical = attrs["href"]
+        elif name == "a":
+            if "href" in tag_body:
+                href = _parse_attrs(tag_body).get("href")
+                if href:
+                    doc.links.append(href)
         elif name == "title":
             in_title = True
             continue

@@ -171,3 +171,87 @@ def test_extracted_text_matches_generator(tmp_path, corpus_ref):
             assert row["error"] is None
             checked += 1
     assert checked > 300
+
+
+def test_link_discovery_grows_frontier(tmp_path, corpus_ref):
+    """discover=True: epoch 0 extracts every content page's links into
+    the epoch-1 frontier; epoch 1 fetches exactly the not-yet-seen
+    closed-form link set (chrome 404s recorded as error rows)."""
+    from scrape_ray.functions.urlnorm import clean_url
+    from scrape_ray.sources.frontier_gen import (
+        dirty_url,
+        expected_links,
+    )
+
+    seed_docs = [0, 1, 2, 3, 4]
+    seeds = [dirty_url(d) for d in seed_docs]
+    store = FrontierStore(str(tmp_path / "disc"))
+    seed_frontier(store, seeds)
+    manifests = crawl(
+        store,
+        corpus_ref=corpus_ref,
+        robots_provider=_provider(),
+        num_seen_shards=2,
+        max_epochs=2,
+        discover=True,
+    )
+    assert len(manifests) == 2
+
+    content_docs = [d for d in seed_docs if is_content_row(d)]
+    # every content page contributes its 4 nav links (raw explode)
+    assert manifests[0]["counters"]["discovered"] == 4 * len(content_docs)
+
+    # closed-form epoch-1 fetch set: discovered minus already-seen
+    seen0 = {clean_url(u) for u in seeds}
+    expect1 = set()
+    for d in content_docs:
+        expect1.update(expected_links(d))
+    expect1 -= seen0
+    out1 = store.read_output(1).to_pandas()
+    assert set(out1["requested_url"]) == expect1
+    assert manifests[1]["counters"]["fetched"] == len(expect1)
+
+    # chrome links (/, /about) have no corpus entry → 404 error rows
+    chrome = out1[out1["requested_url"].str.endswith(("/about",))]
+    assert not chrome.empty
+    assert (chrome["error"] == "HTTP error: 404").all()
+    assert chrome["content_text"].isna().all()
+
+    # doc links that resolve in the corpus extracted normally
+    docs1 = out1[out1["requested_url"].str.contains("/doc/")]
+    ok1 = docs1[docs1["error"].isna()]
+    assert (ok1["content_text"].str.startswith("Doc ")).all()
+
+
+def test_link_discovery_converges_via_seen(tmp_path, corpus_ref):
+    """Re-discovered URLs are dropped by the seen filter: crawling a
+    closed 10-doc link cycle to exhaustion fetches each URL exactly
+    once and the frontier drains."""
+    from scrape_ray.sources.frontier_gen import dirty_url
+
+    # docs 20..29 form a closed decade under link_targets
+    seeds = [dirty_url(20)]
+    store = FrontierStore(str(tmp_path / "conv"))
+    seed_frontier(store, seeds)
+    manifests = crawl(
+        store,
+        corpus_ref=corpus_ref,
+        robots_provider=_provider(),
+        num_seen_shards=2,
+        max_epochs=16,
+        discover=True,
+    )
+    # terminated before max_epochs because the frontier drained
+    assert len(manifests) < 16
+    # each requested URL fetched exactly once across all epochs
+    import pandas as pd
+
+    outs = pd.concat(
+        [store.read_output(m["epoch"]).to_pandas() for m in manifests]
+    )
+    assert outs["requested_url"].is_unique
+    # the decade's doc URLs were all reached through the cycle
+    reached = {u for u in outs["requested_url"] if "/doc/" in u}
+    assert {f"/doc/{d}" for d in range(20, 30)} <= {
+        u[u.rindex("/doc/") :] for u in reached
+    }

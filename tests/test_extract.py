@@ -164,6 +164,7 @@ def _digest(p) -> tuple:
         " ".join(x.strip() for x in p.text_parts if x.strip()),
         [" ".join(a.split()) for a in p.microdata_authors],
         " ".join(x.strip() for x in p.article_body_parts if x.strip()),
+        list(p.links),
     )
 
 
