@@ -601,6 +601,45 @@ def _q_crawl_epoch(sf_dir: str) -> Any:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_link_discovery(sf_dir: str) -> Any:
+    """Crawler frontier growth, oracle-checked: 2-epoch discover=True
+    crawl. Epoch 1 fetches exactly the closed-form discovered link set
+    minus the epoch-0 seen set: every content host's chrome URLs
+    (/, /about → 404 rows) plus decade-mate doc targets whose
+    canonical form was not already seeded (t % 4 = 0)."""
+    import shutil
+    import tempfile
+
+    from scrape_ray.pipelines.crawl import crawl, load_corpus_ref, seed_frontier
+    from scrape_ray.sources.frontier_gen import crawl_seed_urls, robots_txt_for
+    from scrape_ray.state.frontier import FrontierStore
+    from scrape_ray.state.politeness import RobotsProvider
+
+    root = tempfile.mkdtemp(prefix="scrape_ray_q_disc_")
+    try:
+        store = FrontierStore(root)
+        seed_frontier(store, crawl_seed_urls(sf_dir))
+        crawl(
+            store,
+            corpus_ref=load_corpus_ref(sf_dir),
+            robots_provider=RobotsProvider(robots_txt_for),
+            num_seen_shards=2,
+            max_epochs=2,
+            discover=True,
+            fixed_fetch_time=FIXED_FETCH_TIME,
+        )
+        out = store.read_output(1).select_columns(
+            ["requested_url", "status_code", "error"]
+        )
+        import pyarrow as pa
+
+        return pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow", batch_size=65536)]
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_simhash_dups(sf_dir: str) -> Any:
     """SimHash near-dup pairs (pigeonhole-exact recall) over the
     planted-dup corpus — rows-only check (hamming distance has no SQL
@@ -694,6 +733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "feed_refresh_due": _q_feed_refresh_due,
         "crawl_epoch": _q_crawl_epoch,
+        "link_discovery": _q_link_discovery,
         "simhash_dups": _q_simhash_dups,
         "ivf_topk": _q_ivf_topk,
         "image_features": _q_image_features,
@@ -944,6 +984,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE (last_refresh IS NULL
                    OR last_refresh + INTERVAL 12 HOUR <= TIMESTAMP '2024-06-02')
               AND last_request + INTERVAL 7 DAY > TIMESTAMP '2024-06-02'
+        """,
+        "link_discovery": f"""
+            WITH content AS (SELECT doc_id AS d FROM documents WHERE {_IS_CONTENT}),
+            hosts AS (
+                SELECT DISTINCT CASE WHEN d % 5 < 2 THEN 'host0.example.com'
+                       ELSE 'host' || (d % 50) || '.example.com' END AS h
+                FROM content
+            ),
+            targets AS (
+                SELECT DISTINCT ((d // 10) * 10 + (d + 1) % 10) AS t FROM content
+                UNION
+                SELECT DISTINCT ((d // 10) * 10 + (d + 3) % 10) AS t FROM content
+            )
+            SELECT * FROM (
+                SELECT 'https://' || h || '/' AS requested_url,
+                       CAST(404 AS INTEGER) AS status_code,
+                       'HTTP error: 404' AS error
+                FROM hosts
+                UNION ALL
+                SELECT 'https://' || h || '/about',
+                       CAST(404 AS INTEGER), 'HTTP error: 404'
+                FROM hosts
+                UNION ALL
+                SELECT 'https://' || (CASE WHEN t % 5 < 2 THEN 'host0.example.com'
+                           ELSE 'host' || (t % 50) || '.example.com' END)
+                           || '/doc/' || t,
+                       CAST(CASE WHEN t % 29 = 0 THEN 404 ELSE 200 END AS INTEGER),
+                       CASE WHEN t % 29 = 0 THEN 'HTTP error: 404'
+                            WHEN t % 31 = 0 THEN 'unsupported content type: application/pdf'
+                            WHEN t % 37 = 0 THEN 'text and comments are not long enough: 0 0'
+                            ELSE NULL END
+                FROM targets WHERE t % 4 = 0
+            )
         """,
         "crawl_epoch": f"""
             SELECT {_CLEAN} AS requested_url,
