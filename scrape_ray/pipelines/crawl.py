@@ -119,12 +119,19 @@ def crawl(
     fixed_fetch_time: datetime | None = None,
     resume: bool = True,
     discover: bool = False,
+    ttl_seconds: int | None = None,
 ) -> list[dict]:
     """Drain the frontier. Returns the list of committed manifests.
 
     Resume: scrub partial epoch data, restore seen shards from the
     last committed epoch's snapshot, continue at last+1. A fresh store
     starts at epoch 0 (callers seed it via ``seed_frontier``).
+
+    ``ttl_seconds``: seen entries fetched more than this before
+    ``fixed_fetch_time`` are expired ⇒ RE-fetched — the reference's
+    cache-TTL miss rule (internal/storage/storage.go:184-186) applied
+    as the incremental-recrawl policy. Requires ``fixed_fetch_time``
+    (expiry runs on the logical clock, deterministically).
     """
     manifests = []
     if resume:
@@ -132,6 +139,11 @@ def crawl(
     start = store.last_committed() + 1
     snap = store.seen_dir(start - 1) if start > 0 else None
     actors = make_seen_actors(num_seen_shards, snapshot_dir=snap)
+    min_fetch_time = None
+    if ttl_seconds is not None:
+        if fixed_fetch_time is None:
+            raise ValueError("ttl_seconds requires fixed_fetch_time")
+        min_fetch_time = int(fixed_fetch_time.timestamp()) - int(ttl_seconds)
 
     for epoch in range(start, max_epochs):
         if not store.has_frontier(epoch):
@@ -147,6 +159,7 @@ def crawl(
                 fetch_concurrency=fetch_concurrency,
                 fixed_fetch_time=fixed_fetch_time,
                 discover=discover,
+                min_fetch_time=min_fetch_time,
             )
         )
     return manifests
@@ -194,6 +207,7 @@ def _run_epoch(
     fetch_concurrency,
     fixed_fetch_time,
     discover: bool = False,
+    min_fetch_time: int | None = None,
 ) -> dict:
     ds = store.read_frontier(epoch)
     # drop hive partition columns (epoch=K/shard=S) — re-stamped below
@@ -205,7 +219,7 @@ def _run_epoch(
     # dedup fused into the politeness exchange: duplicate URLs share a
     # host, so one host-partitioned all-to-all serves both D1 dedup
     # and slot ranking
-    ds = filter_unseen(ds, actors)
+    ds = filter_unseen(ds, actors, min_fetch_time=min_fetch_time)
     verdict = apply_politeness(
         ds, robots_provider, epoch_budget=epoch_budget, dedup_key="key"
     ).materialize()  # narrow columns (no html) — blocks stay in the
@@ -301,10 +315,12 @@ def _run_epoch(
         if verdict_t.num_rows
         else verdict_t
     )
+    ft = int(fixed_fetch_time.timestamp()) if fixed_fetch_time else 0
     newly = bulk_add(
         actors,
         adm_keys["key"].to_numpy().astype(np.uint64),
         adm_keys["host_shard"].to_numpy(),
+        fetch_time=ft,
     )
     import ray
 
@@ -341,9 +357,12 @@ def _collect_narrow(ds, columns: list[str]) -> pa.Table:
 
 
 def seed_frontier(store: FrontierStore, urls: list[str],
-                  priorities: list[int] | None = None) -> None:
-    """Write the seed list as frontier epoch 0; seed_seq = list index
-    (the reference's FIFO order contract, internal/scrape.go:144-159)."""
+                  priorities: list[int] | None = None,
+                  epoch: int = 0) -> None:
+    """Write the seed list as frontier ``epoch`` (default 0);
+    seed_seq = list index (the reference's FIFO order contract,
+    internal/scrape.go:144-159). Re-seeding a later epoch on a drained
+    store is the recrawl entry point (feed_refresh semantics, O3)."""
     from scrape_ray.functions.keys import key_columns
 
     n = len(urls)
@@ -356,7 +375,7 @@ def seed_frontier(store: FrontierStore, urls: list[str],
             "host_shard": shard,
         }
     )
-    store.write_frontier_table(t, 0)
+    store.write_frontier_table(t, epoch)
 
 
 def crawl_order(store: FrontierStore):

@@ -144,16 +144,27 @@ class CuckooFilter:
 
 
 class SeenShardState:
-    """One shard's two-tier seen set: cuckoo fast path + exact uint64
-    set. Pure-Python object so it is testable without Ray; the Ray
-    actor below is a thin wrapper."""
+    """One shard's two-tier seen set: cuckoo fast path + exact
+    ``{key: fetch_epoch_s}`` map. Pure-Python object so it is testable
+    without Ray; the Ray actor below is a thin wrapper.
+
+    TTL semantics mirror the reference's cache-expiry rule
+    (internal/storage/storage.go:184-186, test storage_test.go:192-218):
+    an entry older than ``now - ttl`` is treated as NOT seen, so the
+    crawl re-fetches it — the incremental-recrawl path. Times are
+    caller-supplied epoch seconds (logical clock), never wall clock,
+    so expiry is deterministic under any parallelism."""
 
     def __init__(self, shard_id: int, capacity: int = 1 << 16) -> None:
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity, seed=shard_id)
-        self.exact: set[int] = set()
+        self.exact: dict[int, int] = {}  # key → fetch time (epoch s)
 
-    def contains(self, keys: np.ndarray) -> np.ndarray:
+    def contains(
+        self, keys: np.ndarray, min_fetch_time: int | None = None
+    ) -> np.ndarray:
+        """Membership; with ``min_fetch_time`` an entry fetched before
+        it counts as expired ⇒ unseen."""
         keys = np.asarray(keys, dtype=np.uint64)
         maybe = self.filter.contains(keys)  # fast path: most new URLs exit here
         out = np.zeros(len(keys), dtype=bool)
@@ -162,28 +173,50 @@ class SeenShardState:
             # drop a URL (reference PK semantics are exact)
             idx = np.where(maybe)[0]
             ex = self.exact
-            out[idx] = [int(k) in ex for k in keys[idx]]
+            if min_fetch_time is None:
+                out[idx] = [int(k) in ex for k in keys[idx]]
+            else:
+                out[idx] = [
+                    ex.get(int(k), -1) >= min_fetch_time for k in keys[idx]
+                ]
         return out
 
-    def add(self, keys: np.ndarray) -> int:
+    def add(self, keys: np.ndarray, fetch_time: int = 0) -> int:
+        """Insert/refresh keys at ``fetch_time``. Returns the number
+        not previously present (refreshed entries update their time
+        but don't count as new — LWW upsert semantics, G1)."""
         keys = np.asarray(keys, dtype=np.uint64)
-        fresh = keys[~self.contains(keys)]
-        if len(fresh):
-            # in-batch dedup
-            fresh = np.unique(fresh)
-            self.filter.add(fresh)
-            self.exact.update(int(k) for k in fresh)
-        return len(fresh)
+        if not len(keys):
+            return 0
+        keys = np.unique(keys)
+        in_filter = self.filter.contains(keys)
+        self.filter.add(keys[~in_filter])
+        fresh = 0
+        ex = self.exact
+        t = int(fetch_time)
+        for k in keys:
+            ki = int(k)
+            if ki not in ex:
+                fresh += 1
+            ex[ki] = max(t, ex.get(ki, t))
+        return fresh
 
     def __len__(self) -> int:
         return len(self.exact)
 
     # ------------------------------------------------------- persistence
     def snapshot(self, path: str) -> None:
-        keys = np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact))
-        keys.sort()
+        n = len(self.exact)
+        keys = np.fromiter(self.exact.keys(), dtype=np.uint64, count=n)
+        order = np.argsort(keys)
+        times = np.fromiter(self.exact.values(), dtype=np.int64, count=n)
         pq.write_table(
-            pa.table({"key": pa.array(keys, pa.uint64())}),
+            pa.table(
+                {
+                    "key": pa.array(keys[order], pa.uint64()),
+                    "fetch_time": pa.array(times[order], pa.int64()),
+                }
+            ),
             path,
         )
 
@@ -191,12 +224,18 @@ class SeenShardState:
     def restore(cls, shard_id: int, path: str, capacity: int = 1 << 16) -> "SeenShardState":
         st = cls(shard_id, capacity=capacity)
         if os.path.exists(path):
-            keys = pq.read_table(path)["key"].to_numpy().astype(np.uint64)
+            t = pq.read_table(path)
+            keys = t["key"].to_numpy().astype(np.uint64)
+            times = (
+                t["fetch_time"].to_numpy().astype(np.int64)
+                if "fetch_time" in t.column_names
+                else np.zeros(len(keys), dtype=np.int64)
+            )
             if len(keys):
                 cap = max(capacity, int(len(keys) * 1.3))
                 st.filter = CuckooFilter(cap, seed=shard_id)
                 st.filter.add(keys)
-                st.exact = set(int(k) for k in keys)
+                st.exact = {int(k): int(tm) for k, tm in zip(keys, times)}
         return st
 
 
@@ -220,11 +259,13 @@ def make_seen_actors(num_shards: int, capacity_per_shard: int = 1 << 16,
             else:
                 self.state = SeenShardState(shard_id, capacity=capacity_per_shard)
 
-        def contains(self, keys: np.ndarray) -> np.ndarray:
-            return self.state.contains(keys)
+        def contains(
+            self, keys: np.ndarray, min_fetch_time: int | None = None
+        ) -> np.ndarray:
+            return self.state.contains(keys, min_fetch_time=min_fetch_time)
 
-        def add(self, keys: np.ndarray) -> int:
-            return self.state.add(keys)
+        def add(self, keys: np.ndarray, fetch_time: int = 0) -> int:
+            return self.state.add(keys, fetch_time=fetch_time)
 
         def size(self) -> int:
             return len(self.state)
@@ -239,12 +280,15 @@ def make_seen_actors(num_shards: int, capacity_per_shard: int = 1 << 16,
 
 
 def filter_unseen(ds, actors, key_col: str = "key",
-                  shard_col: str = "host_shard", batch_size: int = 8192):
+                  shard_col: str = "host_shard", batch_size: int = 8192,
+                  min_fetch_time: int | None = None):
     """Drop rows whose key is already in the sharded seen set
     (query-only — does NOT mutate the shards; epoch-commit calls
-    ``add``). Each map task splits its batch by shard and queries the
-    owning actors — no shuffle; the actors are the serialization
-    points and stay O(batch) per call."""
+    ``add``). With ``min_fetch_time``, entries fetched before it are
+    expired ⇒ kept for re-fetch (the reference's TTL-miss rule).
+    Each map task splits its batch by shard and queries the owning
+    actors — no shuffle; the actors are the serialization points and
+    stay O(batch) per call."""
     import ray
 
     num_shards = len(actors)
@@ -258,7 +302,11 @@ def filter_unseen(ds, actors, key_col: str = "key",
         refs, idxs = [], []
         for s in np.unique(shards):
             idx = np.where(shards == s)[0]
-            refs.append(actors[int(s)].contains.remote(keys[idx]))
+            refs.append(
+                actors[int(s)].contains.remote(
+                    keys[idx], min_fetch_time=min_fetch_time
+                )
+            )
             idxs.append(idx)
         for idx, res in zip(idxs, ray.get(refs)):
             seen[idx] = res
@@ -267,9 +315,10 @@ def filter_unseen(ds, actors, key_col: str = "key",
     return ds.map_batches(_filt, batch_format="pyarrow", batch_size=batch_size)
 
 
-def bulk_add(actors, keys: np.ndarray, shards: np.ndarray) -> int:
-    """Epoch-commit: add fetched keys to their shards. Returns number
-    newly added across shards."""
+def bulk_add(actors, keys: np.ndarray, shards: np.ndarray,
+             fetch_time: int = 0) -> int:
+    """Epoch-commit: add fetched keys to their shards, stamped at
+    ``fetch_time`` (epoch seconds). Returns number newly added."""
     import ray
 
     num_shards = len(actors)
@@ -277,5 +326,7 @@ def bulk_add(actors, keys: np.ndarray, shards: np.ndarray) -> int:
     keys = np.asarray(keys, dtype=np.uint64)
     refs = []
     for s in np.unique(shards):
-        refs.append(actors[int(s)].add.remote(keys[shards == s]))
+        refs.append(
+            actors[int(s)].add.remote(keys[shards == s], fetch_time=fetch_time)
+        )
     return int(sum(ray.get(refs)))

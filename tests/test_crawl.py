@@ -255,3 +255,53 @@ def test_link_discovery_converges_via_seen(tmp_path, corpus_ref):
     assert {f"/doc/{d}" for d in range(20, 30)} <= {
         u[u.rindex("/doc/") :] for u in reached
     }
+
+
+def test_ttl_recrawl(tmp_path, corpus_ref):
+    """The reference's TTL-miss rule as incremental recrawl
+    (storage.go:184-186): within TTL a re-seeded URL is seen ⇒ not
+    fetched; past TTL it is expired ⇒ fetched again, and the new
+    fetch refreshes its timestamp."""
+    from datetime import datetime, timedelta
+
+    from scrape_ray.sources.frontier_gen import dirty_url
+
+    t0 = datetime(2024, 6, 1)
+    seeds = [dirty_url(d) for d in (1, 2, 3)]
+    store = FrontierStore(str(tmp_path / "ttl"))
+    seed_frontier(store, seeds)
+    m0 = crawl(
+        store, corpus_ref=corpus_ref, robots_provider=_provider(),
+        num_seen_shards=2, max_epochs=1, fixed_fetch_time=t0,
+    )
+    assert m0[0]["counters"]["fetched"] == 3
+
+    # re-seed one hour later, TTL 1 day: everything still fresh
+    seed_frontier(store, seeds, epoch=1)
+    m1 = crawl(
+        store, corpus_ref=corpus_ref, robots_provider=_provider(),
+        num_seen_shards=2, max_epochs=2,
+        fixed_fetch_time=t0 + timedelta(hours=1),
+        ttl_seconds=86400,
+    )
+    assert m1[-1]["counters"]["fetched"] == 0
+
+    # re-seed two days later, TTL 1 day: all expired -> refetched
+    seed_frontier(store, seeds, epoch=2)
+    m2 = crawl(
+        store, corpus_ref=corpus_ref, robots_provider=_provider(),
+        num_seen_shards=2, max_epochs=3,
+        fixed_fetch_time=t0 + timedelta(days=2),
+        ttl_seconds=86400,
+    )
+    assert m2[-1]["counters"]["fetched"] == 3
+    # refreshed timestamps survive the snapshot: a third pass inside
+    # the new TTL window fetches nothing
+    seed_frontier(store, seeds, epoch=3)
+    m3 = crawl(
+        store, corpus_ref=corpus_ref, robots_provider=_provider(),
+        num_seen_shards=2, max_epochs=4,
+        fixed_fetch_time=t0 + timedelta(days=2, hours=1),
+        ttl_seconds=86400,
+    )
+    assert m3[-1]["counters"]["fetched"] == 0
