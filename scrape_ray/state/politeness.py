@@ -29,6 +29,28 @@ import numpy as np
 import pyarrow as pa
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _rule_regex(pattern: str):
+    """Google-style robots path pattern → compiled regex: ``*`` spans
+    any characters, a trailing ``$`` anchors end-of-path, everything
+    else is literal; match is start-anchored prefix otherwise."""
+    import re as _re
+
+    end = pattern.endswith("$")
+    body = pattern[:-1] if end else pattern
+    rx = "".join(".*" if c == "*" else _re.escape(c) for c in body)
+    return _re.compile(rx + (r"\Z" if end else ""))
+
+
+def _rule_matches(pattern: str, path: str) -> bool:
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)  # fast path: plain prefix
+    return _rule_regex(pattern).match(path) is not None
+
+
 @dataclass(frozen=True)
 class RobotsPolicy:
     """Parsed robots rules for one host (agent-group ``*``)."""
@@ -38,14 +60,15 @@ class RobotsPolicy:
     crawl_delay: float = 1.0
 
     def allowed(self, path: str) -> bool:
-        """Longest-match-wins between Allow and Disallow prefixes;
-        no match ⇒ allowed."""
+        """Longest-pattern-wins between Allow and Disallow (Google
+        precedence: rule specificity = pattern length, Allow wins
+        ties); ``*``/``$`` wildcards supported; no match ⇒ allowed."""
         best_len, best_allow = -1, True
         for p in self.disallow:
-            if p and path.startswith(p) and len(p) > best_len:
+            if p and len(p) > best_len and _rule_matches(p, path):
                 best_len, best_allow = len(p), False
         for p in self.allow:
-            if p and path.startswith(p) and len(p) >= best_len:
+            if p and len(p) >= best_len and _rule_matches(p, path):
                 best_len, best_allow = len(p), True
         return best_allow
 

@@ -157,3 +157,27 @@ def test_salted_equals_unsalted(ray_session):
     # the hot host really was split across many salt ranges
     n_host0 = sum("host0.example.com" in u for u in urls)
     assert n_host0 // 37 > 3
+
+
+def test_robots_wildcard_patterns():
+    """Google-style * and $ wildcards with longest-pattern precedence
+    (Allow wins length ties)."""
+    from scrape_ray.state.politeness import RobotsPolicy, parse_robots_txt
+
+    p = RobotsPolicy(disallow=("/*.pdf$", "/private*", "/tmp/"),
+                     allow=("/private/ok",))
+    assert not p.allowed("/docs/file.pdf")
+    assert p.allowed("/docs/file.pdfx")          # $ anchors the end
+    assert not p.allowed("/private/secret")
+    assert p.allowed("/private/ok/page")         # longer Allow wins
+    assert not p.allowed("/tmp/x")
+    assert p.allowed("/pub/file.html")
+
+    # * spans path segments; parse round-trip keeps patterns verbatim
+    pol = parse_robots_txt(
+        "User-agent: *\nDisallow: /a/*/c\nAllow: /a/b/c$\nCrawl-delay: 2\n"
+    )
+    assert pol.crawl_delay == 2.0
+    assert not pol.allowed("/a/x/c/d")
+    assert pol.allowed("/a/b/c")                 # Allow exact, len tie -> allow
+    assert pol.allowed("/a/b")
