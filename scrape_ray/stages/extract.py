@@ -100,6 +100,7 @@ class _DocParser(HTMLParser):
         self.microdata_authors: list[str] = []
         self.article_body_parts: list[str] = []
         self.links: list[str] = []
+        self.base_href: str | None = None
         self._skip_depth = 0
         self._in_title = False
         # microdata capture state (same spec as fastparse.fast_parse)
@@ -168,6 +169,11 @@ class _DocParser(HTMLParser):
             href = next((v for k, v in attrs if k == "href"), None)
             if href:
                 self.links.append(href)
+        elif tag == "base":
+            if self.base_href is None:
+                href = next((v for k, v in attrs if k == "href"), None)
+                if href:
+                    self.base_href = href
 
     def handle_endtag(self, tag):
         if tag == "title":
@@ -349,7 +355,12 @@ def extract_page(
     if resolve_links and parser.links:
         from urllib.parse import urljoin
 
-        out["links"] = [urljoin(requested_url, h) for h in parser.links]
+        # <base href> (itself resolved against the document URL)
+        # overrides the resolution root — browser semantics
+        root = requested_url
+        if parser.base_href:
+            root = urljoin(requested_url, parser.base_href)
+        out["links"] = [urljoin(root, h) for h in parser.links]
     return out
 
 

@@ -64,6 +64,7 @@ class FastDoc:
         "microdata_authors",
         "article_body_parts",
         "links",
+        "base_href",
     )
 
     def __init__(self) -> None:
@@ -81,6 +82,8 @@ class FastDoc:
         # crawl loop's link-discovery source; nav/footer links included
         # (a crawler follows chrome links too; SEEN dedups them)
         self.links: list[str] = []
+        # first <base href> — overrides the resolution root for links
+        self.base_href: str | None = None
 
 
 def _parse_attrs(s: str) -> dict[str, str | None]:
@@ -234,6 +237,11 @@ def fast_parse(html: str) -> FastDoc:
                 href = _parse_attrs(tag_body).get("href")
                 if href:
                     doc.links.append(href)
+        elif name == "base":
+            if doc.base_href is None and "href" in tag_body:
+                href = _parse_attrs(tag_body).get("href")
+                if href:
+                    doc.base_href = href
         elif name == "title":
             in_title = True
             continue

@@ -165,6 +165,7 @@ def _digest(p) -> tuple:
         [" ".join(a.split()) for a in p.microdata_authors],
         " ".join(x.strip() for x in p.article_body_parts if x.strip()),
         list(p.links),
+        p.base_href,
     )
 
 
@@ -220,6 +221,9 @@ def test_fastparse_differential_edge_cases():
         '<script itemprop="author">var x = "<span>";</script><p>after</p>',
         '<div itemprop="articleBody"><title>odd title</title>text</div>',
         '<div itemprop="author"><span itemprop="name">A &amp; B</span></div>',
+        '<base href="https://cdn.example/x/"><a href="p.html">t</a>',
+        '<base href="/sub/"><base href="/other/"><a href="q">u</a>',
+        '<a href="r">v</a><base href="late/">',
     ]
     for s in cases:
         assert _digest(fast_parse(s)) == _digest(_slow_parse(s)), s
@@ -307,3 +311,24 @@ def test_strict_input_hint_schema(ray_session):
     row = out.set_index("requested_url").loc[fg.clean_url_expected(d_ok)]
     assert row["error"] is None
     assert row["content_text"].startswith(f"Doc {d_ok} ")
+
+
+def test_base_href_link_resolution():
+    from scrape_ray.stages.extract import extract_page
+
+    html = (
+        '<html><head><title>T</title><base href="https://cdn.example/r/">'
+        '</head><body><p>x</p><p><a href="a.html">A</a>'
+        '<a href="/abs">B</a><a href="https://other.example/c">C</a></p>'
+        "</body></html>"
+    )
+    out = extract_page(html, "https://origin.example/page", resolve_links=True)
+    assert out["links"] == [
+        "https://cdn.example/r/a.html",
+        "https://cdn.example/abs",
+        "https://other.example/c",
+    ]
+    # relative base resolves against the document URL first
+    html2 = html.replace("https://cdn.example/r/", "sub/")
+    out2 = extract_page(html2, "https://origin.example/dir/page", resolve_links=True)
+    assert out2["links"][0] == "https://origin.example/dir/sub/a.html"
