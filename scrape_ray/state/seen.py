@@ -116,15 +116,35 @@ class CuckooFilter:
 
     def add(self, keys: np.ndarray) -> int:
         """Insert keys (idempotence not enforced — callers pre-check
-        contains()). Returns number inserted."""
+        contains()). Returns number inserted.
+
+        Bulk fast path: vectorized slot placement — for each of the
+        two candidate buckets and each slot, place every key whose
+        slot is empty (first-come per bucket via np.unique), re-check
+        per pass. Only keys that find no empty slot (rare below ~85%
+        load) fall back to the per-key eviction loop."""
         keys = np.asarray(keys, dtype=np.uint64)
         if len(keys) == 0:
             return 0
         fps = self._fp(keys)
         i1s = self._i1(keys)
-        ok = 0
-        for idx, fp in zip(i1s, fps):
-            if self._insert_one(int(idx), int(fp)):
+        i2s = self._alt(i1s, fps)
+        remaining = np.ones(len(keys), dtype=bool)
+        for idx_arr in (i1s, i2s):
+            for s in range(_SLOTS):
+                cand = np.flatnonzero(remaining & (self.table[idx_arr, s] == 0))
+                if not len(cand):
+                    continue
+                # one key per bucket per pass; same-bucket peers retry
+                _, first = np.unique(idx_arr[cand], return_index=True)
+                chosen = cand[first]
+                self.table[idx_arr[chosen], s] = fps[chosen]
+                remaining[chosen] = False
+            if not remaining.any():
+                break
+        ok = int(len(keys) - remaining.sum())
+        for i in np.flatnonzero(remaining):  # eviction path
+            if self._insert_one(int(i1s[i]), int(fps[i])):
                 ok += 1
         self.count += ok
         return ok
