@@ -128,3 +128,34 @@ def test_fastparse_equals_htmlparser(doc):
     f_txt = " ".join(x.strip() for x in fast.text_parts if x.strip())
     s_txt = " ".join(x.strip() for x in slow.text_parts if x.strip())
     assert f_txt == s_txt
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=2048))
+def test_extract_page_never_raises_on_bytes(data):
+    """Errors are rows, never exceptions (fetch/fetch.go:46-63): any
+    byte string yields a full field dict with either content or the
+    empty-extraction error class."""
+    from scrape_ray.stages.extract import ERR_EMPTY_EXTRACTION, extract_page
+
+    out = extract_page(data, "https://fuzz.example/x", resolve_links=True)
+    assert set(out) >= {"url", "error", "content_text", "links", "authors"}
+    if out["content_text"] is None:
+        assert out["error"] == ERR_EMPTY_EXTRACTION
+    else:
+        assert out["error"] is None
+        assert out["content_text"].strip() == out["content_text"]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from(list("<>/=\"' &;#abAB01\n\t!?-*$")),
+        max_size=400,
+    )
+)
+def test_extract_page_never_raises_on_tag_soup(soup):
+    from scrape_ray.stages.extract import extract_page
+
+    out = extract_page(soup, "https://fuzz.example/x", resolve_links=True)
+    assert isinstance(out["links"], list)
