@@ -327,6 +327,49 @@ def _q_host_counts_sorted(sf_dir: str) -> Any:
     return agg.sort("domain").limit(10)
 
 
+def _q_domain_settings_scan(sf_dir: str) -> Any:
+    """O1 exactly: the domain_settings range scan ``ORDER BY domain
+    ASC LIMIT ? OFFSET ?`` (internal/settings/domain.go:156-212; cap
+    1000, default 100) over a settings table derived from the corpus
+    hosts, with M14 validation and M17 UA expansion applied. Offset is
+    implemented as limit(offset+k) then a driver-side skip of the
+    first ``offset`` rows — sound because the sort is total."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.functions.domains import expand_user_agent, validate_domain
+
+    LIMIT, OFFSET = 20, 5
+
+    def _gen(t: pa.Table) -> pa.Table:
+        from scrape_ray.sources.frontier_gen import host_of
+
+        ids = t["doc_id"].to_pylist()
+        return pa.table({"domain": pa.array([host_of(d) for d in ids], pa.string())})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    hosts = docs.map_batches(_gen, batch_format="pyarrow", batch_size=4096).unique(
+        "domain"
+    )
+
+    def _settings(domains: list[str]) -> pa.Table:
+        doms = [d for d in sorted(domains) if validate_domain(d)]
+        return pa.table(
+            {
+                "domain": pa.array(doms, pa.string()),
+                "sitename": pa.array([f"Site {d}" for d in doms], pa.string()),
+                "fetch_client": pa.array(["direct"] * len(doms), pa.string()),
+                "user_agent": pa.array(
+                    [expand_user_agent(":chrome:")] * len(doms), pa.string()
+                ),
+            }
+        )
+
+    t = _settings(hosts)
+    t = t.slice(OFFSET, LIMIT)
+    return t
+
+
 def _q_invalid_urls(sf_dir: str) -> Any:
     """M2: invalid URLs become error ROWS with url falling back to the
     original (internal/scrape.go:170-177), never exceptions."""
@@ -723,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "politeness_slots": _q_politeness_slots,
         "host_counts_sorted": _q_host_counts_sorted,
         "feed_expand": _q_feed_expand,
+        "domain_settings_scan": _q_domain_settings_scan,
         "invalid_urls": _q_invalid_urls,
         "tumbling_window": _q_tumbling_window,
         "sessionize": _q_sessionize,
@@ -984,6 +1028,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE (last_refresh IS NULL
                    OR last_refresh + INTERVAL 12 HOUR <= TIMESTAMP '2024-06-02')
               AND last_request + INTERVAL 7 DAY > TIMESTAMP '2024-06-02'
+        """,
+        "domain_settings_scan": f"""
+            WITH hosts AS (SELECT DISTINCT {_HOST} AS domain FROM documents)
+            SELECT domain,
+                   'Site ' || domain AS sitename,
+                   'direct' AS fetch_client,
+                   'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/128.0.0.0 Safari/537.36' AS user_agent
+            FROM hosts ORDER BY domain LIMIT 20 OFFSET 5
         """,
         "link_discovery": f"""
             WITH content AS (SELECT doc_id AS d FROM documents WHERE {_IS_CONTENT}),
