@@ -93,6 +93,11 @@ _tag = st.sampled_from(
 )
 
 
+_itemprop = st.sampled_from(
+    ["author", "author creator", "name", "articleBody", "headline", ""]
+)
+
+
 @st.composite
 def _html_doc(draw):
     parts = ["<html lang='en'><head><title>", draw(_text), "</title>"]
@@ -100,10 +105,19 @@ def _html_doc(draw):
         parts.append(
             f"<meta name=\"description\" content=\"{draw(_text)}\">"
         )
+    if draw(st.booleans()):
+        parts.append(f"<base href=\"/{draw(_qkey)}/\">")
     parts.append("</head><body>")
     for _ in range(draw(st.integers(0, 6))):
         t = draw(_tag)
-        parts.append(f"<{t}>{draw(_text)}</{t}>")
+        prop = draw(_itemprop)
+        attr = f' itemprop="{prop}"' if prop else ""
+        inner = draw(_text)
+        if draw(st.booleans()):
+            inner += f'<span itemprop="{draw(_itemprop)}">{draw(_text)}</span>'
+        if draw(st.booleans()):
+            inner += f'<a href="{draw(_qkey)}.html">{draw(_text)}</a>'
+        parts.append(f"<{t}{attr}>{inner}</{t}>")
         if draw(st.booleans()):
             parts.append(draw(_text))
     if draw(st.booleans()):
@@ -128,6 +142,14 @@ def test_fastparse_equals_htmlparser(doc):
     f_txt = " ".join(x.strip() for x in fast.text_parts if x.strip())
     s_txt = " ".join(x.strip() for x in slow.text_parts if x.strip())
     assert f_txt == s_txt
+    assert list(fast.links) == list(slow.links)
+    assert fast.base_href == slow.base_href
+    assert [" ".join(a.split()) for a in fast.microdata_authors] == [
+        " ".join(a.split()) for a in slow.microdata_authors
+    ]
+    f_body = " ".join(x.strip() for x in fast.article_body_parts if x.strip())
+    s_body = " ".join(x.strip() for x in slow.article_body_parts if x.strip())
+    assert f_body == s_body
 
 
 @settings(max_examples=300, deadline=None)
