@@ -171,8 +171,16 @@ class PolitenessStage:
             prio = t[self.priority_col].to_numpy()
         else:
             prio = np.zeros(n, dtype=np.int64)
-        hosts = np.array([urlsplit(u).hostname or "" for u in urls])
-        paths = [urlsplit(u).path or "/" for u in urls]
+        if "hostname_full" in t.column_names:
+            # upstream exchange already extracted hosts — reuse
+            hosts = np.array(
+                [h or "" for h in t["hostname_full"].to_pylist()]
+            )
+            paths = [urlsplit(u).path or "/" for u in urls]
+        else:
+            parsed = [urlsplit(u) for u in urls]
+            hosts = np.array([p.hostname or "" for p in parsed])
+            paths = [p.path or "/" for p in parsed]
 
         allowed = np.zeros(n, dtype=bool)
         slots = np.full(n, -1.0)
