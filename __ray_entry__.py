@@ -497,9 +497,18 @@ def _q_pricing_summary(sf_dir: str) -> Any:
             {
                 "l_returnflag": t["l_returnflag"].combine_chunks(),
                 "l_linestatus": t["l_linestatus"].combine_chunks(),
-                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                # DuckDB ROUND is half-away-from-zero; Arrow defaults to
+                # half-to-even — pin the mode (matches _q_top_orders)
+                "qty": pc.cast(
+                    pc.round(t["l_quantity"], round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
                 "price_cents": pc.cast(
-                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+                    pc.round(
+                        pc.multiply(t["l_extendedprice"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
                 ),
             }
         ).to_pandas()
@@ -845,9 +854,12 @@ def oracle_sql() -> dict[str, str]:
                 len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
                 len(list_filter(words, x -> lower(x) IN
                     ('the','and','of','to','is','in','that','it','with'))) AS n_stop_en,
-                CASE WHEN len(words) = 0 THEN 0
+                -- CAST: list_sum(BIGINT[]) yields HUGEINT in DuckDB, which
+                -- .df() converts to float64; the engine emits int64 — the
+                -- driver's value-hash sees 123.0 vs 123 without this cast.
+                CAST(CASE WHEN len(words) = 0 THEN 0
                      ELSE (list_sum(list_transform(words, x -> length(x))) * 100)
-                          // len(words) END AS mean_word_len_x100
+                          // len(words) END AS BIGINT) AS mean_word_len_x100
             FROM w
         """,
         "langid": r"""
@@ -954,7 +966,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                 make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
                 COUNT(*) AS n_events,
-                SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+                -- outer CAST: SUM(BIGINT) is HUGEINT in DuckDB -> float64 in
+                -- .df(); keep it BIGINT so the driver hash matches int64
+                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
         """,
         "sessionize": """
@@ -992,14 +1006,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-                SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                -- outer CASTs: SUM(BIGINT) is HUGEINT -> float64 in .df()
+                CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                    AS sum_price_cents,
                 COUNT(*) AS count_order
             FROM lineitem GROUP BY 1, 2
         """,
         "top_orders": """
             SELECT l.l_orderkey,
-                SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                -- outer CAST: SUM(BIGINT) is HUGEINT -> float64 in .df()
+                CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                              AS BIGINT)) AS BIGINT)
                     AS revenue_cents
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -44,7 +44,15 @@ def tumbling_aggregate(
             pc.divide(epoch, pa.scalar(width_s * 1_000_000, pa.int64())),
             pa.scalar(width_s * 1_000_000, pa.int64()),
         )
-        cents = pc.cast(pc.round(pc.multiply(t[value_col], 100.0)), pa.int64())
+        # DuckDB ROUND is half-away-from-zero; Arrow's default is
+        # half-to-even — pin the mode so exact-.5 cents agree with SQL
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(t[value_col], 100.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
         df = pa.table(
             {
                 key_col: t[key_col].combine_chunks(),

@@ -56,6 +56,20 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
     a, b = canon(ray_df), canon(sql_df)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver's value-hash is dtype-sensitive (123 vs 123.0 hash
+        # differently); pandas == would call them equal, so check dtype
+        # KIND first. DuckDB HUGEINT columns reach .df() as float64 — the
+        # oracle SQL must CAST those to BIGINT. Datetime unit differences
+        # (ns vs us) are tolerated: round-1 driver hashed those equal.
+        ak = getattr(av.dtype, "kind", "O")
+        bk = getattr(bv.dtype, "kind", "O")
+        if ak != bk:
+            print(
+                f"  [{name}] DTYPE mismatch in column {c!r}: "
+                f"ray={av.dtype} sql={bv.dtype} (driver hash would differ)"
+            )
+            ok = False
+            continue
         try:
             eq = (av.fillna("__NA__") == bv.fillna("__NA__")).all()
         except Exception:
