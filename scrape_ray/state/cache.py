@@ -18,12 +18,23 @@ Semantics reproduced (storage_test.go:76-276 is the contract):
   LWW is resolved at read/compaction time by max(fetch_time)
   (break ties on file order via a monotonically increasing seq).
 
-Scale design: appends are cheap new files under ``urls/`` / ``id_map/``;
-``compact()`` is the G1 groupby(id)-keep-latest pass (per-shard at real
-scale — only touched host shards need rewriting, SURVEY.md §7.4.5).
-Lookups against a big cache run as hash-partitioned ``Dataset.join``s
-on the 63-bit key; the ``host_shard = key >> 56`` top bits keep
-same-host rows co-partitioned across every stage that shuffles on key.
+Scale design (SURVEY.md §7.4.5): ``urls/`` is partitioned by host
+shard — ``urls/shard=NNN/part-*.parquet`` with ``NNN = id >> 56`` (the
+key's 7 host-checksum bits, 128 shards) — so every write, delete and
+compaction touches only the shards its rows live in. Appends are cheap
+new per-shard files stamped with a persistent monotonic ``seq`` (the
+``_SEQ`` counter file) that breaks LWW ties deterministically;
+``compact()`` is the G1 groupby(id)-keep-latest pass that rewrites
+ONLY dirty shards (driver-side for small stores, a Ray Data
+``groupby(shard).map_groups`` keep-latest for big ones). Lookups
+against a big cache run as hash-partitioned ``Dataset.join``s on the
+63-bit key with a fully distributed LWW view (no driver
+materialization); small caches broadcast.
+
+Single-writer assumption: appends/compaction are issued by one driver
+(the reference's maintenance ticker is likewise a single goroutine,
+internal/storage/maintenance.go) — readers during a compaction swap
+may transiently see both old and new parts.
 """
 
 from __future__ import annotations
@@ -34,6 +45,7 @@ import shutil
 import uuid
 from datetime import datetime
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -152,10 +164,47 @@ def cache_row_to_webpage(row: dict, original_url: str | None = None) -> dict:
     return out
 
 
+def _shard_of_key(key: int) -> int:
+    return int(key) >> 56
+
+
+def _shard_dirname(shard: int) -> str:
+    return f"shard={shard:03d}"
+
+
+def _lww_latest(t: pa.Table) -> pa.Table:
+    """One row per id: max (fetch_time, seq). Vectorized sort + first
+    mask (ON CONFLICT REPLACE semantics, storage.go:96-104)."""
+    if t.num_rows == 0:
+        return t
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("id", "ascending"),
+            ("fetch_time", "descending"),
+            ("seq", "descending"),
+        ],
+    )
+    t = t.take(idx)
+    ids = t["id"].to_numpy()
+    first = np.ones(len(ids), dtype=bool)
+    first[1:] = ids[1:] != ids[:-1]
+    return t.filter(pa.array(first))
+
+
+def _unexpired(t: pa.Table, now: datetime) -> pa.Table:
+    keep = pc.or_kleene(
+        pc.is_null(t["expires"]),
+        pc.greater(t["expires"], pa.scalar(now, pa.timestamp("us"))),
+    )
+    return t.filter(keep)
+
+
 class CacheStore:
-    """Directory-backed cache. ``root/urls/*.parquet`` +
-    ``root/id_map/*.parquet``; every append is a new numbered part file
-    (seq breaks LWW ties deterministically)."""
+    """Directory-backed cache. ``root/urls/shard=NNN/*.parquet`` +
+    ``root/id_map/*.parquet``; every append is a new per-shard part
+    file stamped with a monotonic store-wide ``seq`` (persisted in
+    ``root/_SEQ``) that breaks LWW ties deterministically."""
 
     def __init__(self, root: str) -> None:
         self.root = root
@@ -163,26 +212,48 @@ class CacheStore:
         self.id_map_dir = os.path.join(root, "id_map")
         os.makedirs(self.urls_dir, exist_ok=True)
         os.makedirs(self.id_map_dir, exist_ok=True)
+        self._seq_path = os.path.join(root, "_SEQ")
 
     # ------------------------------------------------------------ writes
-    def _next_seq(self, d: str) -> int:
-        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
-        return len(parts)
+    def _next_seq(self) -> int:
+        """Monotonic store-wide append counter. File-backed so it never
+        regresses across CacheStore instances or compactions (a count of
+        part files would shrink after compaction and could let an old
+        write win an LWW tie)."""
+        try:
+            with open(self._seq_path) as f:
+                n = int(f.read().strip() or "0")
+        except FileNotFoundError:
+            n = 0
+        with open(self._seq_path, "w") as f:
+            f.write(str(n + 1))
+        return n
 
     def append_tables(self, urls_tbl: pa.Table, id_map_tbl: pa.Table) -> None:
-        seq = self._next_seq(self.urls_dir)
+        seq = self._next_seq()
         tag = uuid.uuid4().hex[:8]
         if urls_tbl.num_rows:
-            urls_tbl = urls_tbl.append_column(
-                "seq", pa.array([seq] * urls_tbl.num_rows, pa.int64())
-            )
-            pq.write_table(
-                urls_tbl, os.path.join(self.urls_dir, f"part-{seq:05d}-{tag}.parquet")
-            )
+            if "seq" not in urls_tbl.column_names:
+                urls_tbl = urls_tbl.append_column(
+                    "seq", pa.array([seq] * urls_tbl.num_rows, pa.int64())
+                )
+            ids = urls_tbl["id"].to_numpy()
+            shards = (ids >> np.uint64(56)).astype(np.int64)
+            for s in np.unique(shards):
+                d = os.path.join(self.urls_dir, _shard_dirname(int(s)))
+                os.makedirs(d, exist_ok=True)
+                part = urls_tbl.filter(pa.array(shards == s))
+                pq.write_table(
+                    part, os.path.join(d, f"part-{seq:08d}-{tag}.parquet")
+                )
         if id_map_tbl.num_rows:
+            if "seq" not in id_map_tbl.column_names:
+                id_map_tbl = id_map_tbl.append_column(
+                    "seq", pa.array([seq] * id_map_tbl.num_rows, pa.int64())
+                )
             pq.write_table(
                 id_map_tbl,
-                os.path.join(self.id_map_dir, f"part-{seq:05d}-{tag}.parquet"),
+                os.path.join(self.id_map_dir, f"part-{seq:08d}-{tag}.parquet"),
             )
 
     def save_pages(self, wp: pa.Table, ttl_seconds: int = DEFAULT_TTL_SECONDS) -> int:
@@ -192,13 +263,17 @@ class CacheStore:
 
     def delete_url(self, url: str) -> bool:
         """Delete by canonical URL key only; id_map aliases survive
-        (the reference's documented no-cascade quirk)."""
+        (the reference's documented no-cascade quirk). Only the key's
+        own shard directory is scanned — never the whole store."""
         key = int(url_keys([url])[0])
+        shard_dir = os.path.join(self.urls_dir, _shard_dirname(_shard_of_key(key)))
+        if not os.path.isdir(shard_dir):
+            return False
         found = False
-        for f in sorted(os.listdir(self.urls_dir)):
+        for f in sorted(os.listdir(shard_dir)):
             if not f.endswith(".parquet"):
                 continue
-            p = os.path.join(self.urls_dir, f)
+            p = os.path.join(shard_dir, f)
             t = pq.read_table(p)
             mask = pc.equal(t["id"], pa.scalar(key, pa.uint64()))
             if pc.any(mask).as_py():
@@ -212,52 +287,102 @@ class CacheStore:
             os.makedirs(d, exist_ok=True)
 
     # ------------------------------------------------------------- reads
+    def _part_files(self, d: str) -> list[str]:
+        """All parquet part paths under ``d`` (one level of shard
+        subdirectories or flat)."""
+        out = []
+        for entry in sorted(os.listdir(d)):
+            p = os.path.join(d, entry)
+            if entry.endswith(".parquet"):
+                out.append(p)
+            elif os.path.isdir(p):
+                out.extend(
+                    os.path.join(p, f)
+                    for f in sorted(os.listdir(p))
+                    if f.endswith(".parquet")
+                )
+        return out
+
     def _has_parts(self, d: str) -> bool:
-        return any(f.endswith(".parquet") for f in os.listdir(d))
+        return bool(self._part_files(d))
+
+    def _dir_bytes(self, d: str) -> int:
+        return sum(os.path.getsize(p) for p in self._part_files(d))
 
     def urls_table(self) -> pa.Table:
-        if not self._has_parts(self.urls_dir):
+        files = self._part_files(self.urls_dir)
+        if not files:
             return CACHE_SCHEMA.empty_table().append_column(
                 "seq", pa.array([], pa.int64())
             )
-        return pads.dataset(self.urls_dir).to_table()
+        return pads.dataset(files).to_table()
 
     def id_map_table(self) -> pa.Table:
-        if not self._has_parts(self.id_map_dir):
+        files = self._part_files(self.id_map_dir)
+        if not files:
+            return ID_MAP_SCHEMA.empty_table().append_column(
+                "seq", pa.array([], pa.int64())
+            )
+        return pads.dataset(files).to_table()
+
+    def id_map_latest(self) -> pa.Table:
+        """One (requested_id → canonical_id) row per requested_id; the
+        highest-seq append wins. Columns: ID_MAP_SCHEMA (seq dropped)."""
+        idm = self.id_map_table()
+        if idm.num_rows == 0:
             return ID_MAP_SCHEMA.empty_table()
-        return pads.dataset(self.id_map_dir).to_table()
+        idx = pc.sort_indices(
+            idm,
+            sort_keys=[("requested_id", "ascending"), ("seq", "descending")],
+        )
+        idm = idm.take(idx)
+        req = idm["requested_id"].to_numpy()
+        first = np.ones(len(req), dtype=bool)
+        first[1:] = req[1:] != req[:-1]
+        return idm.filter(pa.array(first)).drop_columns(["seq"])
 
     def latest_urls_table(self) -> pa.Table:
-        """LWW view: one row per id, max (fetch_time, seq)."""
-        t = self.urls_table()
-        if t.num_rows == 0:
-            return t
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[
-                ("id", "ascending"),
-                ("fetch_time", "descending"),
-                ("seq", "descending"),
-            ],
-        )
-        t = t.take(idx)
-        import numpy as np
+        """LWW view: one row per id, max (fetch_time, seq). Driver-side
+        — only for small stores / tests; the distributed equivalent is
+        ``latest_urls_ds()``."""
+        return _lww_latest(self.urls_table())
 
-        ids = t["id"].to_numpy()
-        first = np.ones(len(ids), dtype=bool)
-        first[1:] = ids[1:] != ids[:-1]
-        return t.filter(pa.array(first))
+    def latest_urls_ds(self):
+        """Distributed LWW view as a streaming Ray Dataset: read the
+        part files, co-locate each id on its host shard (one exchange),
+        vectorized keep-latest per shard — the whole cache never lands
+        on the driver."""
+        import ray.data
+
+        files = self._part_files(self.urls_dir)
+        # partitioning=None: don't re-infer the hive shard=NNN path as a
+        # column — the shard is derived from id's top bits where needed
+        ds = ray.data.read_parquet(files, partitioning=None)
+
+        def _add_shard(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy()
+            return t.append_column(
+                "__shard", pa.array((ids >> np.uint64(56)).astype(np.int64))
+            )
+
+        def _group_lww(t: pa.Table) -> pa.Table:
+            return _lww_latest(t.drop_columns(["__shard"]))
+
+        return (
+            ds.map_batches(_add_shard, batch_format="pyarrow", batch_size=None)
+            .groupby("__shard")
+            .map_groups(_group_lww, batch_format="pyarrow")
+        )
 
     def resolve_id(self, requested_id: int) -> int:
         """id_map indirection with fall-back to the direct key
         (storage.go:143-155)."""
-        idm = self.id_map_table()
+        idm = self.id_map_latest()
         if idm.num_rows:
             mask = pc.equal(idm["requested_id"], pa.scalar(requested_id, pa.uint64()))
             hits = idm.filter(mask)
             if hits.num_rows:
-                # later appends win
-                return hits["canonical_id"][hits.num_rows - 1].as_py()
+                return hits["canonical_id"][0].as_py()
         return requested_id
 
     def fetch_url(self, url: str, now: datetime) -> dict | None:
@@ -277,31 +402,136 @@ class CacheStore:
         return cache_row_to_webpage(row, original_url=url)
 
     # ------------------------------------------------------- compaction
-    def compact(self, now: datetime | None = None) -> int:
-        """G1 LWW compaction (+ optional expired-row deletion — the
-        24 h maintenance pass, database/sqlite/maintenance.sql). Returns
-        surviving row count. At real scale this runs per host shard on
-        only the shards an epoch touched."""
-        t = self.latest_urls_table()
-        if now is not None and t.num_rows:
-            keep = pc.or_kleene(
-                pc.is_null(t["expires"]),
-                pc.greater(t["expires"], pa.scalar(now, pa.timestamp("us"))),
-            )
-            t = t.filter(keep)
-        idm = self.id_map_table()
-        if idm.num_rows:
-            # distinct (requested_id, canonical_id): keep last append
-            import pandas as pd
+    RAY_COMPACT_THRESHOLD_BYTES = 64 * 1024 * 1024
 
-            df = idm.to_pandas().drop_duplicates(subset=["requested_id"], keep="last")
-            idm = pa.Table.from_pandas(df, schema=ID_MAP_SCHEMA, preserve_index=False)
-        self.clear()
-        # rewrite as seq 0
-        if t.num_rows:
-            t = t.drop_columns(["seq"])
-        self.append_tables(t, idm)
-        return t.num_rows
+    def dirty_shards(self) -> dict[str, list[str]]:
+        """Shard dirs that need compaction: more than one part file, or
+        a part that isn't the output of a previous compaction. Clean
+        shards are never read or rewritten."""
+        out: dict[str, list[str]] = {}
+        if not os.path.isdir(self.urls_dir):
+            return out
+        for entry in sorted(os.listdir(self.urls_dir)):
+            d = os.path.join(self.urls_dir, entry)
+            if not (entry.startswith("shard=") and os.path.isdir(d)):
+                continue
+            files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+            if len(files) > 1 or any(not f.startswith("compact-") for f in files):
+                out[d] = [os.path.join(d, f) for f in files]
+        return out
+
+    def compact(self, now: datetime | None = None, use_ray: bool | None = None) -> int:
+        """G1 LWW compaction (+ optional expired-row deletion — the 24 h
+        maintenance pass, database/sqlite/maintenance.sql:1-8). Rewrites
+        ONLY dirty shards; a shard untouched since its last compaction
+        is never read. Small stores compact driver-side shard-by-shard;
+        past RAY_COMPACT_THRESHOLD_BYTES (or ``use_ray=True``) the pass
+        runs as a Ray Data groupby(shard) keep-latest over just the
+        dirty shards' files. Returns the store's surviving row count
+        (parquet metadata only — no data read for clean shards).
+
+        ``now`` prunes rows already expired at compaction time from the
+        rewritten shards; expired rows in clean shards are dropped at
+        read time (``_mark_hits``/``fetch_url`` treat them as misses) and
+        reclaimed whenever their shard next dirties."""
+        dirty = self.dirty_shards()
+        if dirty:
+            total_bytes = sum(
+                os.path.getsize(p) for files in dirty.values() for p in files
+            )
+            if use_ray is True or (
+                use_ray is None and total_bytes > self.RAY_COMPACT_THRESHOLD_BYTES
+            ):
+                self._compact_shards_ray(dirty, now)
+            else:
+                for d, files in dirty.items():
+                    t = pa.concat_tables([pq.read_table(p) for p in files])
+                    t = _lww_latest(t)
+                    if now is not None and t.num_rows:
+                        t = _unexpired(t, now)
+                    tag = uuid.uuid4().hex[:8]
+                    if t.num_rows:
+                        pq.write_table(t, os.path.join(d, f"compact-{tag}.parquet"))
+                    for p in files:
+                        os.remove(p)
+        self._compact_id_map()
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in self._part_files(self.urls_dir)
+        )
+
+    def _compact_shards_ray(
+        self, dirty: dict[str, list[str]], now: datetime | None
+    ) -> None:
+        """Distributed shard compaction: one exchange on the shard id
+        (which IS the file layout, so co-location is exact), vectorized
+        keep-latest per shard, each group task writes its own compacted
+        part. The driver sees only per-shard counters; old parts are
+        removed after every new part is durably written."""
+        import ray.data
+
+        all_files = [p for files in dirty.values() for p in files]
+        ds = ray.data.read_parquet(all_files, partitioning=None)
+        urls_dir = self.urls_dir
+
+        def _add_shard(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy()
+            return t.append_column(
+                "__shard", pa.array((ids >> np.uint64(56)).astype(np.int64))
+            )
+
+        def _compact_group(t: pa.Table) -> pa.Table:
+            shard = t["__shard"][0].as_py()
+            t = _lww_latest(t.drop_columns(["__shard"]))
+            if now is not None and t.num_rows:
+                t = _unexpired(t, now)
+            tag = uuid.uuid4().hex[:8]
+            if t.num_rows:
+                d = os.path.join(urls_dir, _shard_dirname(int(shard)))
+                pq.write_table(t, os.path.join(d, f"compact-{tag}.parquet"))
+            return pa.table(
+                {
+                    "shard": pa.array([shard], pa.int64()),
+                    "rows": pa.array([t.num_rows], pa.int64()),
+                }
+            )
+
+        # tiny: ≤128 one-row groups — consume to run the pipeline
+        (
+            ds.map_batches(_add_shard, batch_format="pyarrow", batch_size=None)
+            .groupby("__shard")
+            .map_groups(_compact_group, batch_format="pyarrow")
+            .materialize()
+        )
+        for p in all_files:
+            os.remove(p)
+
+    def _compact_id_map(self) -> None:
+        """Dedup the alias table (keep max-seq per requested_id). The
+        id_map is narrow (two uint64 + seq per row) so this stays
+        driver-side; at 10^10 aliases it would shard by
+        requested_id >> 56 exactly like ``urls/``."""
+        files = self._part_files(self.id_map_dir)
+        if len(files) <= 1 and all(
+            os.path.basename(p).startswith("compact-") for p in files
+        ):
+            return
+        idm = self.id_map_table()
+        idx = pc.sort_indices(
+            idm, sort_keys=[("requested_id", "ascending"), ("seq", "descending")]
+        )
+        idm = idm.take(idx)
+        req = idm["requested_id"].to_numpy()
+        first = np.ones(len(req), dtype=bool)
+        first[1:] = req[1:] != req[:-1]
+        idm = idm.filter(pa.array(first))
+        tag = uuid.uuid4().hex[:8]
+        if idm.num_rows:
+            pq.write_table(
+                idm, os.path.join(self.id_map_dir, f"compact-{tag}.parquet")
+            )
+        for p in files:
+            os.remove(p)
 
     # -------------------------------------------------- distributed join
     BROADCAST_LIMIT_BYTES = 128 * 1024 * 1024
@@ -319,8 +549,12 @@ class CacheStore:
         - "shuffle" — hash-partitioned ``Dataset.join``s on the 63-bit
           key: at 10^10-URL scale both sides exchange once on the same
           key and host_shard locality bounds the skew.
-        - "auto" (default) — broadcast while the cache's LWW view is
-          under BROADCAST_LIMIT_BYTES, else shuffle.
+        - "auto" (default) — broadcast while the cache's on-disk bytes
+          are under BROADCAST_LIMIT_BYTES (parquet-compressed, so the
+          in-memory view may be a few × larger — still broadcast-sized),
+          else shuffle. The decision reads only file sizes; the shuffle
+          path never materializes the cache on the driver
+          (``latest_urls_ds`` streams the LWW view).
 
         ``num_partitions`` (shuffle path) defaults to the cluster CPU
         count (each join partition is an aggregator actor — more
@@ -332,16 +566,17 @@ class CacheStore:
             cpus = int(ray.cluster_resources().get("CPU", 4))
             num_partitions = max(2, min(64, cpus))
 
-        urls_t = self.latest_urls_table()
-        idm_t = self.id_map_table()
-        if urls_t.num_rows == 0:
+        if not self._has_parts(self.urls_dir):
             return normalized_ds.map_batches(
                 _mark_all_miss, batch_format="pyarrow", batch_size=4096
             )
         if strategy == "broadcast" or (
-            strategy == "auto" and urls_t.nbytes < self.BROADCAST_LIMIT_BYTES
+            strategy == "auto"
+            and self._dir_bytes(self.urls_dir) < self.BROADCAST_LIMIT_BYTES
         ):
-            return self._attach_broadcast(normalized_ds, now, urls_t, idm_t)
+            return self._attach_broadcast(
+                normalized_ds, now, self.latest_urls_table(), self.id_map_latest()
+            )
 
         rename = {
             "id": "c_id",
@@ -353,11 +588,16 @@ class CacheStore:
             "metadata": "c_metadata",
             "content_text": "c_content_text",
         }
-        urls_t = urls_t.drop_columns(["seq"]).rename_columns(
-            [rename[c] for c in urls_t.drop_columns(["seq"]).column_names]
-        )
-        urls_ds = ray.data.from_arrow(urls_t)
 
+        def _rename_cache(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["seq"])
+            return t.rename_columns([rename[c] for c in t.column_names])
+
+        urls_ds = self.latest_urls_ds().map_batches(
+            _rename_cache, batch_format="pyarrow", batch_size=None
+        )
+
+        idm_t = self.id_map_latest()
         ds = normalized_ds
         if idm_t.num_rows:
             idm_ds = ray.data.from_arrow(idm_t)
@@ -398,19 +638,15 @@ class CacheStore:
         every map task binary-searches sorted key arrays (numpy) and
         gathers hit rows with Table.take — zero shuffle, zero per-batch
         re-shipping."""
-        import numpy as np
         import ray
 
         urls_sorted = urls_t.take(pc.sort_indices(urls_t["id"]))
         cache_ids = urls_sorted["id"].to_numpy()
         if idm_t.num_rows:
-            idm_df = (
-                idm_t.to_pandas()
-                .drop_duplicates(subset=["requested_id"], keep="last")
-                .sort_values("requested_id")
-            )
-            idm_req = idm_df["requested_id"].to_numpy()
-            idm_can = idm_df["canonical_id"].to_numpy()
+            # idm_t is the deduped id_map_latest() view — just sort it
+            idm_sorted = idm_t.take(pc.sort_indices(idm_t["requested_id"]))
+            idm_req = idm_sorted["requested_id"].to_numpy()
+            idm_can = idm_sorted["canonical_id"].to_numpy()
         else:
             idm_req = np.array([], dtype=np.uint64)
             idm_can = np.array([], dtype=np.uint64)

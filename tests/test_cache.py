@@ -201,3 +201,133 @@ def test_attach_shuffle_join_matches_broadcast(tmp_path, ray_session):
     )
     assert b_hits.sort_index().equals(s_hits.sort_index())
     assert b_hits.sum() > 0
+
+
+# ----------------------------------------------------- shard-wise storage
+
+
+def _shard_listing(cs):
+    """{shard dirname: sorted part filenames} snapshot."""
+    import os
+
+    out = {}
+    for entry in sorted(os.listdir(cs.urls_dir)):
+        d = os.path.join(cs.urls_dir, entry)
+        if entry.startswith("shard=") and os.path.isdir(d):
+            out[entry] = sorted(
+                f for f in os.listdir(d) if f.endswith(".parquet")
+            )
+    return out
+
+
+def _two_shard_pages():
+    """Two pages on hosts whose 63-bit keys land in different shards."""
+    from scrape_ray.functions.keys import url_key
+
+    a = "https://alpha-site.com/page"
+    b = "https://beta-other.org/page"
+    assert (url_key(a) >> 56) != (url_key(b) >> 56)
+    wa = _webpage_table(
+        url=a, requested_url=a, hostname="alpha-site.com", title="A"
+    )
+    wb = _webpage_table(
+        url=b, requested_url=b, hostname="beta-other.org", title="B"
+    )
+    return a, b, wa, wb
+
+
+def test_compact_touches_only_dirty_shards(tmp_path):
+    """The maintenance contract at scale: a shard untouched since its
+    last compaction is never rewritten (reference maintenance runs
+    incremental passes, database/sqlite/maintenance.sql)."""
+    cs = CacheStore(str(tmp_path))
+    a, b, wa, wb = _two_shard_pages()
+    cs.save_pages(wa, ttl_seconds=3600)
+    cs.save_pages(wb, ttl_seconds=3600)
+    assert cs.compact() == 2
+    before = _shard_listing(cs)
+    assert all(
+        len(fs) == 1 and fs[0].startswith("compact-") for fs in before.values()
+    )
+    assert cs.dirty_shards() == {}
+
+    # dirty only shard A; B's compacted file must survive byte-identical
+    cs.save_pages(
+        _webpage_table(
+            url=a, requested_url=a, hostname="alpha-site.com",
+            title="A2", fetch_time=T0 + timedelta(hours=1),
+        ),
+        ttl_seconds=3600,
+    )
+    dirty = cs.dirty_shards()
+    assert len(dirty) == 1
+    assert cs.compact() == 2
+    after = _shard_listing(cs)
+    from scrape_ray.functions.keys import url_key
+
+    b_shard = f"shard={url_key(b) >> 56:03d}"
+    a_shard = f"shard={url_key(a) >> 56:03d}"
+    assert after[b_shard] == before[b_shard]  # clean shard untouched
+    assert after[a_shard] != before[a_shard]  # dirty shard rewritten
+    got = cs.fetch_url(a, now=T0 + timedelta(hours=1))
+    assert got["title"] == "A2"
+    assert cs.fetch_url(b, now=T0)["title"] == "B"
+
+
+def test_compact_ray_path_matches_driver_path(tmp_path, ray_session):
+    """use_ray=True (the big-store path: Ray Data groupby(shard)
+    keep-latest) produces the same surviving rows and also leaves clean
+    shards untouched."""
+    cs = CacheStore(str(tmp_path))
+    a, b, wa, wb = _two_shard_pages()
+    cs.save_pages(wa, ttl_seconds=3600)
+    cs.save_pages(wb, ttl_seconds=3600)
+    assert cs.compact(use_ray=True) == 2
+    before = _shard_listing(cs)
+
+    cs.save_pages(
+        _webpage_table(
+            url=a, requested_url=a, hostname="alpha-site.com",
+            title="A2", fetch_time=T0 + timedelta(hours=1),
+        ),
+        ttl_seconds=3600,
+    )
+    assert cs.compact(use_ray=True) == 2
+    after = _shard_listing(cs)
+    from scrape_ray.functions.keys import url_key
+
+    b_shard = f"shard={url_key(b) >> 56:03d}"
+    assert after[b_shard] == before[b_shard]
+    assert cs.fetch_url(a, now=T0 + timedelta(hours=1))["title"] == "A2"
+    assert cs.fetch_url(b, now=T0)["title"] == "B"
+
+
+def test_compact_now_prunes_expired_in_dirty_shards(tmp_path):
+    cs = CacheStore(str(tmp_path))
+    a, b, wa, wb = _two_shard_pages()
+    cs.save_pages(wa, ttl_seconds=60)      # expires T0+60s
+    cs.save_pages(wb, ttl_seconds=86400)
+    n = cs.compact(now=T0 + timedelta(hours=1))
+    assert n == 1  # A pruned, B survives
+    assert cs.fetch_url(b, now=T0 + timedelta(hours=1))["title"] == "B"
+
+
+def test_delete_scans_only_own_shard(tmp_path):
+    import os
+
+    cs = CacheStore(str(tmp_path))
+    a, b, wa, wb = _two_shard_pages()
+    cs.save_pages(wa, ttl_seconds=3600)
+    cs.save_pages(wb, ttl_seconds=3600)
+    from scrape_ray.functions.keys import url_key
+
+    b_shard = os.path.join(cs.urls_dir, f"shard={url_key(b) >> 56:03d}")
+    b_files = sorted(os.listdir(b_shard))
+    b_mtimes = [os.path.getmtime(os.path.join(b_shard, f)) for f in b_files]
+    assert cs.delete_url(a)
+    assert sorted(os.listdir(b_shard)) == b_files
+    assert [
+        os.path.getmtime(os.path.join(b_shard, f)) for f in b_files
+    ] == b_mtimes
+    assert cs.fetch_url(a, now=T0) is None
+    assert cs.fetch_url(b, now=T0)["title"] == "B"
