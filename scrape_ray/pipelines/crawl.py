@@ -19,6 +19,11 @@ Epoch dataflow (all stages streaming over Arrow batches):
                └─no──→ defer to frontier K+1 (robots-blocked rows drop)
     → write out/epoch=K, add keys to seen, snapshot, COMMIT manifest
 
+No per-row driver materialization anywhere: deferred rows re-enqueue
+as a filtered streaming write, the seen-commit routes keys to shard
+actors from the map tasks, and the driver handles only counters and
+the manifest.
+
 Determinism: admitted set, crawl order (epoch, fetch_slot, seed_seq)
 and final seen set are pure functions of (seed list, politeness
 budget) — SURVEY.md §7.4.2's "order is assigned at ingest, restored at
@@ -30,7 +35,6 @@ from __future__ import annotations
 import re
 from datetime import datetime
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -38,7 +42,7 @@ from scrape_ray.stages.extract import ExtractStage
 from scrape_ray.stages.normalize import normalize
 from scrape_ray.state.frontier import FrontierStore
 from scrape_ray.state.politeness import RobotsProvider, apply_politeness
-from scrape_ray.state.seen import bulk_add, filter_unseen, make_seen_actors
+from scrape_ray.state.seen import commit_seen_ds, filter_unseen, make_seen_actors
 
 _DOC_RE = re.compile(r"/(?:doc|private|canonical)/(\d+)")
 
@@ -236,15 +240,6 @@ def _run_epoch(
         _mask(lambda t: t["admitted"]), batch_format="pyarrow", batch_size=None
     )
 
-    # ONE narrow collect of the verdict (keys/urls/flags — never
-    # html/content) serves the deferred re-enqueue, the seen-set
-    # commit and the counters; bounded by epoch width.
-    verdict_t = _collect_narrow(
-        verdict,
-        ["url", "original_url", "seed_seq", "priority", "host_shard", "key",
-         "robots_allowed", "admitted"],
-    )
-
     # ---- fetch + extract the admitted rows (actor pools)
     import ray
 
@@ -286,41 +281,38 @@ def _run_epoch(
         pages = pages.drop_columns(["links"])
     n_out = store.write_output(pages, epoch)
 
-    # ---- defer the over-budget remainder to the next epoch's frontier
-    if verdict_t.num_rows:
-        defer_mask = pc.and_(
-            verdict_t["robots_allowed"], pc.invert(verdict_t["admitted"])
-        )
-        deferred_t = verdict_t.filter(defer_mask)
-    else:
-        deferred_t = verdict_t
-    n_defer = deferred_t.num_rows
-    if n_defer:
-        # re-enqueue the ORIGINAL url (normalize re-derives key/shard)
-        out_t = pa.table(
+    # ---- defer the over-budget remainder to the next epoch's frontier:
+    # a streaming filtered write over the materialized verdict blocks —
+    # no rows reach the driver; n_defer comes from written-file metadata
+    def _defer_rows(t: pa.Table) -> pa.Table:
+        mask = pc.and_(t["robots_allowed"], pc.invert(t["admitted"]))
+        t = t.filter(mask)
+        return pa.table(
             {
-                "url": deferred_t["original_url"],
-                "seed_seq": deferred_t["seed_seq"],
-                "priority": deferred_t["priority"]
-                if "priority" in deferred_t.column_names
-                else pa.array([0] * n_defer, pa.int64()),
-                "host_shard": deferred_t["host_shard"],
+                # re-enqueue the ORIGINAL url (normalize re-derives key)
+                "url": t["original_url"].combine_chunks(),
+                "seed_seq": t["seed_seq"].combine_chunks(),
+                "priority": t["priority"].combine_chunks()
+                if "priority" in t.column_names
+                else pa.array([0] * t.num_rows, pa.int64()),
+                "host_shard": t["host_shard"].combine_chunks(),
             }
         )
-        store.write_frontier_table(out_t, epoch + 1)
 
-    # ---- seen-set commit: the admitted (fetched) keys become seen
-    adm_keys = (
-        verdict_t.filter(verdict_t["admitted"])
-        if verdict_t.num_rows
-        else verdict_t
+    next_dir = store.frontier_dir(epoch + 1)
+    rows_before = store.count_rows(next_dir) if store.has_frontier(epoch + 1) else 0
+    store.write_frontier_ds(
+        verdict.map_batches(_defer_rows, batch_format="pyarrow", batch_size=None),
+        epoch + 1,
     )
+    n_defer = store.count_rows(next_dir) - rows_before
+
+    # ---- seen-set commit: admitted keys route to shard actors from
+    # the map tasks (commit_seen_ds) — only counters return to the
+    # driver. At 10^10 URLs/epoch nothing here scales with row count.
     ft = int(fixed_fetch_time.timestamp()) if fixed_fetch_time else 0
-    newly = bulk_add(
-        actors,
-        adm_keys["key"].to_numpy().astype(np.uint64),
-        adm_keys["host_shard"].to_numpy(),
-        fetch_time=ft,
+    n_fetched, newly, shards = commit_seen_ds(
+        admitted, actors, fetch_time=ft
     )
     import ray
 
@@ -328,32 +320,15 @@ def _run_epoch(
 
     counters = {
         "frontier_rows": store.count_rows(store.frontier_dir(epoch)),
-        "fetched": adm_keys.num_rows,
+        "fetched": n_fetched,
         "extracted": n_out,
         "deferred": n_defer,
         "discovered": n_disc,
         "seen_added": newly,
     }
-    shards = pc.unique(adm_keys["host_shard"]).to_pylist()
     return store.commit(
         epoch, counters, shards, extra={"parent_epoch": epoch - 1}
     )
-
-
-def _collect_narrow(ds, columns: list[str]) -> pa.Table:
-    """Driver-side collect of a few NARROW columns (keys, urls) — the
-    only driver materialization in the loop; bounded by epoch width,
-    never carries html/content."""
-    schema = ds.schema(fetch_if_missing=True)
-    if schema is None:  # empty dataset
-        return pa.table({c: pa.array([], pa.string()) for c in columns})
-    cols = [c for c in columns if c in schema.names]
-    tables = [pa.table(b) if not isinstance(b, pa.Table) else b
-              for b in ds.select_columns(cols).iter_batches(
-                  batch_format="pyarrow", batch_size=65536)]
-    if not tables:
-        return pa.table({c: pa.array([], pa.string()) for c in cols})
-    return pa.concat_tables(tables)
 
 
 def seed_frontier(store: FrontierStore, urls: list[str],

@@ -337,8 +337,9 @@ def filter_unseen(ds, actors, key_col: str = "key",
 
 def bulk_add(actors, keys: np.ndarray, shards: np.ndarray,
              fetch_time: int = 0) -> int:
-    """Epoch-commit: add fetched keys to their shards, stamped at
-    ``fetch_time`` (epoch seconds). Returns number newly added."""
+    """Driver-side add of a small key array (tests / tools). The crawl
+    loop uses ``commit_seen_ds`` — keys route to shard actors from the
+    map tasks, never through the driver."""
     import ray
 
     num_shards = len(actors)
@@ -350,3 +351,63 @@ def bulk_add(actors, keys: np.ndarray, shards: np.ndarray,
             actors[int(s)].add.remote(keys[shards == s], fetch_time=fetch_time)
         )
     return int(sum(ray.get(refs)))
+
+
+def commit_seen_ds(ds, actors, key_col: str = "key",
+                   shard_col: str = "host_shard", fetch_time: int = 0,
+                   batch_size: int = 8192):
+    """Distributed epoch-commit: every map task routes its batch's keys
+    to the owning shard actors directly (same in-task fan-out as
+    ``filter_unseen``); only per-(batch, shard) counters flow back.
+    Returns ``(n_rows, newly_added, sorted shard ids)`` — the driver
+    never sees a key. Exactness: within an epoch keys are already
+    deduped (politeness D1), so per-shard ``fresh`` counts sum exactly.
+    """
+    import ray
+
+    num_shards = len(actors)
+
+    def _commit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "added": pa.array([], pa.int64()),
+                }
+            )
+        keys = t[key_col].to_numpy().astype(np.uint64)
+        raw_shards = t[shard_col].to_numpy().astype(np.int64)
+        actor_shards = raw_shards % num_shards
+        refs, out_shards, out_n = [], [], []
+        for s in np.unique(actor_shards):
+            m = actor_shards == s
+            refs.append(
+                actors[int(s)].add.remote(keys[m], fetch_time=fetch_time)
+            )
+        total_added = int(sum(ray.get(refs)))
+        # rows keyed by HOST shard (manifest lineage); the batch's
+        # newly-added total rides on the first row (only sums matter)
+        uniq_host = np.unique(raw_shards)
+        added_col = [0] * len(uniq_host)
+        added_col[0] = total_added
+        return pa.table(
+            {
+                "shard": pa.array(uniq_host, pa.int64()),
+                "n": pa.array(
+                    [int((raw_shards == h).sum()) for h in uniq_host], pa.int64()
+                ),
+                "added": pa.array(added_col, pa.int64()),
+            }
+        )
+
+    stats = ds.map_batches(
+        _commit, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()  # ≤ (batches × shards) rows — tiny
+    if stats.empty:
+        return 0, 0, []
+    return (
+        int(stats["n"].sum()),
+        int(stats["added"].sum()),
+        sorted(int(s) for s in stats["shard"].unique()),
+    )
