@@ -128,3 +128,17 @@ def fetch_method_from_text(s: str) -> int:
     if s not in FETCH_METHODS:
         raise ValueError(f"unknown fetch method: {s!r}")
     return FETCH_METHODS[s]
+
+
+def headless_hosts(settings: pa.Table) -> frozenset[str]:
+    """Hosts whose domain settings pin the headless client
+    (internal/settings/domain.go:43-49 ``fetch_client``; the server
+    wires these through WithAlternateURLFetcher, scrape.go:56-68).
+    Feed the result to ``crawl(alt_hosts=...)``."""
+    doms = settings["domain"].to_pylist()
+    fcs = settings["fetch_client"].to_pylist()
+    return frozenset(
+        fold_domain(d)
+        for d, fc in zip(doms, fcs)
+        if d and fc == "chromium-headless"
+    )

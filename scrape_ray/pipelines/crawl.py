@@ -88,6 +88,9 @@ class CorpusFetcher:
         t = t.append_column("html", pa.array(htmls, pa.binary()))
         t = t.append_column("status_code", pa.array(statuses, pa.int32()))
         t = t.append_column("content_type", pa.array(ctypes, pa.string()))
+        t = t.append_column(
+            "fetch_method", pa.array([1] * t.num_rows, pa.int8())  # direct
+        )
         return t
 
 
@@ -124,8 +127,18 @@ def crawl(
     resume: bool = True,
     discover: bool = False,
     ttl_seconds: int | None = None,
+    alt_fetcher=None,
+    alt_hosts=None,
 ) -> list[dict]:
     """Drain the frontier. Returns the list of committed manifests.
+
+    ``alt_fetcher`` + ``alt_hosts``: the reference's alternate-fetcher
+    routing (internal/scrape.go:56-68 WithAlternateURLFetcher): rows
+    whose host is in ``alt_hosts`` (e.g. from domain settings with
+    ``fetch_client = chromium-headless``, internal/settings/domain.go:43-49)
+    fetch through ``alt_fetcher`` (a batch fn/instance, e.g.
+    ``protocols.HeadlessFetcher``); everything else uses the default
+    client. The host set is broadcast once via ``ray.put``.
 
     Resume: scrub partial epoch data, restore seen shards from the
     last committed epoch's snapshot, continue at last+1. A fresh store
@@ -164,6 +177,8 @@ def crawl(
                 fixed_fetch_time=fixed_fetch_time,
                 discover=discover,
                 min_fetch_time=min_fetch_time,
+                alt_fetcher=alt_fetcher,
+                alt_hosts=alt_hosts,
             )
         )
     return manifests
@@ -212,6 +227,8 @@ def _run_epoch(
     fixed_fetch_time,
     discover: bool = False,
     min_fetch_time: int | None = None,
+    alt_fetcher=None,
+    alt_hosts=None,
 ) -> dict:
     ds = store.read_frontier(epoch)
     # drop hive partition columns (epoch=K/shard=S) — re-stamped below
@@ -251,11 +268,38 @@ def _run_epoch(
         "batch_size": None,
         "concurrency": fetch_concurrency,
     }
-    fetched = admitted.map_batches(
-        CorpusFetcher,
-        fn_constructor_kwargs={"corpus_ref": corpus_ref},
-        **fetch_kwargs,
-    )
+    if alt_fetcher is not None and alt_hosts:
+        # alternate-fetcher split (scrape.go:56-68): route rows by the
+        # broadcast host set, fetch each side with its client, union.
+        hosts_ref = ray.put(frozenset(alt_hosts))
+
+        def _route(to_alt: bool):
+            def _f(t: pa.Table) -> pa.Table:
+                hs = ray.get(hosts_ref)
+                mask = pa.array(
+                    [(h or "") in hs for h in t["hostname_full"].to_pylist()]
+                )
+                return t.filter(mask if to_alt else pc.invert(mask))
+
+            return _f
+
+        direct = admitted.map_batches(
+            _route(False), batch_format="pyarrow", batch_size=None
+        ).map_batches(
+            CorpusFetcher,
+            fn_constructor_kwargs={"corpus_ref": corpus_ref},
+            **fetch_kwargs,
+        )
+        alt = admitted.map_batches(
+            _route(True), batch_format="pyarrow", batch_size=None
+        ).map_batches(alt_fetcher, batch_format="pyarrow", batch_size=None)
+        fetched = direct.union(alt)
+    else:
+        fetched = admitted.map_batches(
+            CorpusFetcher,
+            fn_constructor_kwargs={"corpus_ref": corpus_ref},
+            **fetch_kwargs,
+        )
     pages = fetched.map_batches(
         ExtractStage(fixed_fetch_time=fixed_fetch_time, emit_links=discover),
         batch_format="pyarrow",

@@ -37,6 +37,10 @@ def fetch_extract(
     fixed_fetch_time: datetime | None = None,
     extract_batch_size: int | None = DEFAULT_EXTRACT_BATCH,
     extract_concurrency=None,
+    fetcher=None,
+    fetcher_kwargs: dict | None = None,
+    fetch_concurrency: int | None = None,
+    emit_cache_flag: bool = False,
 ):
     """frontier Dataset → WebPage Dataset.
 
@@ -44,6 +48,13 @@ def fetch_extract(
     rows whose key has an unexpired cache entry are served from the
     store (the reference's storage-backed fetch, internal/scrape.go:75-95)
     and only misses go through extraction. ``now`` gates TTL expiry.
+
+    ``fetcher``: optional ``Fetcher`` stage (class or batch fn) that
+    adds html/status_code/content_type — e.g.
+    ``stages.fetch_http.HttpFetcher`` for real-network runs. None means
+    the frontier already carries html (corpus mode). A class runs as an
+    actor pool (session state in ``__init__``) with ``fetch_concurrency``
+    actors at fractional CPU — I/O-bound, so many sessions per core.
 
     ``extract_concurrency``: actor-pool size for the extract stage; when
     None the stage runs as stateless tasks (Ray sizes them to the
@@ -54,18 +65,33 @@ def fetch_extract(
     if cache is not None:
         ds = cache.attach(ds, now=now or datetime.utcnow())
 
+    if fetcher is not None:
+        fkw: dict = {"batch_format": "pyarrow", "batch_size": extract_batch_size}
+        if isinstance(fetcher, type):
+            import ray
+
+            conc = fetch_concurrency or max(
+                2, int(ray.cluster_resources().get("CPU", 4))
+            )
+            fkw.update(
+                concurrency=conc,
+                num_cpus=0.25,  # I/O-shaped: oversubscribe sessions per core
+                fn_constructor_kwargs=fetcher_kwargs or {},
+            )
+        ds = ds.map_batches(fetcher, **fkw)
+
+    stage_kwargs = {
+        "fixed_fetch_time": fixed_fetch_time,
+        "emit_cache_flag": emit_cache_flag,
+    }
     kwargs: dict = {"batch_format": "pyarrow", "batch_size": extract_batch_size}
     if extract_concurrency is not None:
         kwargs["concurrency"] = extract_concurrency
         extracted = ds.map_batches(
-            ExtractStage,
-            fn_constructor_kwargs={"fixed_fetch_time": fixed_fetch_time},
-            **kwargs,
+            ExtractStage, fn_constructor_kwargs=stage_kwargs, **kwargs
         )
     else:
-        extracted = ds.map_batches(
-            ExtractStage(fixed_fetch_time=fixed_fetch_time), **kwargs
-        )
+        extracted = ds.map_batches(ExtractStage(**stage_kwargs), **kwargs)
 
     return extracted
 

@@ -81,6 +81,10 @@ class HeadlessFetcher:
         t = t.append_column(
             "content_type", pa.array(["text/html"] * len(urls), pa.string())
         )
+        # ClientIdentifier = chromium-headless (resource/fetch_method.go)
+        t = t.append_column(
+            "fetch_method", pa.array([2] * len(urls), pa.int8())
+        )
         return t
 
 

@@ -408,6 +408,7 @@ class ExtractStage:
         "status_code",
         "content_type",
         "parse_error",
+        "fetch_error",
         "cache_hit",
         "effective_id",
         "c_id",
@@ -424,9 +425,13 @@ class ExtractStage:
         self,
         fixed_fetch_time: datetime | None = None,
         emit_links: bool = False,
+        emit_cache_flag: bool = False,
     ) -> None:
         self.fixed_fetch_time = fixed_fetch_time
         self.emit_links = emit_links
+        # emit_cache_flag: keep a bool ``cache_hit`` column on the
+        # output so batch() can save back only genuinely fetched rows
+        self.emit_cache_flag = emit_cache_flag
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -452,6 +457,11 @@ class ExtractStage:
             if "parse_error" in batch.column_names
             else [None] * n
         )
+        fetch_errors = (
+            batch["fetch_error"].to_pylist()
+            if "fetch_error" in batch.column_names
+            else [None] * n
+        )
 
         hits = (
             batch["cache_hit"].to_pylist()
@@ -461,7 +471,15 @@ class ExtractStage:
 
         fetch_time = self.fixed_fetch_time or datetime.utcnow().replace(microsecond=0)
         fetch_times = [fetch_time] * n
-        methods = [FETCH_METHOD_DIRECT] * n
+        # the fetcher stage stamps its ClientIdentifier (direct vs
+        # chromium-headless, scrape.go:56-68 alternate-fetcher routing)
+        if "fetch_method" in batch.column_names:
+            methods = [
+                FETCH_METHOD_DIRECT if m is None else int(m)
+                for m in batch["fetch_method"].to_pylist()
+            ]
+        else:
+            methods = [FETCH_METHOD_DIRECT] * n
         rows = []
         for i in range(n):
             st = 200 if status[i] is None else int(status[i])
@@ -495,6 +513,14 @@ class ExtractStage:
                 rec["error"] = parse_errors[i]
                 rec["content_text"] = None
                 st = 0
+            elif st == 0 and fetch_errors[i] is not None:
+                # transport-level failure (refused/DNS): the raw message
+                # becomes the row's error, like scrape.go records the
+                # client error on the WebPage (timeouts arrive as 504
+                # and take the status gate below instead)
+                rec = extract_page(None, urls[i])
+                rec["error"] = fetch_errors[i]
+                rec["content_text"] = None
             elif st < 200 or st >= 400:
                 rec = extract_page(None, urls[i])
                 rec["error"] = err_http(st)
@@ -540,6 +566,8 @@ class ExtractStage:
             out["links"] = pa.array(
                 [r.get("links") or [] for r in rows], pa.list_(pa.string())
             )
+        if self.emit_cache_flag:
+            out["cache_hit"] = pa.array(hits, pa.bool_())
         # passthrough of engine columns
         for name in batch.column_names:
             if name not in out and name not in self._CONSUMED and name != "url":

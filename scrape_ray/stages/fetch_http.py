@@ -1,0 +1,123 @@
+"""Real-network HTTP fetch client — the M5/A1 actor-pool stage.
+
+Reimplements the reference's default client semantics
+(/root/reference/fetch/client.go:15-135, fetch/fetch.go:15-63):
+
+- one ``requests.Session`` per ACTOR (``__init__``), giving per-worker
+  connection pooling — the analog of the reference's shared
+  ``http.Client`` with its transport reuse;
+- User-Agent injected only when the caller's headers don't set one
+  (client.go:64-67); default UA string is the reference's
+  (fetch/fetch.go:16);
+- redirects followed across 301/302/303/307/308 (Go ``http.Client``
+  default, proven by fetch/trafilatura/fetcher_test.go:68-111);
+- 30 s default timeout; a timeout becomes a **504 row** ("did not
+  reply within N seconds", client.go:70-81) — errors are rows, never
+  exceptions;
+- other transport failures (refused, DNS) become status-0 rows with
+  the message in ``fetch_error`` (internal/scrape.go records the raw
+  error on the WebPage the same way).
+
+Output contract (the ``Fetcher`` protocol, protocols.py): appends
+``html`` (binary), ``status_code`` (int32), ``content_type`` (string)
+and ``fetch_error`` (string, null unless transport-level failure).
+Downstream ``ExtractStage`` applies the status / content-type gates
+and error-class strings.
+
+Scale shape: I/O-bound ⇒ run as
+``ds.map_batches(HttpFetcher, concurrency=N, num_cpus=0.25, ...)`` so
+many sessions overlap per core; politeness pacing happens upstream
+(state/politeness.py), never by sleeping here. Rows whose
+``cache_hit`` column is true are skipped (no request issued) — the
+storage-backed-fetch contract (internal/scrape.go:75-95).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# fetch/fetch.go:16 — the reference's default UA.
+DEFAULT_USER_AGENT = (
+    "Mozilla/5.0 (X11; Linux x86_64; rv:88.0) Gecko/20100101 Firefox/88.0"
+)
+DEFAULT_TIMEOUT_S = 30.0  # fetch/client.go:16
+
+
+class HttpFetcher:
+    """Session-per-actor HTTP GET stage. See module docstring.
+
+    ``headers``: extra headers sent with every request (per-host
+    headers come from the domain-settings broadcast upstream);
+    ``max_body_bytes`` caps the read so one huge response can't blow a
+    worker's heap (streamed read, truncated past the cap).
+    """
+
+    def __init__(
+        self,
+        timeout_s: float = DEFAULT_TIMEOUT_S,
+        user_agent: str = DEFAULT_USER_AGENT,
+        headers: dict | None = None,
+        max_body_bytes: int = 16 * 1024 * 1024,
+        proxies: dict | None = None,
+    ) -> None:
+        import requests
+
+        self.timeout_s = timeout_s
+        self.max_body_bytes = max_body_bytes
+        self.session = requests.Session()
+        h = dict(headers or {})
+        # UA only if the caller didn't set one (client.go:64-67)
+        if not any(k.lower() == "user-agent" for k in h):
+            h["User-Agent"] = user_agent
+        self.session.headers.update(h)
+        if proxies:
+            self.session.proxies.update(proxies)
+
+    def _get_one(self, url: str) -> tuple[bytes | None, int, str | None, str | None]:
+        """→ (body, status, content_type, fetch_error)."""
+        import requests
+
+        try:
+            resp = self.session.get(
+                url, timeout=self.timeout_s, stream=True, allow_redirects=True
+            )
+        except requests.exceptions.Timeout:
+            # client.go:70-81: net timeout ⇒ 504 Gateway Timeout
+            return (
+                None,
+                504,
+                None,
+                f"{url} did not reply within {self.timeout_s} seconds",
+            )
+        except requests.exceptions.RequestException as e:
+            return None, 0, None, str(e)
+        with resp:
+            body = resp.raw.read(self.max_body_bytes + 1, decode_content=True)
+            if len(body) > self.max_body_bytes:
+                body = body[: self.max_body_bytes]
+            ctype = resp.headers.get("Content-Type", "text/html")
+            return body, int(resp.status_code), ctype, None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        urls = t["url"].to_pylist()
+        skip = (
+            t["cache_hit"].to_pylist()
+            if "cache_hit" in t.column_names
+            else [False] * n
+        )
+        htmls: list = [None] * n
+        statuses = [0] * n
+        ctypes: list = [None] * n
+        errs: list = [None] * n
+        for i, u in enumerate(urls):
+            if skip[i]:
+                statuses[i] = 200  # served from cache downstream
+                ctypes[i] = "text/html"
+                continue
+            htmls[i], statuses[i], ctypes[i], errs[i] = self._get_one(u)
+        t = t.append_column("html", pa.array(htmls, pa.binary()))
+        t = t.append_column("status_code", pa.array(statuses, pa.int32()))
+        t = t.append_column("content_type", pa.array(ctypes, pa.string()))
+        t = t.append_column("fetch_error", pa.array(errs, pa.string()))
+        return t

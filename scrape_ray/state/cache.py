@@ -192,6 +192,39 @@ def _lww_latest(t: pa.Table) -> pa.Table:
     return t.filter(pa.array(first))
 
 
+def _write_cache_parts(
+    urls_dir: str,
+    id_map_dir: str,
+    urls_tbl: pa.Table,
+    id_map_tbl: pa.Table,
+    seq: int,
+) -> None:
+    """Write one append's part files (shard-split urls + flat id_map).
+    Module-level so distributed saves can call it from map tasks."""
+    tag = uuid.uuid4().hex[:8]
+    if urls_tbl.num_rows:
+        if "seq" not in urls_tbl.column_names:
+            urls_tbl = urls_tbl.append_column(
+                "seq", pa.array([seq] * urls_tbl.num_rows, pa.int64())
+            )
+        ids = urls_tbl["id"].to_numpy()
+        shards = (ids >> np.uint64(56)).astype(np.int64)
+        for s in np.unique(shards):
+            d = os.path.join(urls_dir, _shard_dirname(int(s)))
+            os.makedirs(d, exist_ok=True)
+            part = urls_tbl.filter(pa.array(shards == s))
+            pq.write_table(part, os.path.join(d, f"part-{seq:08d}-{tag}.parquet"))
+    if id_map_tbl.num_rows:
+        if "seq" not in id_map_tbl.column_names:
+            id_map_tbl = id_map_tbl.append_column(
+                "seq", pa.array([seq] * id_map_tbl.num_rows, pa.int64())
+            )
+        pq.write_table(
+            id_map_tbl,
+            os.path.join(id_map_dir, f"part-{seq:08d}-{tag}.parquet"),
+        )
+
+
 def _unexpired(t: pa.Table, now: datetime) -> pa.Table:
     keep = pc.or_kleene(
         pc.is_null(t["expires"]),
@@ -231,35 +264,33 @@ class CacheStore:
 
     def append_tables(self, urls_tbl: pa.Table, id_map_tbl: pa.Table) -> None:
         seq = self._next_seq()
-        tag = uuid.uuid4().hex[:8]
-        if urls_tbl.num_rows:
-            if "seq" not in urls_tbl.column_names:
-                urls_tbl = urls_tbl.append_column(
-                    "seq", pa.array([seq] * urls_tbl.num_rows, pa.int64())
-                )
-            ids = urls_tbl["id"].to_numpy()
-            shards = (ids >> np.uint64(56)).astype(np.int64)
-            for s in np.unique(shards):
-                d = os.path.join(self.urls_dir, _shard_dirname(int(s)))
-                os.makedirs(d, exist_ok=True)
-                part = urls_tbl.filter(pa.array(shards == s))
-                pq.write_table(
-                    part, os.path.join(d, f"part-{seq:08d}-{tag}.parquet")
-                )
-        if id_map_tbl.num_rows:
-            if "seq" not in id_map_tbl.column_names:
-                id_map_tbl = id_map_tbl.append_column(
-                    "seq", pa.array([seq] * id_map_tbl.num_rows, pa.int64())
-                )
-            pq.write_table(
-                id_map_tbl,
-                os.path.join(self.id_map_dir, f"part-{seq:08d}-{tag}.parquet"),
-            )
+        _write_cache_parts(
+            self.urls_dir, self.id_map_dir, urls_tbl, id_map_tbl, seq
+        )
 
     def save_pages(self, wp: pa.Table, ttl_seconds: int = DEFAULT_TTL_SECONDS) -> int:
         urls_tbl, id_map_tbl = webpage_to_cache_tables(wp, ttl_seconds)
         self.append_tables(urls_tbl, id_map_tbl)
         return urls_tbl.num_rows
+
+    def save_pages_ds(self, wp_ds, ttl_seconds: int = DEFAULT_TTL_SECONDS) -> int:
+        """Distributed save: each map task converts its WebPage batch
+        and writes its own per-shard part files — page content never
+        passes through the driver. One seq is allocated for the whole
+        save (ids are unique within a save, so LWW ties can't arise
+        inside it; later saves get later seqs). Returns rows saved."""
+        seq = self._next_seq()
+        urls_dir, id_map_dir = self.urls_dir, self.id_map_dir
+
+        def _save(t: pa.Table) -> pa.Table:
+            urls_tbl, idm_tbl = webpage_to_cache_tables(t, ttl_seconds)
+            _write_cache_parts(urls_dir, id_map_dir, urls_tbl, idm_tbl, seq)
+            return pa.table({"saved": pa.array([urls_tbl.num_rows], pa.int64())})
+
+        stats = wp_ds.map_batches(
+            _save, batch_format="pyarrow", batch_size=None
+        ).to_pandas()  # one counter row per batch — tiny
+        return int(stats["saved"].sum()) if len(stats) else 0
 
     def delete_url(self, url: str) -> bool:
         """Delete by canonical URL key only; id_map aliases survive
@@ -533,6 +564,60 @@ class CacheStore:
         for p in files:
             os.remove(p)
 
+    # ------------------------------------------------------------- stats
+    STATS_MAX_AGE_S = 300  # sqlite/stats.go minStatsInterval analog
+
+    def stats(self, max_age_s: float | None = None) -> dict:
+        """G3 storage stats — the Parquet analog of the reference's
+        SQLite PRAGMA surface (database/sqlite/stats.go:38-104) plus its
+        filesystem block (``filesystemStats``). Metadata-only: row
+        counts come from parquet footers, never data reads. Cached for
+        STATS_MAX_AGE_S like the reference's minStatsInterval."""
+        import time
+
+        age = self.STATS_MAX_AGE_S if max_age_s is None else max_age_s
+        cached = getattr(self, "_stats_cache", None)
+        if cached is not None and time.monotonic() - cached[0] < age:
+            return cached[1]
+
+        per_shard = []
+        urls_rows = urls_bytes = 0
+        if os.path.isdir(self.urls_dir):
+            for entry in sorted(os.listdir(self.urls_dir)):
+                d = os.path.join(self.urls_dir, entry)
+                if not (entry.startswith("shard=") and os.path.isdir(d)):
+                    continue
+                files = [
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                ]
+                rows = sum(pq.read_metadata(p).num_rows for p in files)
+                nbytes = sum(os.path.getsize(p) for p in files)
+                per_shard.append(
+                    {
+                        "shard": int(entry.split("=", 1)[1]),
+                        "rows": rows,
+                        "bytes": nbytes,
+                        "files": len(files),
+                    }
+                )
+                urls_rows += rows
+                urls_bytes += nbytes
+        idm_files = self._part_files(self.id_map_dir)
+        out = {
+            "urls_rows": urls_rows,
+            "urls_bytes": urls_bytes,
+            "id_map_rows": sum(pq.read_metadata(p).num_rows for p in idm_files),
+            "id_map_bytes": sum(os.path.getsize(p) for p in idm_files),
+            "num_shards": len(per_shard),
+            "dirty_shards": len(self.dirty_shards()),
+            "per_shard": per_shard,
+            "filesystem": _filesystem_stats(self.root),
+        }
+        self._stats_cache = (time.monotonic(), out)
+        return out
+
     # -------------------------------------------------- distributed join
     BROADCAST_LIMIT_BYTES = 128 * 1024 * 1024
 
@@ -687,6 +772,22 @@ class CacheStore:
         return normalized_ds.map_batches(
             _probe, batch_format="pyarrow", batch_size=None
         )
+
+
+def _filesystem_stats(path: str) -> dict | None:
+    """stats.go filesystemStats analog via os.statvfs."""
+    try:
+        st = os.statvfs(path)
+    except OSError:
+        return None
+    mb = 1024 * 1024
+    return {
+        "path": path,
+        "total_mb": st.f_blocks * st.f_frsize // mb,
+        "used_mb": (st.f_blocks - st.f_bfree) * st.f_frsize // mb,
+        "free_mb": st.f_bfree * st.f_frsize // mb,
+        "avail_mb": st.f_bavail * st.f_frsize // mb,
+    }
 
 
 def _mark_all_miss(t: pa.Table) -> pa.Table:

@@ -1,0 +1,183 @@
+"""HttpFetcher vs a local http.server — the reference's fetcher test
+matrices (/root/reference/fetch/trafilatura/fetcher_test.go:19-272 and
+fetch/client_test.go) rebuilt on stdlib ``ThreadingHTTPServer``:
+status-code errors, redirect following, content-type gates, timeout ⇒
+504, UA injection/override, and the stage running inside the Ray
+pipeline (actor pool) end-to-end."""
+
+from __future__ import annotations
+
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pyarrow as pa
+import pytest
+
+from scrape_ray.stages.extract import ExtractStage
+from scrape_ray.stages.fetch_http import DEFAULT_USER_AGENT, HttpFetcher
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # quiet
+        pass
+
+    def do_GET(self):
+        p = self.path
+        if p.startswith("/code/"):
+            code = int(p.rsplit("/", 1)[1])
+            body = f"Err: {code}".encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif p.startswith("/redir/"):
+            code = int(p.rsplit("/", 1)[1])
+            self.send_response(code)
+            self.send_header("Location", "/ok")
+            self.end_headers()
+        elif p == "/ok":
+            body = b"<html><body>OK</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif p.startswith("/ct/"):
+            kind = p.rsplit("/", 1)[1]
+            ctype = {
+                "html": "text/html",
+                "xhtml": "application/xhtml+xml",
+                "text": "text/plain",
+                "xml": "application/xml",
+                "json": "application/json",
+                "unsupported": "application/unsupported",
+            }[kind]
+            body = b"<html><body>OK</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif p == "/slow":
+            time.sleep(1.0)
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"late")
+        elif p == "/ua":
+            ua = self.headers.get("User-Agent", "").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(ua)))
+            self.end_headers()
+            self.wfile.write(ua)
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _run(urls: list[str], **fetcher_kwargs) -> pa.Table:
+    t = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "original_url": pa.array(urls, pa.string()),
+        }
+    )
+    fetched = HttpFetcher(**fetcher_kwargs)(t)
+    return ExtractStage()(fetched)
+
+
+def test_status_code_errors_become_rows(server):
+    """fetcher_test.go:19-66 matrix: every 4xx/5xx is an error ROW with
+    the engine's error class, requested_url preserved, fetch_time set."""
+    codes = [400, 401, 403, 404, 429, 500, 503]
+    out = _run([f"{server}/code/{c}" for c in codes])
+    assert out.num_rows == len(codes)
+    for i, c in enumerate(codes):
+        assert out["error"][i].as_py() == f"HTTP error: {c}"
+        assert out["status_code"][i].as_py() == c
+        assert out["content_text"][i].as_py() is None
+        assert out["requested_url"][i].as_py() == f"{server}/code/{c}"
+        assert out["fetch_time"][i].as_py() is not None
+
+
+def test_redirects_followed(server):
+    """fetcher_test.go:68-111: 301/302/303/307/308 all land on /ok."""
+    codes = [301, 302, 303, 307, 308]
+    out = _run([f"{server}/redir/{c}" for c in codes])
+    for i in range(len(codes)):
+        assert out["error"][i].as_py() is None
+        assert out["content_text"][i].as_py() == "OK"
+
+
+def test_content_type_gate(server):
+    """fetcher_test.go:180-247: html/xhtml/text pass; xml/json/other
+    are unsupported-content-type error rows."""
+    out = _run(
+        [f"{server}/ct/{k}" for k in
+         ("html", "xhtml", "text", "xml", "json", "unsupported")]
+    )
+    for i in (0, 1, 2):
+        assert out["error"][i].as_py() is None
+    assert out["error"][3].as_py() == "unsupported content type: application/xml"
+    assert out["error"][4].as_py() == "unsupported content type: application/json"
+    assert (
+        out["error"][5].as_py()
+        == "unsupported content type: application/unsupported"
+    )
+
+
+def test_timeout_is_504_row(server):
+    """client.go:70-81 / fetcher_test.go:249-272: a timeout is a 504
+    Gateway Timeout row, not an exception."""
+    out = _run([f"{server}/slow"], timeout_s=0.2)
+    assert out["status_code"][0].as_py() == 504
+    assert out["error"][0].as_py() == "HTTP error: 504"
+
+
+def test_connection_refused_is_error_row():
+    # unroutable port on localhost — transport error, status 0
+    out = _run(["http://127.0.0.1:9/x"], timeout_s=2.0)
+    assert out["status_code"][0].as_py() == 0
+    err = out["error"][0].as_py()
+    assert err is not None and "HTTP error" not in err
+
+
+def test_user_agent_injected_and_overridable(server):
+    """client.go:64-67: default UA set only when headers don't carry
+    one; a caller-supplied User-Agent wins."""
+    out = _run([f"{server}/ua"])
+    assert out["content_text"][0].as_py() == DEFAULT_USER_AGENT
+    out = _run([f"{server}/ua"], headers={"User-Agent": "scrape-ray-test/1.0"})
+    assert out["content_text"][0].as_py() == "scrape-ray-test/1.0"
+
+
+def test_http_fetcher_in_ray_pipeline(server, ray_session):
+    """The stage as an actor pool inside fetch_extract: session built
+    once per actor, batches fetched over the wire, extract gates
+    applied — the wiring crawl/_run_epoch uses via fetch_concurrency."""
+    import ray.data
+
+    from scrape_ray.pipelines.spine import fetch_extract
+
+    urls = [f"{server}/ok" for _ in range(8)] + [f"{server}/code/404"]
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    ds = ray.data.from_arrow(t)
+    out = fetch_extract(
+        ds, fetcher=HttpFetcher, fetch_concurrency=2
+    ).to_pandas()
+    # normalize keeps localhost IP urls fetchable end-to-end
+    ok = out[out["error"].isna()]
+    bad = out[out["error"].notna()]
+    assert len(ok) == 8 and (ok["content_text"] == "OK").all()
+    assert len(bad) == 1 and bad["error"].iloc[0] == "HTTP error: 404"
