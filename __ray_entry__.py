@@ -331,9 +331,11 @@ def _q_domain_settings_scan(sf_dir: str) -> Any:
     """O1 exactly: the domain_settings range scan ``ORDER BY domain
     ASC LIMIT ? OFFSET ?`` (internal/settings/domain.go:156-212; cap
     1000, default 100) over a settings table derived from the corpus
-    hosts, with M14 validation and M17 UA expansion applied. Offset is
-    implemented as limit(offset+k) then a driver-side skip of the
-    first ``offset`` rows — sound because the sort is total."""
+    hosts, with M14 validation and M17 UA expansion applied. The
+    offset+limit is one ``Table.slice`` over the totally-sorted host
+    list. The oracle mirrors the M14 filter with the same label rules
+    in SQL, so equivalence holds even if a corpus host ever fails
+    validation."""
     import pyarrow as pa
     import ray.data
 
@@ -1048,12 +1050,24 @@ def oracle_sql() -> dict[str, str]:
               AND last_request + INTERVAL 7 DAY > TIMESTAMP '2024-06-02'
         """,
         "domain_settings_scan": f"""
-            WITH hosts AS (SELECT DISTINCT {_HOST} AS domain FROM documents)
+            -- M14 validation mirrored from functions/domains.py
+            -- validate_domain (length 4-253, >=2 labels, alpha TLD,
+            -- label charset/edge rules) so both sides filter alike
+            WITH hosts AS (
+                SELECT DISTINCT {_HOST} AS domain FROM documents
+            ), valid AS (
+                SELECT domain FROM hosts
+                WHERE length(domain) BETWEEN 4 AND 253
+                  AND regexp_matches(domain,
+                      '^([a-z0-9]([a-z0-9-]*[a-z0-9])?\\.)+[a-z]{{2,63}}$')
+                  AND len(list_filter(str_split(domain, '.'),
+                      x -> contains(x, '--') AND NOT starts_with(x, 'xn--'))) = 0
+            )
             SELECT domain,
                    'Site ' || domain AS sitename,
                    'direct' AS fetch_client,
                    'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/128.0.0.0 Safari/537.36' AS user_agent
-            FROM hosts ORDER BY domain LIMIT 20 OFFSET 5
+            FROM valid ORDER BY domain LIMIT 20 OFFSET 5
         """,
         "link_discovery": f"""
             WITH content AS (SELECT doc_id AS d FROM documents WHERE {_IS_CONTENT}),

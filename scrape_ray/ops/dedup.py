@@ -95,8 +95,13 @@ def word_ngrams(text: str, n: int = 3) -> set[str]:
 
 
 def word_ngram_list(text: str, n: int = 3) -> list[str]:
-    """Like word_ngrams but keeps duplicates (min/vote sketches are
-    duplicate-insensitive, and skipping the set is ~30% faster)."""
+    """Like word_ngrams but keeps duplicates (~30% faster than the
+    set). MinHash's min is duplicate-insensitive, so signatures are
+    unchanged; SimHash's per-bit VOTE is not — a repeated shingle votes
+    once per occurrence (multiset semantics; texts with unequally
+    repeated shingles hash differently than under set semantics).
+    ``simhash64_batch`` deliberately uses multiset voting — recompute,
+    don't mix, if comparing against set-semantics simhashes."""
     words = text.split()
     if len(words) < n:
         return [" ".join(words)] if words else []
@@ -258,12 +263,13 @@ class MinHashStage:
 
 
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm=64, bands=16, ngram=3,
-                      concurrency=None):
+                      concurrency=None, max_bucket_width: int | None = 4096):
     """Near-dup CANDIDATE pairs via MinHash+LSH (no exact verify —
     ``near_dup_pairs`` is the verified variant): signature per doc
-    (actor-pool map_batches) → explode to (band, bucket, id) → coarse
-    hash partitions → in-task bucketing → distinct pairs. Only
-    bucket-mates pair — never all pairs."""
+    (actor-pool map_batches) → explode to (band, bucket, id) — never
+    text — → coarse hash partitions → in-task bucketing → distinct
+    pairs. Only bucket-mates pair; buckets wider than
+    ``max_bucket_width`` truncate to star pairs (logged)."""
     kwargs = dict(
         fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, ngram=ngram
@@ -282,21 +288,15 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm=64, bands=16, ngr
             batch_size=2048,
         )
 
-    def _combine(t: pa.Table) -> pa.Table:
-        # one int64 bucket key = mix(band, bucket) for grouped_pairs
-        key = pc.bit_wise_xor(
-            pc.multiply(
-                pc.cast(t["band"], pa.int64()), pa.scalar(0x9E3779B9, pa.int64())
-            ),
-            pc.cast(
-                pc.bit_wise_and(t["bucket"], pa.scalar((1 << 62) - 1, pa.uint64())),
-                pa.int64(),
-            ),
-        )
-        return t.append_column("band_bucket", key)
-
-    keyed = banded.map_batches(_combine, batch_format="pyarrow", batch_size=None)
-    return _distinct_pairs(grouped_pairs(keyed, "band_bucket", id_col))
+    keyed = banded.map_batches(
+        _combine_band_bucket, batch_format="pyarrow", batch_size=None
+    )
+    pairs = _distinct_pairs(
+        grouped_pairs(keyed, "band_bucket", id_col, max_bucket_width=max_bucket_width)
+    )
+    if max_bucket_width is not None:
+        pairs = pairs.drop_columns(["truncated"])
+    return pairs
 
 
 def near_dup_pairs(
@@ -307,100 +307,161 @@ def near_dup_pairs(
     num_perm: int = 64,
     bands: int = 32,
     batch_size: int = 2048,
+    max_bucket_width: int | None = 4096,
+    num_partitions: int | None = None,
 ):
     """Verified near-duplicate pairs: MinHash-LSH candidate generation
-    followed by EXACT word-trigram Jaccard confirmation inside each
-    bucket group — output is exactly {pairs with J(a,b) ≥ threshold}
-    (probabilistic only in the negligible band-miss tail: with r=2,
-    b=32, P[miss | J=0.7] ≈ 5e-10).
+    followed by EXACT word-trigram Jaccard confirmation — output is
+    exactly {pairs with J(a,b) ≥ threshold} (probabilistic only in the
+    negligible band-miss tail: with r=2, b=32, P[miss | J=0.7] ≈ 5e-10),
+    except inside buckets wider than ``max_bucket_width``, where pair
+    emission is truncated to a star around the representative (logged;
+    cluster membership preserved, transitive pairs implied).
 
-    Scale note: the banded explode carries ``text`` (×bands shuffle
-    volume). At 100 TB, explode signature-only and re-join texts for
-    the verify stage on the bucket key; here the in-group verify keeps
-    the whole op to ONE shuffle.
+    Scale design (the 100 TB path): the banded explode carries ONLY
+    (id, band, bucket) — never text, so the LSH exchange moves
+    ~20 bytes × bands per doc instead of the document body × bands.
+    Texts are re-joined onto the (tiny) surviving candidate-pair set by
+    two hash joins on the doc id, and the Jaccard verify runs
+    vectorized per pair batch. Three narrow exchanges total, each a
+    small fraction of one text shuffle.
     """
-    import pandas as pd
+    import ray
 
-    hasher = MinHasher(num_perm=num_perm, ngram=3)
+    # two consumers (banding + the verify text joins): materialize the
+    # input once in the OBJECT STORE, never on the driver
+    docs = ds.materialize()
 
-    def _band(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        texts = t[text_col].to_pylist()
-        sigs = hasher.signatures_batch(texts)
-        buckets = _band_bucket_matrix(sigs, bands)
-        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
-        return pa.table(
-            {
-                id_col: pc.take(t[id_col].combine_chunks(), idx),
-                text_col: pc.take(t[text_col].combine_chunks(), idx),
-                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-                "bucket": pa.array(buckets.reshape(-1), pa.uint64()),
-            }
+    stage = MinHashStage(
+        text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, ngram=3
+    )
+    banded = docs.map_batches(stage, batch_format="pyarrow", batch_size=batch_size)
+    keyed = banded.map_batches(
+        _combine_band_bucket, batch_format="pyarrow", batch_size=None
+    )
+    cands = _distinct_pairs(
+        grouped_pairs(
+            keyed, "band_bucket", id_col, max_bucket_width=max_bucket_width
         )
+    )
 
-    banded = ds.map_batches(_band, batch_format="pyarrow", batch_size=batch_size)
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, min(64, cpus))
 
-    # ONE coarse exchange: hash the (band, bucket) key into P
-    # partitions, then each task builds its buckets locally. A
-    # per-(band,bucket) map_groups would invoke the UDF per *bucket*
-    # (~n_docs × bands groups) — measured 100× slower than this.
-    num_parts = 64
+    texts = docs.select_columns([id_col, text_col])
 
-    def _part(t: pa.Table) -> pa.Table:
-        part = pc.cast(
-            pc.bit_wise_and(
-                pc.add(
-                    pc.multiply(
-                        pc.cast(t["band"], pa.int64()), pa.scalar(1_000_003, pa.int64())
-                    ),
-                    pc.cast(pc.bit_wise_and(t["bucket"], pa.scalar((1 << 62) - 1, pa.uint64())), pa.int64()),
-                ),
-                pa.scalar(num_parts - 1, pa.int64()),
-            ),
-            pa.int32(),
+    def _rename_to(col: str):
+        def _f(t: pa.Table) -> pa.Table:
+            drop = [c for c in (id_col,) if c in t.column_names]
+            t = t.drop_columns(drop) if drop else t
+            i = t.column_names.index(text_col)
+            return t.set_column(i, col, t[text_col])
+
+        return _f
+
+    j = cands.join(
+        texts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("id_a",),
+        right_on=(id_col,),
+    ).map_batches(_rename_to("__text_a"), batch_format="pyarrow", batch_size=None)
+    j = j.join(
+        texts,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("id_b",),
+        right_on=(id_col,),
+    ).map_batches(_rename_to("__text_b"), batch_format="pyarrow", batch_size=None)
+
+    def _verify(t: pa.Table) -> pa.Table:
+        a = t["__text_a"].to_pylist()
+        b = t["__text_b"].to_pylist()
+        cache: dict = {}
+
+        def sh(i, txt):
+            v = cache.get(i)
+            if v is None:
+                v = cache[i] = word_ngrams(txt or "", 3)
+            return v
+
+        ids_a = t["id_a"].to_pylist()
+        ids_b = t["id_b"].to_pylist()
+        keep = [
+            jaccard(sh(ia, ta), sh(ib, tb)) >= threshold
+            for ia, ta, ib, tb in zip(ids_a, a, ids_b, b)
+        ]
+        return t.filter(pa.array(keep)).select(["id_a", "id_b"])
+
+    return j.map_batches(_verify, batch_format="pyarrow", batch_size=None)
+
+
+def _combine_band_bucket(t: pa.Table) -> pa.Table:
+    """(band, bucket) → one int64 bucket key for grouped_pairs."""
+    key = pc.bit_wise_xor(
+        pc.multiply(
+            pc.cast(t["band"], pa.int64()), pa.scalar(0x9E3779B9, pa.int64())
+        ),
+        pc.cast(
+            pc.bit_wise_and(t["bucket"], pa.scalar((1 << 62) - 1, pa.uint64())),
+            pa.int64(),
+        ),
+    )
+    return t.append_column("band_bucket", key)
+
+
+def _emit_bucket_pairs(members, cap, out_a, out_b, out_t, seen_pairs=None):
+    """Append a bucket's pairs. Past ``cap`` members the full O(N²)
+    emission is truncated to a STAR around the min id (every member
+    still pairs with the cluster representative, so connected
+    components / cluster ids survive; transitive pairs are implied) —
+    the skewed-bucket guard for boilerplate-heavy corpora. Truncated
+    rows are flagged; the event is logged once per bucket."""
+    ms = sorted(set(members))
+    if len(ms) < 2:
+        return
+    if cap is not None and len(ms) > cap:
+        import logging
+
+        logging.getLogger("scrape_ray.ops.dedup").warning(
+            "bucket width %d > cap %d: emitting %d star pairs instead of "
+            "%d full pairs",
+            len(ms), cap, len(ms) - 1, len(ms) * (len(ms) - 1) // 2,
         )
-        return t.append_column("part", part)
-
-    def _verify_part(g: pd.DataFrame) -> pd.DataFrame:
-        from collections import defaultdict
-
-        buckets: dict = defaultdict(list)
-        for i, b, k in zip(g[id_col], g["band"], g["bucket"]):
-            buckets[(b, k)].append(i)
-        texts = dict(zip(g[id_col], g[text_col]))
-        seen_pairs = set()
-        shingle_cache: dict = {}
-
-        def sh(i):
-            if i not in shingle_cache:
-                shingle_cache[i] = word_ngrams(texts[i] or "", 3)
-            return shingle_cache[i]
-
-        out_a, out_b = [], []
-        for members in buckets.values():
-            if len(members) < 2:
-                continue
-            ms = sorted(set(members))
-            for x in range(len(ms)):
-                for y in range(x + 1, len(ms)):
-                    p = (ms[x], ms[y])
-                    if p in seen_pairs:
-                        continue
-                    seen_pairs.add(p)
-                    if jaccard(sh(p[0]), sh(p[1])) >= threshold:
-                        out_a.append(p[0])
-                        out_b.append(p[1])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
-
-    pairs = banded.map_batches(_part, batch_format="pyarrow", batch_size=None)
-    pairs = pairs.groupby("part").map_groups(_verify_part, batch_format="pandas")
-    return _distinct_pairs(pairs)
+        rep = ms[0]
+        for m in ms[1:]:
+            p = (rep, m)
+            if seen_pairs is not None:
+                if p in seen_pairs:
+                    continue
+                seen_pairs.add(p)
+            out_a.append(rep)
+            out_b.append(m)
+            out_t.append(True)
+        return
+    for x in range(len(ms)):
+        for y in range(x + 1, len(ms)):
+            p = (ms[x], ms[y])
+            if seen_pairs is not None:
+                if p in seen_pairs:
+                    continue
+                seen_pairs.add(p)
+            out_a.append(ms[x])
+            out_b.append(ms[y])
+            out_t.append(False)
 
 
-def grouped_pairs(ds, key_col: str, id_col: str, num_parts: int = 64):
+def grouped_pairs(ds, key_col: str, id_col: str, num_parts: int = 64,
+                  max_bucket_width: int | None = None):
     """All (id_a < id_b) pairs sharing ``key_col`` — one coarse hash
     exchange (num_parts partitions), in-task bucketing. The building
-    block for fingerprint/exact-content dup-pair reports."""
+    block for fingerprint/exact-content dup-pair reports.
+
+    ``max_bucket_width``: past this many members a bucket emits star
+    pairs around its min id instead of all N² pairs (see
+    ``_emit_bucket_pairs``) and the output gains a bool ``truncated``
+    column. None (default) keeps exact full-pair semantics."""
     import pandas as pd
 
     def _part(t: pa.Table) -> pa.Table:
@@ -419,14 +480,15 @@ def grouped_pairs(ds, key_col: str, id_col: str, num_parts: int = 64):
         buckets: dict = defaultdict(list)
         for i, k in zip(g[id_col], g[key_col]):
             buckets[k].append(i)
-        out_a, out_b = [], []
+        out_a: list = []
+        out_b: list = []
+        out_t: list = []
         for members in buckets.values():
-            ms = sorted(set(members))
-            for x in range(len(ms)):
-                for y in range(x + 1, len(ms)):
-                    out_a.append(ms[x])
-                    out_b.append(ms[y])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+            _emit_bucket_pairs(members, max_bucket_width, out_a, out_b, out_t)
+        cols = {"id_a": out_a, "id_b": out_b}
+        if max_bucket_width is not None:
+            cols["truncated"] = out_t
+        return pd.DataFrame(cols)
 
     parted = ds.map_batches(_part, batch_format="pyarrow", batch_size=None)
     return parted.groupby("__part").map_groups(_pairs, batch_format="pandas")
@@ -507,13 +569,17 @@ def simhash_dup_pairs(
     max_hamming: int = 3,
     ngram: int = 3,
     batch_size: int = 2048,
+    max_bucket_width: int | None = 4096,
 ):
     """SimHash near-dup pairs with EXACT recall: split the 64-bit
     simhash into ``max_hamming + 1`` blocks — any pair within the
     hamming radius shares ≥1 identical block (pigeonhole), so
     bucketing by (block_idx, block_value) plus an in-bucket hamming
     verify finds exactly {pairs: hamming(a,b) ≤ max_hamming}. One
-    shuffle (the bucket groupby), ×(max_hamming+1) explode."""
+    shuffle (the bucket groupby), ×(max_hamming+1) explode of narrow
+    columns only. Buckets wider than ``max_bucket_width`` truncate to
+    star candidates around the representative (logged) before the
+    hamming verify — the skew guard for boilerplate corpora."""
     import pandas as pd
 
     nblocks = max_hamming + 1
@@ -570,23 +636,22 @@ def simhash_dup_pairs(
         for i, b, v in zip(g[id_col], g["block"], g["block_val"]):
             buckets[(b, v)].append(i)
         hashes = dict(zip(g[id_col], g["simhash"]))
-        seen_pairs = set()
-        out_a, out_b, out_d = [], [], []
+        seen_pairs: set = set()
+        cand_a: list = []
+        cand_b: list = []
+        cand_t: list = []
         for members in buckets.values():
-            if len(members) < 2:
-                continue
-            ms = sorted(set(members))
-            for x in range(len(ms)):
-                for y in range(x + 1, len(ms)):
-                    p = (ms[x], ms[y])
-                    if p in seen_pairs:
-                        continue
-                    seen_pairs.add(p)
-                    d = bin(int(hashes[p[0]]) ^ int(hashes[p[1]])).count("1")
-                    if d <= max_hamming:
-                        out_a.append(p[0])
-                        out_b.append(p[1])
-                        out_d.append(d)
+            _emit_bucket_pairs(
+                members, max_bucket_width, cand_a, cand_b, cand_t,
+                seen_pairs=seen_pairs,
+            )
+        out_a, out_b, out_d = [], [], []
+        for a, b in zip(cand_a, cand_b):
+            d = bin(int(hashes[a]) ^ int(hashes[b])).count("1")
+            if d <= max_hamming:
+                out_a.append(a)
+                out_b.append(b)
+                out_d.append(d)
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
 
     pairs = banded.map_batches(_part, batch_format="pyarrow", batch_size=None)

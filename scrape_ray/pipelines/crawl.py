@@ -188,13 +188,20 @@ DISCOVERY_SEQ_BASE = 1 << 40  # child seqs never collide with seed seqs
 MAX_LINKS_PER_PAGE = 64
 
 
+def _count_links(t: pa.Table) -> pa.Table:
+    n = sum(len(ls) if ls is not None else 0 for ls in t["links"].to_pylist())
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
 def _explode_links(t: pa.Table) -> pa.Table:
     """(links, seed_seq) → one frontier row per discovered link, with
     a deterministic child seed_seq = BASE + (parent % BASE)*64 + idx.
     The modulo keeps chained discovery (children of children) bounded
     in int64 at any depth; cross-generation seq collisions are rare
     and harmless — crawl_order breaks remaining ties on requested_url,
-    so emission order stays total and deterministic."""
+    so emission order stays total and deterministic. Links past
+    MAX_LINKS_PER_PAGE are dropped; the epoch manifest counts them
+    (``links_dropped``)."""
     from scrape_ray.functions.keys import key_columns
 
     urls: list[str] = []
@@ -312,6 +319,7 @@ def _run_epoch(
         batch_format="pyarrow",
     )
     n_disc = 0
+    n_links_dropped = 0
     if discover:
         # two consumers (links → next frontier, pages → output):
         # materialize once in the object store, never on the driver
@@ -320,6 +328,15 @@ def _run_epoch(
             _explode_links, batch_format="pyarrow", batch_size=None
         ).materialize()
         n_disc = links_ds.count()
+        # surface the MAX_LINKS_PER_PAGE truncation instead of silently
+        # narrowing discovery coverage
+        n_links_total = int(
+            pages.select_columns(["links"])
+            .map_batches(_count_links, batch_format="pyarrow", batch_size=None)
+            .sum("n")
+            or 0
+        )
+        n_links_dropped = n_links_total - n_disc
         if n_disc:
             store.write_frontier_ds(links_ds, epoch + 1)
         pages = pages.drop_columns(["links"])
@@ -368,6 +385,7 @@ def _run_epoch(
         "extracted": n_out,
         "deferred": n_defer,
         "discovered": n_disc,
+        "links_dropped": n_links_dropped,
         "seen_added": newly,
     }
     return store.commit(

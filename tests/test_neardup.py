@@ -69,3 +69,45 @@ def test_embedding_dup_pairs(ray_session):
     out = embedding_dup_pairs(ds, "embedding", "vec_id", threshold=0.999).to_pandas()
     got = set(map(tuple, out[["id_a", "id_b"]].values.tolist()))
     assert got == {(4, 10)}
+
+
+def test_wide_bucket_truncates_to_star_pairs(ray_session):
+    """Skew guard: N identical docs (one giant LSH bucket) must NOT
+    emit O(N^2) pairs — past max_bucket_width the bucket truncates to a
+    star around the representative, so the output is N-1 pairs and the
+    job finishes quickly."""
+    import time
+
+    import ray.data
+
+    n = 5000
+    text = "the same boilerplate sentence repeated across every page " * 5
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": text} for i in range(n)]
+    )
+    t0 = time.monotonic()
+    out = near_dup_pairs(
+        ds, threshold=0.7, max_bucket_width=64
+    ).to_pandas()
+    elapsed = time.monotonic() - t0
+    # star pairs only: every pair anchored at the min id
+    assert len(out) == n - 1
+    assert (out["id_a"] == 0).all()
+    assert set(out["id_b"]) == set(range(1, n))
+    assert elapsed < 120  # N^2 would emit 12.5M pairs here
+
+
+def test_simhash_wide_bucket_truncates(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.dedup import simhash_dup_pairs
+
+    n = 2000
+    text = "identical page content for the simhash pigeonhole buckets " * 4
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": text} for i in range(n)]
+    )
+    out = simhash_dup_pairs(ds, max_hamming=3, max_bucket_width=64).to_pandas()
+    assert len(out) == n - 1
+    assert (out["id_a"] == 0).all()
+    assert (out["hamming"] == 0).all()
