@@ -164,9 +164,14 @@ class CuckooFilter:
 
 
 class SeenShardState:
-    """One shard's two-tier seen set: cuckoo fast path + exact
-    ``{key: fetch_epoch_s}`` map. Pure-Python object so it is testable
-    without Ray; the Ray actor below is a thin wrapper.
+    """One shard's two-tier seen set: cuckoo fast path + exact tier as
+    SORTED uint64/int64 numpy arrays (16 bytes per key — a Python dict
+    costs ~100; at 10^8 keys/shard the dict dies, the arrays don't).
+    Membership is a vectorized ``searchsorted``; adds buffer new keys
+    in a small bounded dict and merge-sort it into the main arrays
+    once it reaches ``_MERGE_THRESHOLD`` (amortized O(log n) per key).
+    Pure-Python object so it is testable without Ray; the Ray actor
+    below is a thin wrapper.
 
     TTL semantics mirror the reference's cache-expiry rule
     (internal/storage/storage.go:184-186, test storage_test.go:192-218):
@@ -175,10 +180,23 @@ class SeenShardState:
     caller-supplied epoch seconds (logical clock), never wall clock,
     so expiry is deterministic under any parallelism."""
 
+    _MERGE_THRESHOLD = 1 << 16
+
     def __init__(self, shard_id: int, capacity: int = 1 << 16) -> None:
         self.shard_id = shard_id
         self.filter = CuckooFilter(capacity, seed=shard_id)
-        self.exact: dict[int, int] = {}  # key → fetch time (epoch s)
+        self._keys = np.empty(0, dtype=np.uint64)   # sorted
+        self._times = np.empty(0, dtype=np.int64)   # aligned with _keys
+        self._pending: dict[int, int] = {}          # bounded overlay
+
+    # ------------------------------------------------------------ lookup
+    def _find_main(self, keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(found mask, positions) of keys in the sorted main tier."""
+        if not len(self._keys):
+            return np.zeros(len(keys), dtype=bool), np.zeros(len(keys), np.int64)
+        pos = np.searchsorted(self._keys, keys)
+        pos = np.clip(pos, 0, len(self._keys) - 1)
+        return self._keys[pos] == keys, pos
 
     def contains(
         self, keys: np.ndarray, min_fetch_time: int | None = None
@@ -192,49 +210,123 @@ class SeenShardState:
             # exact confirmation — a cuckoo false-positive must not
             # drop a URL (reference PK semantics are exact)
             idx = np.where(maybe)[0]
-            ex = self.exact
+            sub = keys[idx]
+            found, pos = self._find_main(sub)
+            times = (
+                np.where(found, self._times[pos], np.int64(-1))
+                if len(self._times)
+                else np.full(len(sub), -1, dtype=np.int64)
+            )
+            if self._pending:
+                pend = self._pending
+                for j in np.flatnonzero(~found):
+                    t = pend.get(int(sub[j]))
+                    if t is not None:
+                        found[j] = True
+                        times[j] = t
             if min_fetch_time is None:
-                out[idx] = [int(k) in ex for k in keys[idx]]
+                out[idx] = found
             else:
-                out[idx] = [
-                    ex.get(int(k), -1) >= min_fetch_time for k in keys[idx]
-                ]
+                out[idx] = found & (times >= min_fetch_time)
         return out
 
+    # ------------------------------------------------------------- write
     def add(self, keys: np.ndarray, fetch_time: int = 0) -> int:
         """Insert/refresh keys at ``fetch_time``. Returns the number
         not previously present (refreshed entries update their time
-        but don't count as new — LWW upsert semantics, G1)."""
+        but don't count as new — LWW upsert semantics, G1). Batches at
+        least ``_MERGE_THRESHOLD`` wide merge straight into the sorted
+        arrays (one concatenate + argsort), bypassing the dict."""
         keys = np.asarray(keys, dtype=np.uint64)
         if not len(keys):
             return 0
         keys = np.unique(keys)
+        # grow the cuckoo filter ahead of over-capacity inserts (a full
+        # filter silently drops keys ⇒ false NEGATIVES ⇒ refetches)
+        cap = self.filter.num_buckets * _SLOTS
+        if self.filter.count + len(keys) > int(0.90 * cap):
+            self._rebuild_filter(max((self.filter.count + len(keys)) * 2, cap * 2))
         in_filter = self.filter.contains(keys)
         self.filter.add(keys[~in_filter])
-        fresh = 0
-        ex = self.exact
         t = int(fetch_time)
-        for k in keys:
+        if len(keys) >= self._MERGE_THRESHOLD:
+            self._merge_pending()  # bulk path needs an empty overlay
+        found, pos = self._find_main(keys)
+        if found.any():
+            # refresh existing entries in place (vectorized max)
+            np.maximum.at(self._times, pos[found], t)
+        new = keys[~found]
+        if len(new) >= self._MERGE_THRESHOLD:
+            # pending is empty and `new` ∉ main: all fresh, one merge
+            order_keys = np.concatenate([self._keys, new])
+            order_times = np.concatenate(
+                [self._times, np.full(len(new), t, dtype=np.int64)]
+            )
+            order = np.argsort(order_keys, kind="stable")
+            self._keys = np.ascontiguousarray(order_keys[order])
+            self._times = np.ascontiguousarray(order_times[order])
+            return len(new)
+        fresh = 0
+        pend = self._pending
+        for k in new:
             ki = int(k)
-            if ki not in ex:
+            old = pend.get(ki)
+            if old is None:
                 fresh += 1
-            ex[ki] = max(t, ex.get(ki, t))
+                pend[ki] = t
+            elif t > old:
+                pend[ki] = t
+        if len(pend) >= self._MERGE_THRESHOLD:
+            self._merge_pending()
         return fresh
 
+    def _rebuild_filter(self, capacity: int) -> None:
+        f = CuckooFilter(capacity, seed=self.shard_id)
+        if len(self._keys):
+            f.add(self._keys)
+        if self._pending:
+            f.add(
+                np.fromiter(
+                    self._pending.keys(), dtype=np.uint64, count=len(self._pending)
+                )
+            )
+        self.filter = f
+
+    def _merge_pending(self) -> None:
+        if not self._pending:
+            return
+        n = len(self._pending)
+        pk = np.fromiter(self._pending.keys(), dtype=np.uint64, count=n)
+        pt = np.fromiter(self._pending.values(), dtype=np.int64, count=n)
+        order = np.argsort(pk, kind="stable")
+        keys = np.concatenate([self._keys, pk[order]])
+        times = np.concatenate([self._times, pt[order]])
+        order = np.argsort(keys, kind="stable")
+        self._keys = np.ascontiguousarray(keys[order])
+        self._times = np.ascontiguousarray(times[order])
+        self._pending = {}
+
     def __len__(self) -> int:
-        return len(self.exact)
+        return len(self._keys) + len(self._pending)
+
+    def mem_bytes(self) -> int:
+        """Structural memory of the exact tier + filter (the test
+        budget: < 200 MB per 10 M keys)."""
+        return (
+            self._keys.nbytes
+            + self._times.nbytes
+            + self.filter.table.nbytes
+            + len(self._pending) * 100  # dict overhead estimate
+        )
 
     # ------------------------------------------------------- persistence
     def snapshot(self, path: str) -> None:
-        n = len(self.exact)
-        keys = np.fromiter(self.exact.keys(), dtype=np.uint64, count=n)
-        order = np.argsort(keys)
-        times = np.fromiter(self.exact.values(), dtype=np.int64, count=n)
+        self._merge_pending()
         pq.write_table(
             pa.table(
                 {
-                    "key": pa.array(keys[order], pa.uint64()),
-                    "fetch_time": pa.array(times[order], pa.int64()),
+                    "key": pa.array(self._keys, pa.uint64()),
+                    "fetch_time": pa.array(self._times, pa.int64()),
                 }
             ),
             path,
@@ -252,10 +344,12 @@ class SeenShardState:
                 else np.zeros(len(keys), dtype=np.int64)
             )
             if len(keys):
+                order = np.argsort(keys, kind="stable")
+                st._keys = np.ascontiguousarray(keys[order])
+                st._times = np.ascontiguousarray(times[order])
                 cap = max(capacity, int(len(keys) * 1.3))
                 st.filter = CuckooFilter(cap, seed=shard_id)
-                st.filter.add(keys)
-                st.exact = {int(k): int(tm) for k, tm in zip(keys, times)}
+                st.filter.add(st._keys)
         return st
 
 

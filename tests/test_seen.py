@@ -79,3 +79,59 @@ def test_filter_unseen_dataset(ray_session):
     ds = ray.data.from_arrow(t)
     out = filter_unseen(ds, actors).to_pandas()
     assert sorted(out["key"]) == [int(k) for k in keys if k % 2 == 1]
+
+
+def test_ttl_expiry_semantics():
+    st = SeenShardState(1, capacity=1024)
+    keys = np.arange(10, dtype=np.uint64) * 13 + 1
+    st.add(keys, fetch_time=100)
+    assert st.contains(keys, min_fetch_time=50).all()   # fresh
+    assert not st.contains(keys, min_fetch_time=150).any()  # expired
+    # refresh bumps the stored time (LWW max)
+    st.add(keys[:5], fetch_time=200)
+    got = st.contains(keys, min_fetch_time=150)
+    assert got[:5].all() and not got[5:].any()
+    # an older re-add never regresses the time
+    st.add(keys[:5], fetch_time=120)
+    assert st.contains(keys[:5], min_fetch_time=150).all()
+
+
+def test_pending_overlay_and_merge():
+    """Keys are visible immediately from the pending overlay and
+    survive the merge into the sorted arrays."""
+    st = SeenShardState(3, capacity=1 << 12)
+    a = np.arange(100, dtype=np.uint64) * 3 + 7
+    st.add(a, fetch_time=10)
+    assert st.contains(a).all()          # served from pending
+    st._merge_pending()
+    assert st.contains(a).all()          # served from main
+    b = a + 1
+    st.add(b, fetch_time=20)             # pending again
+    assert st.contains(b, min_fetch_time=15).all()
+    assert st.contains(a, min_fetch_time=15).sum() == 0
+    assert len(st) == 200
+
+
+def test_ten_million_keys_bounded_memory():
+    """VERDICT round-1 #6: the exact tier must hold 10M keys/shard in
+    sorted arrays (< 200 MB structural), with the cuckoo filter grown
+    — not silently dropping keys — and membership still exact."""
+    st = SeenShardState(0, capacity=1 << 16)
+    rng = np.random.RandomState(42)
+    total = 10_000_000
+    step = 1_000_000
+    added = 0
+    for i in range(total // step):
+        keys = rng.randint(0, 1 << 62, size=step).astype(np.uint64)
+        added += st.add(keys, fetch_time=i)
+    assert len(st) == added  # dups across batches counted once
+    assert st.mem_bytes() < 200 * 1024 * 1024, st.mem_bytes()
+    # spot-check exactness after all merges
+    probe = st._keys[:: len(st._keys) // 1000]
+    assert st.contains(probe).all()
+    absent = probe + np.uint64(1)
+    hits = st.contains(absent)
+    # absent keys may cuckoo-collide but must be killed by the exact
+    # tier (only true members of _keys can return True)
+    in_main = np.isin(absent, st._keys)
+    assert (hits == in_main).all()
