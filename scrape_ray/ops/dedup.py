@@ -671,7 +671,9 @@ def embedding_dup_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.95,
     state = {"planes": None, "seed": seed, "n_planes": n_planes}
 
     def _bucket(t: pa.Table) -> pa.Table:
-        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float32)
+        from scrape_ray.util import vecs_to_numpy
+
+        vecs = vecs_to_numpy(t[vec_col])
         if state["planes"] is None or state["planes"].shape[1] != vecs.shape[1]:
             rng = np.random.RandomState(state["seed"])
             state["planes"] = rng.normal(size=(state["n_planes"], vecs.shape[1])).astype(

@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from scrape_ray.util import vecs_to_numpy
+
 
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -63,7 +65,7 @@ def brute_force_topk(
 
     def _local_topk(t: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float32)
+        vecs = vecs_to_numpy(t[vec_col])
         ids = t[id_col].to_numpy()
         sims = _normalize_rows(vecs) @ q.T  # (B, nq)
         kk = min(k, len(ids))
@@ -160,7 +162,7 @@ def ivf_topk(
 
     def _probe_topk(t: pa.Table) -> pa.Table:
         centroids, q, probe_cells = ray.get(state_ref)
-        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float32)
+        vecs = vecs_to_numpy(t[vec_col])
         ids = t[id_col].to_numpy()
         vn = _normalize_rows(vecs)
         cells = np.argmax(vn @ centroids.T, axis=1)

@@ -468,6 +468,15 @@ class ExtractStage:
             if "cache_hit" in batch.column_names
             else [False] * n
         )
+        if any(hits):
+            # pull the c_* columns into plain lists ONCE instead of
+            # chained per-row ChunkedArray indexing inside the loop
+            c_url = batch["c_url"].to_pylist()
+            c_parsed = batch["c_parsed_url"].to_pylist()
+            c_ft = batch["c_fetch_time"].to_pylist()
+            c_fm = batch["c_fetch_method"].to_pylist()
+            c_meta = batch["c_metadata"].to_pylist()
+            c_text = batch["c_content_text"].to_pylist()
 
         fetch_time = self.fixed_fetch_time or datetime.utcnow().replace(microsecond=0)
         fetch_times = [fetch_time] * n
@@ -492,12 +501,12 @@ class ExtractStage:
 
                 rec = cache_row_to_webpage(
                     {
-                        "url": batch["c_url"][i].as_py(),
-                        "parsed_url": batch["c_parsed_url"][i].as_py(),
-                        "fetch_time": batch["c_fetch_time"][i].as_py(),
-                        "fetch_method": batch["c_fetch_method"][i].as_py(),
-                        "metadata": batch["c_metadata"][i].as_py(),
-                        "content_text": batch["c_content_text"][i].as_py(),
+                        "url": c_url[i],
+                        "parsed_url": c_parsed[i],
+                        "fetch_time": c_ft[i],
+                        "fetch_method": c_fm[i],
+                        "metadata": c_meta[i],
+                        "content_text": c_text[i],
                     },
                     original_url=originals[i],
                 )

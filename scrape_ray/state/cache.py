@@ -87,18 +87,22 @@ def webpage_to_cache_tables(
     mask = pc.is_null(wp["error"])
     wp = wp.filter(mask)
     n = wp.num_rows
-    cols = {name: wp[name].to_pylist() for name in wp.column_names}
+    # only the NARROW metadata fields cross into Python — content_text
+    # (the wide column) stays zero-copy Arrow, expires is an Arrow
+    # timestamp+duration kernel
+    present = [f for f in _META_FIELDS if f in wp.column_names]
+    meta_cols = {f: wp[f].to_pylist() for f in present}
 
-    canonical = cols["url"]
-    requested = cols["requested_url"]
+    canonical = wp["url"].to_pylist()
+    requested = wp["requested_url"].to_pylist()
     can_keys = url_keys(canonical)
     req_keys = url_keys(requested)
 
     metas = []
     for i in range(n):
         m = {}
-        for f in _META_FIELDS:
-            v = cols.get(f, [None] * n)[i]
+        for f in present:
+            v = meta_cols[f][i]
             if v is None or v == [] or v == "":
                 continue  # omit-empty JSON, like Go marshaling
             if isinstance(v, datetime):
@@ -106,23 +110,24 @@ def webpage_to_cache_tables(
             m[f] = v
         metas.append(json.dumps(m, sort_keys=True, separators=(",", ":")))
 
-    fetch_time = cols["fetch_time"]
-    expires = [
-        None if ft is None else datetime.fromtimestamp(ft.timestamp() + ttl_seconds)
-        for ft in fetch_time
-    ]
+    fetch_time = pc.cast(wp["fetch_time"], pa.timestamp("us")).combine_chunks()
+    expires = pc.add(
+        fetch_time, pa.scalar(ttl_seconds * 1_000_000, pa.duration("us"))
+    )
     urls_tbl = pa.table(
         {
             "id": pa.array(can_keys, pa.uint64()),
             "url": pa.array(canonical, pa.string()),
             "parsed_url": pa.array(requested, pa.string()),
-            "fetch_time": pa.array(fetch_time, pa.timestamp("us")),
-            "fetch_method": wp["fetch_method"].combine_chunks()
+            "fetch_time": fetch_time,
+            "fetch_method": pc.cast(wp["fetch_method"], pa.int8()).combine_chunks()
             if "fetch_method" in wp.column_names
             else pa.array([1] * n, pa.int8()),
-            "expires": pa.array(expires, pa.timestamp("us")),
+            "expires": expires,
             "metadata": pa.array(metas, pa.string()),
-            "content_text": pa.array(cols["content_text"], pa.large_string()),
+            "content_text": pc.cast(
+                wp["content_text"], pa.large_string()
+            ).combine_chunks(),
         },
         schema=CACHE_SCHEMA,
     )

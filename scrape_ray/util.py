@@ -16,3 +16,28 @@ def dataset_to_table(ds) -> pa.Table:
     if not tables:
         return ds.schema().base_schema.empty_table()
     return pa.concat_tables(tables, promote_options="default")
+
+
+def vecs_to_numpy(col) -> "np.ndarray":
+    """Embedding column (``list<float>`` / ``fixed_size_list``) →
+    (n, d) float32 matrix, ZERO-COPY from the Arrow buffer when the
+    layout allows (uniform widths, no nulls) — ``to_pylist()`` on a
+    vector column copies every element through Python objects."""
+    import numpy as np
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), d).astype(np.float32, copy=False)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        offsets = arr.offsets.to_numpy()
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all() and arr.null_count == 0:
+            flat = arr.values.to_numpy(zero_copy_only=False)
+            return (
+                flat[offsets[0] : offsets[-1]]
+                .reshape(len(arr), int(widths[0]))
+                .astype(np.float32, copy=False)
+            )
+    return np.array(arr.to_pylist(), dtype=np.float32)
