@@ -321,16 +321,19 @@ def near_dup_pairs(
     Scale design (the 100 TB path): the banded explode carries ONLY
     (id, band, bucket) — never text, so the LSH exchange moves
     ~20 bytes × bands per doc instead of the document body × bands.
-    Texts are re-joined onto the (tiny) surviving candidate-pair set by
-    two hash joins on the doc id, and the Jaccard verify runs
-    vectorized per pair batch. Three narrow exchanges total, each a
-    small fraction of one text shuffle.
+    The candidate-pair ID SET (narrow int pairs, bounded by the op's
+    own output scale) is broadcast once and used to filter the corpus
+    down to candidate texts — a broadcast semi-join, so the verify
+    joins shuffle only candidate rows, never the full text table.
     """
     import ray
+    import ray.data
 
-    # two consumers (banding + the verify text joins): materialize the
-    # input once in the OBJECT STORE, never on the driver
-    docs = ds.materialize()
+    # ds is consumed twice (banding + the candidate-text filter). Ray
+    # re-executes the input lineage per consumer — fine for a parquet
+    # read (columnar, pruned); pre-``materialize()`` the input yourself
+    # if its upstream is expensive.
+    docs = ds
 
     stage = MinHashStage(
         text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, ngram=3
@@ -339,17 +342,93 @@ def near_dup_pairs(
     keyed = banded.map_batches(
         _combine_band_bucket, batch_format="pyarrow", batch_size=None
     )
-    cands = _distinct_pairs(
-        grouped_pairs(
-            keyed, "band_bucket", id_col, max_bucket_width=max_bucket_width
-        )
+    raw_pairs = grouped_pairs(
+        keyed, "band_bucket", id_col, max_bucket_width=max_bucket_width
     )
+
+    # the candidate PAIR TABLE is the only thing that touches the
+    # driver — two int columns at candidate scale (≈ output scale),
+    # not data. Since it's here anyway for the broadcast, the
+    # cross-band dedup happens driver-side (one lexsort) instead of a
+    # distributed exchange.
+    id_parts = [
+        t.select(["id_a", "id_b"])
+        for t in ray.get(raw_pairs.to_arrow_refs())
+        if t.num_rows
+    ]
+    if not id_parts:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+        )
+    pair_t = pa.concat_tables(id_parts)
+    a = pair_t["id_a"].to_numpy()
+    b = pair_t["id_b"].to_numpy()
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.ones(len(a), dtype=bool)
+    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    a, b = a[first], b[first]
+    cands = ray.data.from_arrow(
+        pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+    )
+    cand_ids = np.unique(np.concatenate([a, b]))
+    ids_ref = ray.put(cand_ids)
+
+    def _only_candidates(t: pa.Table) -> pa.Table:
+        arr = ray.get(ids_ref)
+        v = t[id_col].to_numpy()
+        pos = np.clip(np.searchsorted(arr, v), 0, len(arr) - 1)
+        return t.filter(pa.array(arr[pos] == v))
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_partitions = max(2, min(64, cpus))
+        num_partitions = max(2, min(8, cpus))
 
-    texts = docs.select_columns([id_col, text_col])
+    texts = docs.select_columns([id_col, text_col]).map_batches(
+        _only_candidates, batch_format="pyarrow", batch_size=None
+    ).materialize()  # candidate texts only — object store, tiny
+
+    if texts.size_bytes() < 256 * 1024 * 1024:
+        # broadcast-verify fast path: the filtered text table fits a
+        # broadcast, so skip the join shuffles entirely — ship it once
+        # via ray.put and look both sides up per pair batch
+        t_tbl = pa.concat_tables(
+            [t for t in ray.get(texts.to_arrow_refs()) if t.num_rows]
+        )
+        order = pc.sort_indices(t_tbl[id_col])
+        t_tbl = t_tbl.take(order)
+        texts_ref = ray.put(
+            (t_tbl[id_col].to_numpy(), t_tbl[text_col].to_pylist())
+        )
+
+        def _verify_bcast(t: pa.Table) -> pa.Table:
+            ids_sorted, txts = ray.get(texts_ref)
+            cache: dict = {}
+
+            def sh(i):
+                v = cache.get(i)
+                if v is None:
+                    pos = int(np.searchsorted(ids_sorted, i))
+                    txt = (
+                        txts[pos]
+                        if pos < len(ids_sorted) and ids_sorted[pos] == i
+                        else ""
+                    )
+                    v = cache[i] = word_ngrams(txt or "", 3)
+                return v
+
+            ia = t["id_a"].to_numpy()
+            ib = t["id_b"].to_numpy()
+            keep = [
+                jaccard(sh(int(x)), sh(int(y))) >= threshold
+                for x, y in zip(ia, ib)
+            ]
+            return t.filter(pa.array(keep))
+
+        return cands.map_batches(
+            _verify_bcast, batch_format="pyarrow", batch_size=None
+        )
 
     def _rename_to(col: str):
         def _f(t: pa.Table) -> pa.Table:
