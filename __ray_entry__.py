@@ -452,6 +452,38 @@ def _q_ttl_expiry(sf_dir: str) -> Any:
     return out2.select_columns(["requested_url", "fetch_time"])
 
 
+def _q_batch_roundtrip(sf_dir: str) -> Any:
+    """Library batch() entry — the StorageBackedFetcher.Batch contract
+    (internal/scrape.go:100-124) end-to-end: the full URL list runs
+    twice against one cache store. Content rows come back from the
+    store with the ORIGINAL fetch_time; error rows were never cached
+    (scrape.go:151 saves only on success) so they re-fetch at the
+    later time."""
+    import tempfile
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+
+    from scrape_ray.pipelines.batch import batch
+    from scrape_ray.pipelines.crawl import CorpusFetcher, load_corpus_ref
+    from scrape_ray.sources.frontier_gen import dirty_url
+    from scrape_ray.state.cache import CacheStore
+
+    t0, t1 = FIXED_FETCH_TIME, datetime(2024, 6, 5)
+    ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    urls = [dirty_url(d) for d in ids]
+    cache = CacheStore(tempfile.mkdtemp(prefix="scrape_ray_batch_"))
+    ref = load_corpus_ref(sf_dir)
+    kw = dict(
+        cache=cache, fetcher=CorpusFetcher, fetcher_kwargs={"corpus_ref": ref}
+    )
+    batch(urls, fixed_fetch_time=t0, now=t0, **kw)  # populates the store
+    out = batch(urls, fixed_fetch_time=t1, now=t1, **kw)
+    return out.select_columns(["original_url", "fetch_time"])
+
+
 def _q_cache_compaction(sf_dir: str) -> Any:
     """G1 LWW compaction: two epochs of saves (different fetch times)
     → compact → exactly one row per id with the LATEST fetch_time."""
@@ -545,23 +577,23 @@ def _q_top_orders(sf_dir: str) -> Any:
     import ray.data
     from ray.data.aggregate import Sum
 
+    # broadcast-side build, fully Arrow/numpy vectorized (no Python
+    # set/loop): segment customers -> semi-join orders via pc.is_in ->
+    # sorted key array for the searchsorted probe. At real scale this
+    # becomes a distributed semi-join producing the same array.
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    seg_keys = set(
-        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
-    )
+    seg_keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
+        "c_custkey"
+    ].combine_chunks()
     orders = pq.read_table(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
-    keep_orders = {
-        ok
-        for ok, ck in zip(
-            orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()
-        )
-        if ck in seg_keys
-    }
-    keep_ref = ray.put(np.array(sorted(keep_orders), dtype=np.int64))
+    keep = orders.filter(
+        pc.is_in(orders["o_custkey"], value_set=seg_keys)
+    )["o_orderkey"]
+    keep_ref = ray.put(np.sort(keep.to_numpy().astype(np.int64)))
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -783,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "json_props": _q_json_props,
         "ttl_expiry": _q_ttl_expiry,
+        "batch_roundtrip": _q_batch_roundtrip,
         "cache_compaction": _q_cache_compaction,
         "pricing_summary": _q_pricing_summary,
         "top_orders": _q_top_orders,
@@ -999,6 +1032,12 @@ def oracle_sql() -> dict[str, str]:
         "ttl_expiry": f"""
             SELECT {_CLEAN} AS requested_url,
                    TIMESTAMP '2024-07-05' AS fetch_time
+            FROM documents
+        """,
+        "batch_roundtrip": f"""
+            SELECT {_DIRTY} AS original_url,
+                   CASE WHEN {_IS_CONTENT} THEN TIMESTAMP '2024-06-01'
+                        ELSE TIMESTAMP '2024-06-05' END AS fetch_time
             FROM documents
         """,
         "cache_compaction": f"""
