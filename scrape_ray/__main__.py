@@ -3,6 +3,7 @@ corpus-mode engine (/root/reference/cmd/scrape/main.go):
 
     python -m scrape_ray [-notext] [--csv FILE] [--csv-column N]
                          [--corpus SF_DIR] [url ...]
+    python -m scrape_ray --feed FILE.xml [-U]
 
 Takes URLs from positional args (S1) or a CSV column (S2), runs the
 fetch+extract spine against the synthetic corpus (the ``file://``
@@ -10,6 +11,12 @@ transport analog — no network in this sandbox), and prints a JSON
 array of WebPage records to stdout (S3); ``-notext`` blanks
 content_text (M11). Exit code 0 even when individual URLs fail —
 errors are rows, not exceptions (M18).
+
+``--feed`` is the ``scrape-feed`` command analog
+(/root/reference/cmd/scrape-feed/main.go): parse one RSS/Atom feed
+(from a local XML file — the corpus-mode transport) and print the
+feed JSON, or just the item links with ``-U``. A feed that fails to
+parse exits 1, like the reference.
 
 This entry point OWNS its Ray session (guarded init + shutdown);
 library modules never do.
@@ -32,7 +39,29 @@ def main(argv: list[str] | None = None) -> int:
                     help="omit content_text from the output")
     ap.add_argument("--corpus", default="/root/testdata/sf0.001",
                     help="corpus sf dir backing the synthetic fetch")
+    ap.add_argument("--feed", help="parse an RSS/Atom feed XML file")
+    ap.add_argument("-U", action="store_true",
+                    help="with --feed: output only the item URLs")
     args = ap.parse_args(argv)
+
+    if args.feed:
+        from scrape_ray.sources.feeds import parse_feed
+
+        with open(args.feed, "rb") as f:
+            parsed = parse_feed(f.read())
+        if parsed["error"] is not None:
+            print(f"Error fetching {args.feed}: {parsed['error']}",
+                  file=sys.stderr)
+            return 1
+        if args.U:
+            json.dump(parsed["item_links"], sys.stdout, indent=2)
+        else:
+            json.dump(
+                {"title": parsed["title"], "item_links": parsed["item_links"]},
+                sys.stdout, indent=2,
+            )
+        print()
+        return 0
 
     if not args.urls and not args.csv:
         ap.error("need URLs or --csv")

@@ -80,3 +80,30 @@ def test_refresh_due_scheduling(ray_session):
     # b: stale by a day → due;  c: refreshed 12:00, interval 1h → not due
     # d: idle (last_request 5 months ago) → excluded even though null refresh
     assert out["url"].tolist() == ["a", "b"]
+
+
+def test_cli_feed_mode(tmp_path, capsys):
+    """--feed = the scrape-feed command analog
+    (cmd/scrape-feed/main.go): feed JSON by default, -U for links
+    only, exit 1 on a malformed feed."""
+    import json
+
+    from scrape_ray.__main__ import main
+    from scrape_ray.sources.feeds import feed_xml
+
+    p = tmp_path / "f.xml"
+    p.write_bytes(feed_xml("My Feed", ["https://a.com/1?x=1&y=2", "https://b.com/2"]))
+
+    assert main(["--feed", str(p)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["title"] == "My Feed"
+    assert out["item_links"] == ["https://a.com/1?x=1&y=2", "https://b.com/2"]
+
+    assert main(["--feed", str(p), "-U"]) == 0
+    assert json.loads(capsys.readouterr().out) == [
+        "https://a.com/1?x=1&y=2", "https://b.com/2"
+    ]
+
+    bad = tmp_path / "bad.xml"
+    bad.write_bytes(b"<rss><unclosed>")
+    assert main(["--feed", str(bad)]) == 1

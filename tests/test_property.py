@@ -181,3 +181,43 @@ def test_extract_page_never_raises_on_tag_soup(soup):
 
     out = extract_page(soup, "https://fuzz.example/x", resolve_links=True)
     assert isinstance(out["links"], list)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["add", "check"]),
+            st.lists(st.integers(min_value=1, max_value=60), max_size=8),
+            st.integers(min_value=0, max_value=5),
+        ),
+        max_size=25,
+    )
+)
+def test_seen_state_matches_dict_model(ops):
+    """The sorted-array + pending-overlay seen tier must behave exactly
+    like a {key: max(fetch_time)} dict under any interleaving of adds
+    and TTL-gated membership checks — including across forced merges
+    (threshold pinned tiny) and the big-batch bypass path."""
+    import numpy as np
+
+    from scrape_ray.state.seen import SeenShardState
+
+    state = SeenShardState(0, capacity=256)
+    state._MERGE_THRESHOLD = 4  # force frequent merges + bypass path
+    model: dict[int, int] = {}
+    for op, keys, t in ops:
+        arr = np.array(sorted(set(keys)), dtype=np.uint64)
+        if op == "add":
+            fresh = state.add(arr, fetch_time=t)
+            expect = sum(1 for k in arr if int(k) not in model)
+            for k in arr:
+                model[int(k)] = max(t, model.get(int(k), t))
+            assert fresh == expect
+            assert len(state) == len(model)
+        else:
+            got = state.contains(arr, min_fetch_time=t)
+            want = [model.get(int(k), -1) >= t for k in arr]
+            assert got.tolist() == want
+            got_plain = state.contains(arr)
+            assert got_plain.tolist() == [int(k) in model for k in arr]
