@@ -43,6 +43,72 @@ DEFAULT_USER_AGENT = (
 DEFAULT_TIMEOUT_S = 30.0  # fetch/client.go:16
 
 
+def fetch_feed_http(
+    url: str,
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+    user_agent: str = DEFAULT_USER_AGENT,
+    session=None,
+) -> dict:
+    """Network feed fetch — the reference's feed client
+    (/root/reference/fetch/feed/feed.go: 30 s default timeout, UA
+    option) over requests + our stdlib RSS/Atom parser. Returns the
+    ``parse_feed`` dict ({title, item_links, error}); transport
+    failures land in ``error`` (errors-as-rows, never exceptions)."""
+    import requests
+
+    from scrape_ray.sources.feeds import parse_feed
+
+    s = session or requests.Session()
+    try:
+        resp = s.get(
+            url, timeout=timeout_s, headers={"User-Agent": user_agent}
+        )
+    except requests.exceptions.Timeout:
+        return {
+            "title": None,
+            "item_links": [],
+            "error": f"{url} did not reply within {timeout_s} seconds",
+        }
+    except requests.exceptions.RequestException as e:
+        return {"title": None, "item_links": [], "error": str(e)}
+    if resp.status_code < 200 or resp.status_code >= 400:
+        return {
+            "title": None,
+            "item_links": [],
+            "error": f"HTTP error: {resp.status_code}",
+        }
+    return parse_feed(resp.content)
+
+
+def http_robots_fetch_fn(
+    timeout_s: float = 10.0,
+    user_agent: str = DEFAULT_USER_AGENT,
+    scheme: str = "https",
+):
+    """``fetch_fn`` for ``state.politeness.RobotsProvider`` that pulls
+    ``{scheme}://{host}/robots.txt`` over the network (one Session per
+    provider — the provider memo-caches per host, so each host is
+    fetched once per actor). Missing/erroring robots ⇒ None ⇒
+    allow-all, the industry default."""
+    import requests
+
+    session = requests.Session()
+    session.headers["User-Agent"] = user_agent
+
+    def _fetch(host: str) -> str | None:
+        try:
+            resp = session.get(
+                f"{scheme}://{host}/robots.txt", timeout=timeout_s
+            )
+        except requests.exceptions.RequestException:
+            return None
+        if resp.status_code != 200:
+            return None
+        return resp.text
+
+    return _fetch
+
+
 class HttpFetcher:
     """Session-per-actor HTTP GET stage. See module docstring.
 

@@ -65,6 +65,22 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(200)
             self.end_headers()
             self.wfile.write(b"late")
+        elif p == "/robots.txt":
+            body = b"User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif p == "/feed.xml":
+            from scrape_ray.sources.feeds import feed_xml
+
+            body = feed_xml("Net Feed", ["https://x.com/a", "https://x.com/b?q=1&r=2"])
+            self.send_response(200)
+            self.send_header("Content-Type", "application/rss+xml")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif p == "/ua":
             ua = self.headers.get("User-Agent", "").encode()
             self.send_response(200)
@@ -181,3 +197,40 @@ def test_http_fetcher_in_ray_pipeline(server, ray_session):
     bad = out[out["error"].notna()]
     assert len(ok) == 8 and (ok["content_text"] == "OK").all()
     assert len(bad) == 1 and bad["error"].iloc[0] == "HTTP error: 404"
+
+
+def test_fetch_feed_http(server):
+    """Network feed client (fetch/feed/feed.go semantics): parse over
+    the wire; HTTP errors and timeouts become error dicts."""
+    from scrape_ray.stages.fetch_http import fetch_feed_http
+
+    got = fetch_feed_http(f"{server}/feed.xml")
+    assert got["error"] is None
+    assert got["title"] == "Net Feed"
+    assert got["item_links"] == ["https://x.com/a", "https://x.com/b?q=1&r=2"]
+
+    miss = fetch_feed_http(f"{server}/nope.xml")
+    assert miss["error"] == "HTTP error: 404"
+    assert miss["item_links"] == []
+
+    slow = fetch_feed_http(f"{server}/slow", timeout_s=0.2)
+    assert "did not reply" in slow["error"]
+
+
+def test_http_robots_provider(server):
+    """robots.txt over the network through RobotsProvider: rules parse
+    and memo-cache per host; a 404 host yields allow-all."""
+    from scrape_ray.stages.fetch_http import http_robots_fetch_fn
+    from scrape_ray.state.politeness import RobotsProvider
+
+    host = server.split("//")[1]
+    rp = RobotsProvider(http_robots_fetch_fn(scheme="http"))
+    pol = rp.policy(host)
+    assert not pol.allowed("/private/page")
+    assert pol.allowed("/public/page")
+    assert pol.crawl_delay == 2
+    assert rp.policy(host) is pol  # memo-cached
+
+    rp2 = RobotsProvider(http_robots_fetch_fn(scheme="http"))
+    pol2 = rp2.policy("127.0.0.1:1")  # unroutable: None -> allow-all
+    assert pol2.allowed("/anything")
