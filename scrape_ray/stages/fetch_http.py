@@ -125,7 +125,14 @@ class HttpFetcher:
         headers: dict | None = None,
         max_body_bytes: int = 16 * 1024 * 1024,
         proxies: dict | None = None,
+        domain_settings=None,
     ) -> None:
+        """``domain_settings``: a DOMAIN_SETTINGS_SCHEMA Arrow table or
+        a ``ray.put`` ObjectRef to one — the A7 settings broadcast,
+        resolved ONCE per actor here. Per-host ``user_agent`` (alias
+        expanded) and ``headers`` (JSON object, keys canonicalized)
+        override the session defaults per request, the reference's
+        per-domain fetch policy (internal/settings/domain.go:43-49)."""
         import requests
 
         self.timeout_s = timeout_s
@@ -138,6 +145,48 @@ class HttpFetcher:
         self.session.headers.update(h)
         if proxies:
             self.session.proxies.update(proxies)
+        self.per_host: dict[str, dict] = {}
+        if domain_settings is not None:
+            import json
+
+            import ray
+
+            from scrape_ray.functions.domains import (
+                canonicalize_headers,
+                expand_user_agent,
+                fold_domain,
+            )
+
+            t = (
+                ray.get(domain_settings)
+                if isinstance(domain_settings, ray.ObjectRef)
+                else domain_settings
+            )
+            for dom, ua, hdrs in zip(
+                t["domain"].to_pylist(),
+                t["user_agent"].to_pylist(),
+                t["headers"].to_pylist(),
+            ):
+                if not dom:
+                    continue
+                extra: dict = {}
+                if hdrs:
+                    try:
+                        extra.update(canonicalize_headers(json.loads(hdrs)))
+                    except (ValueError, TypeError):
+                        pass
+                if ua:
+                    extra["User-Agent"] = expand_user_agent(ua)
+                if extra:
+                    self.per_host[fold_domain(dom)] = extra
+
+    def _headers_for(self, url: str) -> dict | None:
+        if not self.per_host:
+            return None
+        from urllib.parse import urlsplit
+
+        host = (urlsplit(url).hostname or "").lower()
+        return self.per_host.get(host)
 
     def _get_one(self, url: str) -> tuple[bytes | None, int, str | None, str | None]:
         """→ (body, status, content_type, fetch_error)."""
@@ -145,7 +194,11 @@ class HttpFetcher:
 
         try:
             resp = self.session.get(
-                url, timeout=self.timeout_s, stream=True, allow_redirects=True
+                url,
+                timeout=self.timeout_s,
+                stream=True,
+                allow_redirects=True,
+                headers=self._headers_for(url),  # per-request wins
             )
         except requests.exceptions.Timeout:
             # client.go:70-81: net timeout ⇒ 504 Gateway Timeout

@@ -81,6 +81,15 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif p == "/hdrs":
+            ua = self.headers.get("User-Agent", "")
+            xc = self.headers.get("X-Check", "")
+            body = f"{ua}|{xc}".encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif p == "/ua":
             ua = self.headers.get("User-Agent", "").encode()
             self.send_response(200)
@@ -234,3 +243,30 @@ def test_http_robots_provider(server):
     rp2 = RobotsProvider(http_robots_fetch_fn(scheme="http"))
     pol2 = rp2.policy("127.0.0.1:1")  # unroutable: None -> allow-all
     assert pol2.allowed("/anything")
+
+
+def test_domain_settings_applied_per_host(server):
+    """A7 -> M5 integration: the broadcast domain-settings table's
+    per-host user_agent (alias expanded) and headers (canonicalized
+    JSON) override the session defaults per request
+    (internal/settings/domain.go:43-49)."""
+    import pyarrow as pa
+
+    from scrape_ray.functions.domains import UA_ALIASES
+
+    settings = pa.table(
+        {
+            "domain": ["127.0.0.1"],
+            "sitename": [None],
+            "fetch_client": ["direct"],
+            "user_agent": [":safari:"],
+            "headers": ['{"x-check": "yes"}'],
+        }
+    )
+    out = _run([f"{server}/hdrs"], domain_settings=settings)
+    body = out["content_text"][0].as_py()
+    assert body == f"{UA_ALIASES[':safari:']}|yes"
+
+    # a host with no settings row keeps the session default UA
+    out = _run([f"{server}/ua"], domain_settings=settings.slice(0, 0))
+    assert out["content_text"][0].as_py() == DEFAULT_USER_AGENT
