@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import re
 from datetime import datetime
+from typing import Any
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -117,7 +118,9 @@ def load_corpus_ref(sf_dir: str):
 def crawl(
     store: FrontierStore,
     *,
-    corpus_ref,
+    corpus_ref=None,
+    fetcher=None,
+    fetcher_kwargs: dict | None = None,
     robots_provider: RobotsProvider | None = None,
     epoch_budget: float = float("inf"),
     max_epochs: int = 16,
@@ -131,6 +134,12 @@ def crawl(
     alt_hosts=None,
 ) -> list[dict]:
     """Drain the frontier. Returns the list of committed manifests.
+
+    Fetch client: ``corpus_ref`` (the default corpus-mode transport) OR
+    ``fetcher`` — any Fetcher class (runs as an actor pool with
+    ``fetcher_kwargs`` as constructor args, e.g.
+    ``fetcher=HttpFetcher`` for real-network crawls) or batch
+    fn/instance. Exactly one of the two must be given.
 
     ``alt_fetcher`` + ``alt_hosts``: the reference's alternate-fetcher
     routing (internal/scrape.go:56-68 WithAlternateURLFetcher): rows
@@ -150,6 +159,8 @@ def crawl(
     as the incremental-recrawl policy. Requires ``fixed_fetch_time``
     (expiry runs on the logical clock, deterministically).
     """
+    if (corpus_ref is None) == (fetcher is None):
+        raise ValueError("pass exactly one of corpus_ref or fetcher")
     manifests = []
     if resume:
         store.resume_scrub()
@@ -171,6 +182,8 @@ def crawl(
                 epoch,
                 actors,
                 corpus_ref=corpus_ref,
+                fetcher=fetcher,
+                fetcher_kwargs=fetcher_kwargs,
                 robots_provider=robots_provider,
                 epoch_budget=epoch_budget,
                 fetch_concurrency=fetch_concurrency,
@@ -228,6 +241,8 @@ def _run_epoch(
     actors,
     *,
     corpus_ref,
+    fetcher=None,
+    fetcher_kwargs: dict | None = None,
     robots_provider,
     epoch_budget,
     fetch_concurrency,
@@ -275,6 +290,24 @@ def _run_epoch(
         "batch_size": None,
         "concurrency": fetch_concurrency,
     }
+    if corpus_ref is not None:
+        default_fetcher: Any = CorpusFetcher
+        default_kwargs = {"corpus_ref": corpus_ref}
+    else:
+        default_fetcher = fetcher
+        default_kwargs = fetcher_kwargs or {}
+
+    def _default_fetch(ds_in):
+        if isinstance(default_fetcher, type):
+            return ds_in.map_batches(
+                default_fetcher,
+                fn_constructor_kwargs=default_kwargs,
+                **fetch_kwargs,
+            )
+        return ds_in.map_batches(
+            default_fetcher, batch_format="pyarrow", batch_size=None
+        )
+
     if alt_fetcher is not None and alt_hosts:
         # alternate-fetcher split (scrape.go:56-68): route rows by the
         # broadcast host set, fetch each side with its client, union.
@@ -290,23 +323,17 @@ def _run_epoch(
 
             return _f
 
-        direct = admitted.map_batches(
-            _route(False), batch_format="pyarrow", batch_size=None
-        ).map_batches(
-            CorpusFetcher,
-            fn_constructor_kwargs={"corpus_ref": corpus_ref},
-            **fetch_kwargs,
+        direct = _default_fetch(
+            admitted.map_batches(
+                _route(False), batch_format="pyarrow", batch_size=None
+            )
         )
         alt = admitted.map_batches(
             _route(True), batch_format="pyarrow", batch_size=None
         ).map_batches(alt_fetcher, batch_format="pyarrow", batch_size=None)
         fetched = direct.union(alt)
     else:
-        fetched = admitted.map_batches(
-            CorpusFetcher,
-            fn_constructor_kwargs={"corpus_ref": corpus_ref},
-            **fetch_kwargs,
-        )
+        fetched = _default_fetch(admitted)
     pages = fetched.map_batches(
         ExtractStage(fixed_fetch_time=fixed_fetch_time, emit_links=discover),
         batch_format="pyarrow",

@@ -65,6 +65,18 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(200)
             self.end_headers()
             self.wfile.write(b"late")
+        elif p.startswith("/page/"):
+            n = p.rsplit("/", 1)[1]
+            body = (
+                f"<html><head><title>Page {n}</title></head>"
+                f"<body><p>Network page {n} body with enough words for "
+                f"extraction to succeed.</p></body></html>"
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif p == "/robots.txt":
             body = b"User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"
             self.send_response(200)
@@ -270,3 +282,50 @@ def test_domain_settings_applied_per_host(server):
     # a host with no settings row keeps the session default UA
     out = _run([f"{server}/ua"], domain_settings=settings.slice(0, 0))
     assert out["content_text"][0].as_py() == DEFAULT_USER_AGENT
+
+
+def test_network_crawl_end_to_end(tmp_path, server, ray_session):
+    """The full north-rule loop over REAL HTTP: seed -> seen -> robots
+    (fetched from the server's own /robots.txt) -> politeness -> fetch
+    via HttpFetcher actor pool -> extract -> committed epoch. The
+    /private/ path is robots-blocked, the 404 becomes an error row,
+    pages extract."""
+    from datetime import datetime
+
+    import requests
+
+    from scrape_ray.pipelines.crawl import crawl, seed_frontier
+    from scrape_ray.state.frontier import FrontierStore
+    from scrape_ray.state.politeness import RobotsProvider
+
+    def robots_fetch(host):  # host arrives port-less; close over the server
+        try:
+            return requests.get(f"{server}/robots.txt", timeout=5).text
+        except requests.exceptions.RequestException:
+            return None
+
+    urls = [f"{server}/page/{i}" for i in range(6)]
+    urls += [f"{server}/private/secret", f"{server}/code/404"]
+    store = FrontierStore(str(tmp_path / "net"))
+    seed_frontier(store, urls)
+    manifests = crawl(
+        store,
+        fetcher=HttpFetcher,
+        fetcher_kwargs={"timeout_s": 5},
+        robots_provider=RobotsProvider(robots_fetch),
+        num_seen_shards=2,
+        max_epochs=1,
+        fetch_concurrency=2,
+        fixed_fetch_time=datetime(2024, 6, 1),
+    )
+    m = manifests[0]
+    assert m["counters"]["fetched"] == 7  # private dropped by robots
+    out = store.read_output(0).to_pandas()
+    assert len(out) == 7
+    assert not out["requested_url"].str.contains("/private/").any()
+    ok = out[out["error"].isna()]
+    assert len(ok) == 6
+    assert sorted(ok["title"]) == [f"Page {i}" for i in range(6)]
+    assert ok["content_text"].str.contains("Network page").all()
+    bad = out[out["error"].notna()]
+    assert bad["error"].iloc[0] == "HTTP error: 404"
