@@ -269,7 +269,10 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm=64, bands=16, ngr
     (actor-pool map_batches) → explode to (band, bucket, id) — never
     text — → coarse hash partitions → in-task bucketing → distinct
     pairs. Only bucket-mates pair; buckets wider than
-    ``max_bucket_width`` truncate to star pairs (logged)."""
+    ``max_bucket_width`` truncate to star pairs around the
+    representative — the output keeps a bool ``truncated`` column so
+    callers can see which candidates came from a capped bucket
+    (``max_bucket_width=None`` for full emission, no flag column)."""
     kwargs = dict(
         fn_constructor_kwargs=dict(
             text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, ngram=ngram
@@ -291,12 +294,14 @@ def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm=64, bands=16, ngr
     keyed = banded.map_batches(
         _combine_band_bucket, batch_format="pyarrow", batch_size=None
     )
-    pairs = _distinct_pairs(
-        grouped_pairs(keyed, "band_bucket", id_col, max_bucket_width=max_bucket_width)
+    if max_bucket_width is None:
+        return _distinct_pairs(
+            grouped_pairs(keyed, "band_bucket", id_col, max_bucket_width=None)
+        )
+    return _distinct_pairs(
+        grouped_pairs(keyed, "band_bucket", id_col, max_bucket_width=max_bucket_width),
+        order_col="truncated",
     )
-    if max_bucket_width is not None:
-        pairs = pairs.drop_columns(["truncated"])
-    return pairs
 
 
 def near_dup_pairs(
@@ -313,18 +318,25 @@ def near_dup_pairs(
     """Verified near-duplicate pairs: MinHash-LSH candidate generation
     followed by EXACT word-trigram Jaccard confirmation — output is
     exactly {pairs with J(a,b) ≥ threshold} (probabilistic only in the
-    negligible band-miss tail: with r=2, b=32, P[miss | J=0.7] ≈ 5e-10),
-    except inside buckets wider than ``max_bucket_width``, where pair
-    emission is truncated to a star around the representative (logged;
-    cluster membership preserved, transitive pairs implied).
+    negligible band-miss tail: with r=2, b=32, P[miss | J=0.7] ≈ 5e-10)
+    — EXCEPT inside buckets wider than ``max_bucket_width``: those emit
+    UNVERIFIED star edges around the bucket representative instead of
+    all N² verified pairs (logged per bucket). The star edges are kept
+    in the output without the Jaccard test — dropping edges that fail
+    against the representative would silently erase cluster members
+    whose true near-dup is another member. Pass
+    ``max_bucket_width=None`` for strict exact semantics at O(N²)
+    worst-case cost.
 
     Scale design (the 100 TB path): the banded explode carries ONLY
     (id, band, bucket) — never text, so the LSH exchange moves
     ~20 bytes × bands per doc instead of the document body × bands.
-    The candidate-pair ID SET (narrow int pairs, bounded by the op's
-    own output scale) is broadcast once and used to filter the corpus
-    down to candidate texts — a broadcast semi-join, so the verify
-    joins shuffle only candidate rows, never the full text table.
+    Cross-band pair dedup stays DISTRIBUTED (candidates can exceed
+    output scale on skewed corpora); only the unique candidate ID
+    ARRAY (bounded by the doc count) is pulled to the driver for the
+    broadcast semi-join that filters the corpus down to candidate
+    texts — so the verify stage touches candidate rows only, never the
+    full text table.
     """
     import ray
     import ray.data
@@ -345,15 +357,35 @@ def near_dup_pairs(
     raw_pairs = grouped_pairs(
         keyed, "band_bucket", id_col, max_bucket_width=max_bucket_width
     )
+    if max_bucket_width is None:
+        raw_pairs = raw_pairs.map_batches(
+            lambda t: t.append_column(
+                "truncated", pa.array([False] * t.num_rows, pa.bool_())
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    # distributed cross-band dedup (candidate pair count can exceed
+    # output scale — never concentrate it on the driver). A pair seen
+    # untruncated in ANY bucket keeps truncated=False (sorts first), so
+    # it goes through the normal verify.
+    cands = _distinct_pairs(raw_pairs, order_col="truncated").materialize()
 
-    # the candidate PAIR TABLE is the only thing that touches the
-    # driver — two int columns at candidate scale (≈ output scale),
-    # not data. Since it's here anyway for the broadcast, the
-    # cross-band dedup happens driver-side (one lexsort) instead of a
-    # distributed exchange.
+    # only the unique candidate ID ARRAY reaches the driver — bounded
+    # by the number of candidate documents, not candidate pairs
+    def _uniq_ids(t: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate([t["id_a"].to_numpy(), t["id_b"].to_numpy()])
+        )
+        return pa.table({"id": pa.array(u)})
+
     id_parts = [
-        t.select(["id_a", "id_b"])
-        for t in ray.get(raw_pairs.to_arrow_refs())
+        t
+        for t in ray.get(
+            cands.map_batches(
+                _uniq_ids, batch_format="pyarrow", batch_size=None
+            ).to_arrow_refs()
+        )
         if t.num_rows
     ]
     if not id_parts:
@@ -361,18 +393,9 @@ def near_dup_pairs(
             pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64())})
         )
-    pair_t = pa.concat_tables(id_parts)
-    a = pair_t["id_a"].to_numpy()
-    b = pair_t["id_b"].to_numpy()
-    order = np.lexsort((b, a))
-    a, b = a[order], b[order]
-    first = np.ones(len(a), dtype=bool)
-    first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-    a, b = a[first], b[first]
-    cands = ray.data.from_arrow(
-        pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+    cand_ids = np.unique(
+        np.concatenate([t["id"].to_numpy() for t in id_parts])
     )
-    cand_ids = np.unique(np.concatenate([a, b]))
     ids_ref = ray.put(cand_ids)
 
     def _only_candidates(t: pa.Table) -> pa.Table:
@@ -420,11 +443,13 @@ def near_dup_pairs(
 
             ia = t["id_a"].to_numpy()
             ib = t["id_b"].to_numpy()
+            trunc = t["truncated"].to_pylist()
+            # truncated star edges bypass the test (see docstring)
             keep = [
-                jaccard(sh(int(x)), sh(int(y))) >= threshold
-                for x, y in zip(ia, ib)
+                tr or jaccard(sh(int(x)), sh(int(y))) >= threshold
+                for x, y, tr in zip(ia, ib, trunc)
             ]
-            return t.filter(pa.array(keep))
+            return t.filter(pa.array(keep)).select(["id_a", "id_b"])
 
         return cands.map_batches(
             _verify_bcast, batch_format="pyarrow", batch_size=None
@@ -467,9 +492,10 @@ def near_dup_pairs(
 
         ids_a = t["id_a"].to_pylist()
         ids_b = t["id_b"].to_pylist()
+        trunc = t["truncated"].to_pylist()
         keep = [
-            jaccard(sh(ia, ta), sh(ib, tb)) >= threshold
-            for ia, ta, ib, tb in zip(ids_a, a, ids_b, b)
+            tr or jaccard(sh(ia, ta), sh(ib, tb)) >= threshold
+            for ia, ta, ib, tb, tr in zip(ids_a, a, ids_b, b, trunc)
         ]
         return t.filter(pa.array(keep)).select(["id_a", "id_b"])
 
@@ -492,11 +518,15 @@ def _combine_band_bucket(t: pa.Table) -> pa.Table:
 
 def _emit_bucket_pairs(members, cap, out_a, out_b, out_t, seen_pairs=None):
     """Append a bucket's pairs. Past ``cap`` members the full O(N²)
-    emission is truncated to a STAR around the min id (every member
-    still pairs with the cluster representative, so connected
-    components / cluster ids survive; transitive pairs are implied) —
-    the skewed-bucket guard for boilerplate-heavy corpora. Truncated
-    rows are flagged; the event is logged once per bucket."""
+    emission is truncated to a STAR around the min id — the
+    skewed-bucket guard for boilerplate-heavy corpora. Star edges keep
+    every member attached to the bucket representative (connected
+    components survive), but pairwise relations between
+    non-representative members are NOT emitted — downstream verifiers
+    must keep truncated edges unverified rather than filter them, or
+    members whose only emitted edge fails the similarity test would
+    vanish. Truncated rows are flagged; the event is logged once per
+    bucket."""
     ms = sorted(set(members))
     if len(ms) < 2:
         return
@@ -573,8 +603,11 @@ def grouped_pairs(ds, key_col: str, id_col: str, num_parts: int = 64,
     return parted.groupby("__part").map_groups(_pairs, batch_format="pandas")
 
 
-def _distinct_pairs(pairs_ds):
-    """Distinct (id_a, id_b) — a pair surfaces from several bands."""
+def _distinct_pairs(pairs_ds, order_col: str = "id_a"):
+    """Distinct (id_a, id_b) — a pair surfaces from several bands.
+    ``order_col`` picks which duplicate row survives (ascending, keep
+    first): e.g. ``truncated`` keeps an untruncated sighting of a pair
+    over a star-truncated one."""
     pairs_ds = pairs_ds.map_batches(
         lambda t: t.append_column(
             "pair_key",
@@ -587,7 +620,7 @@ def _distinct_pairs(pairs_ds):
         ),
         batch_format="pyarrow",
     )
-    return dedup_exact(pairs_ds, "pair_key", "id_a").drop_columns(["pair_key"])
+    return dedup_exact(pairs_ds, "pair_key", order_col).drop_columns(["pair_key"])
 
 
 # -------------------------------------------------------------------- simhash
@@ -656,9 +689,16 @@ def simhash_dup_pairs(
     bucketing by (block_idx, block_value) plus an in-bucket hamming
     verify finds exactly {pairs: hamming(a,b) ≤ max_hamming}. One
     shuffle (the bucket groupby), ×(max_hamming+1) explode of narrow
-    columns only. Buckets wider than ``max_bucket_width`` truncate to
-    star candidates around the representative (logged) before the
-    hamming verify — the skew guard for boilerplate corpora."""
+    columns only.
+
+    EXCEPTION — skew guard: buckets wider than ``max_bucket_width``
+    emit UNVERIFIED star edges around the representative (logged);
+    those are kept in the output regardless of their hamming distance
+    (the ``hamming`` column reports the true distance, which may
+    exceed ``max_hamming`` on star edges) — dropping them would erase
+    cluster members whose true near-dup is a non-representative
+    member. ``max_bucket_width=None`` restores strict exactness at
+    O(N²) worst-case bucket cost."""
     import pandas as pd
 
     nblocks = max_hamming + 1
@@ -725,9 +765,10 @@ def simhash_dup_pairs(
                 seen_pairs=seen_pairs,
             )
         out_a, out_b, out_d = [], [], []
-        for a, b in zip(cand_a, cand_b):
+        for a, b, tr in zip(cand_a, cand_b, cand_t):
             d = bin(int(hashes[a]) ^ int(hashes[b])).count("1")
-            if d <= max_hamming:
+            # truncated star edges are kept unverified (see docstring)
+            if tr or d <= max_hamming:
                 out_a.append(a)
                 out_b.append(b)
                 out_d.append(d)

@@ -104,6 +104,39 @@ def brute_force_topk(
     return ray.data.from_arrow(TopKState.merge(parts, k))
 
 
+def _bottom_k_sample(ds, id_col: str, vec_col: str, k: int):
+    """Deterministic bounded sample: the k SMALLEST ids' vectors.
+    ``ds.limit(k)`` takes whichever blocks finish first — membership
+    varies run to run when the upstream has shuffles — while bottom-k
+    by id is invariant to block order: each block contributes its own
+    bottom-k (map_batches), the driver merges ≤ k×blocks narrow rows
+    and keeps the global bottom-k. Returns (ids, (k,d) float32)."""
+    import pyarrow.compute as pc
+    import ray
+
+    def _blk(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, vec_col])
+        idx = pc.sort_indices(t[id_col])
+        return t.take(idx.slice(0, k))
+
+    parts = [
+        t
+        for t in ray.get(
+            ds.map_batches(_blk, batch_format="pyarrow", batch_size=None)
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not parts:
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 0), dtype=np.float32)
+    merged = pa.concat_tables(parts)
+    idx = pc.sort_indices(merged[id_col]).slice(0, k)
+    merged = merged.take(idx)
+    from scrape_ray.util import vecs_to_numpy
+
+    return merged[id_col].to_numpy(), vecs_to_numpy(merged[vec_col])
+
+
 # ------------------------------------------------------------------ IVF
 class IVFIndex:
     """Deterministic one-pass coarse quantizer: centroids = k-means on
@@ -154,17 +187,11 @@ def build_ivf_index(
     underscore keeps Parquet discovery away from it)."""
     import os
 
-    # sort the sample by id: Ray block order is not deterministic, and
-    # k-means is order-sensitive — sorting pins the centroids
-    sample_t = (
-        ds.limit(sample_size)
-        .select_columns([id_col, vec_col])
-        .to_pandas()
-        .sort_values(id_col)
-    )
-    index = IVFIndex(num_cells=num_cells, seed=seed).fit(
-        np.array(sample_t[vec_col].tolist(), dtype=np.float32)
-    )
+    # deterministic sample MEMBERSHIP and order (bottom-k by id):
+    # limit() takes whichever blocks finish first, so both the rows
+    # sampled and the fitted centroids would drift run-to-run
+    _, sample_vecs = _bottom_k_sample(ds, id_col, vec_col, sample_size)
+    index = IVFIndex(num_cells=num_cells, seed=seed).fit(sample_vecs)
 
     def _assign(t: pa.Table) -> pa.Table:
         from scrape_ray.util import vecs_to_numpy
@@ -292,16 +319,9 @@ def ivf_topk(
     import ray
     import ray.data
 
-    # order-deterministic sample (see build_ivf_index)
-    sample_t = (
-        ds.limit(sample_size)
-        .select_columns([id_col, vec_col])
-        .to_pandas()
-        .sort_values(id_col)
-    )
-    index = IVFIndex(num_cells=num_cells).fit(
-        np.array(sample_t[vec_col].tolist(), dtype=np.float32)
-    )
+    # deterministic sample membership+order (see build_ivf_index)
+    _, sample_vecs = _bottom_k_sample(ds, id_col, vec_col, sample_size)
+    index = IVFIndex(num_cells=num_cells).fit(sample_vecs)
     qn = _normalize_rows(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(qn @ index.centroids.T), axis=1)[:, :nprobe]  # (q, nprobe)
     state_ref = ray.put((index.centroids, qn, probe))

@@ -211,7 +211,19 @@ class HttpFetcher:
         except requests.exceptions.RequestException as e:
             return None, 0, None, str(e)
         with resp:
-            body = resp.raw.read(self.max_body_bytes + 1, decode_content=True)
+            # loop to EOF or the cap: urllib3 1.x read(amt,
+            # decode_content=True) may short-read on compressed bodies
+            # without reaching EOF — a single call would silently
+            # truncate far below max_body_bytes
+            chunks: list[bytes] = []
+            got = 0
+            while got <= self.max_body_bytes:
+                chunk = resp.raw.read(65536, decode_content=True)
+                if not chunk:
+                    break
+                chunks.append(chunk)
+                got += len(chunk)
+            body = b"".join(chunks)
             if len(body) > self.max_body_bytes:
                 body = body[: self.max_body_bytes]
             ctype = resp.headers.get("Content-Type", "text/html")

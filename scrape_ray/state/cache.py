@@ -440,10 +440,15 @@ class CacheStore:
     # ------------------------------------------------------- compaction
     RAY_COMPACT_THRESHOLD_BYTES = 64 * 1024 * 1024
 
-    def dirty_shards(self) -> dict[str, list[str]]:
+    def dirty_shards(self, now: datetime | None = None) -> dict[str, list[str]]:
         """Shard dirs that need compaction: more than one part file, or
-        a part that isn't the output of a previous compaction. Clean
-        shards are never read or rewritten."""
+        a part that isn't the output of a previous compaction. With
+        ``now``, a clean shard also counts as dirty when its parquet
+        footer statistics show any row already expired (min(expires)
+        ≤ now) — metadata only, no data read — so the maintenance pass
+        reclaims expired rows even from write-once shards
+        (database/sqlite/maintenance.sql deletes expired rows
+        store-wide). Clean, unexpired shards are never read."""
         out: dict[str, list[str]] = {}
         if not os.path.isdir(self.urls_dir):
             return out
@@ -452,8 +457,13 @@ class CacheStore:
             if not (entry.startswith("shard=") and os.path.isdir(d)):
                 continue
             files = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+            paths = [os.path.join(d, f) for f in files]
             if len(files) > 1 or any(not f.startswith("compact-") for f in files):
-                out[d] = [os.path.join(d, f) for f in files]
+                out[d] = paths
+            elif now is not None and any(
+                _has_expired_rows(p, now) for p in paths
+            ):
+                out[d] = paths
         return out
 
     def compact(self, now: datetime | None = None, use_ray: bool | None = None) -> int:
@@ -466,11 +476,14 @@ class CacheStore:
         dirty shards' files. Returns the store's surviving row count
         (parquet metadata only — no data read for clean shards).
 
-        ``now`` prunes rows already expired at compaction time from the
-        rewritten shards; expired rows in clean shards are dropped at
-        read time (``_mark_hits``/``fetch_url`` treat them as misses) and
-        reclaimed whenever their shard next dirties."""
-        dirty = self.dirty_shards()
+        ``now`` prunes rows already expired at compaction time: dirty
+        shards filter during their rewrite, and clean shards whose
+        parquet footer stats show expired rows are pulled into the pass
+        too (see ``dirty_shards``) — the 24 h maintenance contract
+        holds even for write-once shards. Expired rows are invisible
+        to reads either way (``_mark_hits``/``fetch_url`` treat them as
+        misses)."""
+        dirty = self.dirty_shards(now=now)
         if dirty:
             total_bytes = sum(
                 os.path.getsize(p) for files in dirty.values() for p in files
@@ -777,6 +790,27 @@ class CacheStore:
         return normalized_ds.map_batches(
             _probe, batch_format="pyarrow", batch_size=None
         )
+
+
+def _has_expired_rows(path: str, now: datetime) -> bool:
+    """True when the file's parquet statistics show min(expires) ≤ now
+    (footer-only; no data read). Missing stats ⇒ False (the engine's
+    own writers always emit stats; foreign files just stay clean)."""
+    try:
+        md = pq.read_metadata(path)
+        idx = md.schema.to_arrow_schema().get_field_index("expires")
+        if idx < 0:
+            return False
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(idx)
+            st = col.statistics
+            if st is None or not st.has_min_max or st.min is None:
+                continue
+            if st.min <= now:
+                return True
+    except (OSError, KeyError, TypeError):
+        return False
+    return False
 
 
 def _filesystem_stats(path: str) -> dict | None:

@@ -331,3 +331,30 @@ def test_delete_scans_only_own_shard(tmp_path):
     ] == b_mtimes
     assert cs.fetch_url(a, now=T0) is None
     assert cs.fetch_url(b, now=T0)["title"] == "B"
+
+
+def test_compact_now_reclaims_expired_from_clean_shards(tmp_path):
+    """Maintenance contract for write-once shards: a shard compacted
+    once (clean) whose rows later expire is pulled back into the next
+    compact(now) pass via parquet footer stats — expired rows don't
+    leak forever."""
+    cs = CacheStore(str(tmp_path))
+    a, b, wa, wb = _two_shard_pages()
+    cs.save_pages(wa, ttl_seconds=60)       # expires T0+60s
+    cs.save_pages(wb, ttl_seconds=86400 * 30)
+    assert cs.compact() == 2                # both shards now clean
+    assert cs.dirty_shards() == {}
+
+    later = T0 + timedelta(hours=1)
+    # footer stats mark A's shard dirty again; B stays clean
+    dirty = cs.dirty_shards(now=later)
+    assert len(dirty) == 1
+    before = _shard_listing(cs)
+    assert cs.compact(now=later) == 1       # A's expired row reclaimed
+    after = _shard_listing(cs)
+    from scrape_ray.functions.keys import url_key
+
+    b_shard = f"shard={url_key(b) >> 56:03d}"
+    assert after[b_shard] == before[b_shard]
+    assert cs.fetch_url(b, now=later)["title"] == "B"
+    assert cs.fetch_url(a, now=later) is None
