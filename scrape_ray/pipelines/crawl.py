@@ -58,7 +58,16 @@ class CorpusFetcher:
     per batch. At 100 TB the corpus is the frontier's own ``html``
     column (or WARC offsets); this class is the pluggable seam
     (fetch.URLFetcher analog, fetch/fetch.go:29-44).
+
+    ``cheap_state = True``: state is a ``ray.get`` of a broadcast ref
+    (zero-copy from the local object store), so the crawl loop runs
+    this as a task-pool stage with per-worker-process instance caching
+    (util.worker_cached) instead of spinning a fresh actor pool every
+    epoch. Fetchers with bounded/exclusive state (HTTP sessions,
+    browser tabs) leave this False and get a real actor pool.
     """
+
+    cheap_state = True
 
     def __init__(self, corpus_ref) -> None:
         import ray
@@ -201,11 +210,6 @@ DISCOVERY_SEQ_BASE = 1 << 40  # child seqs never collide with seed seqs
 MAX_LINKS_PER_PAGE = 64
 
 
-def _count_links(t: pa.Table) -> pa.Table:
-    n = sum(len(ls) if ls is not None else 0 for ls in t["links"].to_pylist())
-    return pa.table({"n": pa.array([n], pa.int64())})
-
-
 def _explode_links(t: pa.Table) -> pa.Table:
     """(links, seed_seq) → one frontier row per discovered link, with
     a deterministic child seed_seq = BASE + (parent % BASE)*64 + idx.
@@ -213,17 +217,23 @@ def _explode_links(t: pa.Table) -> pa.Table:
     in int64 at any depth; cross-generation seq collisions are rare
     and harmless — crawl_order breaks remaining ties on requested_url,
     so emission order stays total and deterministic. Links past
-    MAX_LINKS_PER_PAGE are dropped; the epoch manifest counts them
-    (``links_dropped``)."""
+    MAX_LINKS_PER_PAGE are dropped; each page's first emitted row
+    carries its dropped count (``n_dropped``) so the manifest's
+    ``links_dropped`` is a cheap sum over the (narrow) links table —
+    no second pass over the page blocks."""
     from scrape_ray.functions.keys import key_columns
 
     urls: list[str] = []
     seqs: list[int] = []
+    dropped: list[int] = []
     for s, ls in zip(t["seed_seq"].to_pylist(), t["links"].to_pylist()):
         base = DISCOVERY_SEQ_BASE + (s % DISCOVERY_SEQ_BASE) * MAX_LINKS_PER_PAGE
-        for i, u in enumerate((ls or [])[:MAX_LINKS_PER_PAGE]):
+        kept = (ls or [])[:MAX_LINKS_PER_PAGE]
+        n_drop = len(ls or []) - len(kept)
+        for i, u in enumerate(kept):
             urls.append(u)
             seqs.append(base + i)
+            dropped.append(n_drop if i == 0 else 0)
     _, shard = key_columns(urls)
     return pa.table(
         {
@@ -231,6 +241,7 @@ def _explode_links(t: pa.Table) -> pa.Table:
             "seed_seq": pa.array(seqs, pa.int64()),
             "priority": pa.array([0] * len(urls), pa.int64()),
             "host_shard": shard,
+            "n_dropped": pa.array(dropped, pa.int64()),
         }
     )
 
@@ -299,6 +310,16 @@ def _run_epoch(
 
     def _default_fetch(ds_in):
         if isinstance(default_fetcher, type):
+            if getattr(default_fetcher, "cheap_state", False):
+                # task pool with per-worker instance caching: no actor
+                # spin-up per epoch (the loop's dominant fixed cost)
+                from scrape_ray.util import worker_cached
+
+                return ds_in.map_batches(
+                    worker_cached(default_fetcher, **default_kwargs),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                )
             return ds_in.map_batches(
                 default_fetcher,
                 fn_constructor_kwargs=default_kwargs,
@@ -356,16 +377,11 @@ def _run_epoch(
         ).materialize()
         n_disc = links_ds.count()
         # surface the MAX_LINKS_PER_PAGE truncation instead of silently
-        # narrowing discovery coverage
-        n_links_total = int(
-            pages.select_columns(["links"])
-            .map_batches(_count_links, batch_format="pyarrow", batch_size=None)
-            .sum("n")
-            or 0
-        )
-        n_links_dropped = n_links_total - n_disc
+        # narrowing discovery coverage (counted in the explode pass)
+        n_links_dropped = int(links_ds.sum("n_dropped") or 0) if n_disc else 0
         if n_disc:
-            store.write_frontier_ds(links_ds, epoch + 1)
+            store.write_frontier_ds(links_ds.drop_columns(["n_dropped"]),
+                                    epoch + 1)
         pages = pages.drop_columns(["links"])
     n_out = store.write_output(pages, epoch)
 

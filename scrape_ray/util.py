@@ -18,6 +18,40 @@ def dataset_to_table(ds) -> pa.Table:
     return pa.concat_tables(tables, promote_options="default")
 
 
+_WORKER_STAGE_CACHE: dict = {}
+
+
+def worker_cached(cls, **ctor_kwargs):
+    """Task-pool variant of an actor-pool stage for CHEAP-state
+    callables: returns a plain batch fn that builds ``cls(**kwargs)``
+    once per WORKER PROCESS (module-level cache; Ray reuses worker
+    processes across tasks and across dataset executions in a
+    session) and calls it per batch.
+
+    Why: ``map_batches(Cls, concurrency=N)`` spins up a fresh actor
+    pool per execution — ~1-2 s of process startup that a per-epoch
+    loop pays every iteration. Tasks reuse live workers, so a stage
+    whose state is cheap to rebuild (an ``ray.get`` of a broadcast
+    ref, compiled regexes) gets init-once-per-worker semantics with
+    zero pool spin-up. NOT for stages whose state must be bounded or
+    exclusive (HTTP sessions with politeness budgets, browser tabs) —
+    those stay actor pools. ctor kwargs must be hashable (ObjectRefs
+    are)."""
+    key = (cls.__module__, cls.__qualname__,
+           tuple(sorted(ctor_kwargs.items())))
+
+    def _f(batch):
+        inst = _WORKER_STAGE_CACHE.get(key)
+        if inst is None:
+            inst = cls(**ctor_kwargs)
+            _WORKER_STAGE_CACHE[key] = inst
+        return inst(batch)
+
+    _f.__name__ = f"cached_{cls.__name__}"
+    _f.__qualname__ = _f.__name__
+    return _f
+
+
 def vecs_to_numpy(col) -> "np.ndarray":
     """Embedding column (``list<float>`` / ``fixed_size_list``) →
     (n, d) float32 matrix, ZERO-COPY from the Arrow buffer when the

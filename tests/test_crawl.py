@@ -200,6 +200,7 @@ def test_link_discovery_grows_frontier(tmp_path, corpus_ref):
     content_docs = [d for d in seed_docs if is_content_row(d)]
     # every content page contributes its 4 nav links (raw explode)
     assert manifests[0]["counters"]["discovered"] == 4 * len(content_docs)
+    assert manifests[0]["counters"]["links_dropped"] == 0
 
     # closed-form epoch-1 fetch set: discovered minus already-seen
     seen0 = {clean_url(u) for u in seeds}
