@@ -728,8 +728,8 @@ def _q_link_discovery(sf_dir: str) -> Any:
 
 def _q_simhash_dups(sf_dir: str) -> Any:
     """SimHash near-dup pairs (pigeonhole-exact recall) over the
-    planted-dup corpus — rows-only check (hamming distance has no SQL
-    closed form)."""
+    planted-dup corpus. Full SQL oracle: the FNV/vote/hamming chain is
+    replicated verbatim in DuckDB (see oracle_sql)."""
     import pyarrow as pa
     import ray.data
 
@@ -967,6 +967,68 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_embedding": """
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
             FROM embeddings WHERE vec_id % 9 = 0
+        """,
+        # Full SimHash replica in SQL: FNV-1a-64 per word-3-gram
+        # shingle (multiset voting, ops/dedup.py:simhash64_batch),
+        # per-bit majority -> 64-bit signature, then the exact
+        # hamming<=3 pair set the engine's pigeonhole-banded version
+        # must equal. FNV's bytewise h = (h XOR b) * prime mod 2^64 is
+        # a list_reduce over hex-decoded utf8 bytes in HUGEINT space
+        # (the product fits 128 bits; UBIGINT would overflow-error).
+        "simhash_dups": r"""
+            WITH planted AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS words
+                FROM planted
+            ),
+            sh AS (
+                SELECT doc_id,
+                    CASE WHEN len(words) < 3
+                         THEN CASE WHEN len(words) = 0 THEN []::VARCHAR[]
+                              ELSE [array_to_string(words, ' ')] END
+                         ELSE list_transform(range(1, len(words)-1),
+                              i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                    END AS shingles
+                FROM w
+            ),
+            tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            hashed AS (
+                SELECT doc_id, list_reduce(
+                    list_prepend(14695981039346656037::HUGEINT,
+                        list_transform(range(0, octet_length(encode(s))),
+                            i -> ('0x' || substr(hex(encode(s)), 2*i+1, 2))
+                                 ::UBIGINT::HUGEINT)),
+                    (h, x) -> (xor(h::UBIGINT, x::UBIGINT)::HUGEINT
+                               * 1099511628211::HUGEINT)
+                              % 18446744073709551616::HUGEINT
+                )::UBIGINT AS h
+                FROM tok
+            ),
+            votes AS (
+                SELECT doc_id, b.bit,
+                       SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM hashed, (SELECT unnest(range(0, 64)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ),
+            sig AS (
+                SELECT p.doc_id,
+                       COALESCE(SUM(CASE WHEN v.v > 0
+                                    THEN (1::UBIGINT << v.bit)
+                                    ELSE 0::UBIGINT END), 0::UBIGINT) AS sig
+                FROM planted p LEFT JOIN votes v ON p.doc_id = v.doc_id
+                GROUP BY p.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "ann_topk": """
             WITH q AS (
