@@ -775,6 +775,40 @@ def _q_ivf_topk(sf_dir: str) -> Any:
     return ivf_topk(ds, queries_np, k=10, num_cells=8, nprobe=4)
 
 
+def _q_ivf_topk_full(sf_dir: str) -> Any:
+    """IVF probe with nprobe == num_cells: exhaustive by construction,
+    so the whole IVF machinery (centroid fit, cell assignment, probe
+    mask, per-batch top-k, merge) must reproduce EXACT brute-force
+    top-k — hash-checked against the same SQL oracle as ann_topk."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from scrape_ray.ops.similarity import ivf_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    by_id = {
+        v: e
+        for v, e in zip(qt["vec_id"].to_pylist(), qt["embedding"].to_pylist())
+        if v < 3
+    }
+    queries_np = np.array([by_id[v] for v in sorted(by_id)], dtype=np.float32)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = ivf_topk(ds, queries_np, k=10, num_cells=8, nprobe=8)
+
+    import pyarrow as pa
+
+    df = out.to_pandas().sort_values(
+        ["query_id", "score", "vec_id"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return pa.Table.from_pandas(
+        df[["query_id", "vec_id", "rank"]], preserve_index=False
+    )
+
+
 def _q_image_features(sf_dir: str) -> Any:
     """Multimodal plumbing: image decode → per-channel features via an
     actor pool (codec faked deterministically; rows-only)."""
@@ -841,10 +875,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_discovery": _q_link_discovery,
         "simhash_dups": _q_simhash_dups,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_full": _q_ivf_topk_full,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
     }
+
+
+_ANN_TOPK_SQL = """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 3
+    ),
+    s AS (
+        SELECT q.query_id, e.vec_id,
+            list_cosine_similarity(q.qv, e.embedding) AS sim
+        FROM q CROSS JOIN embeddings e
+    ),
+    r AS (
+        SELECT query_id, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id) AS rank
+        FROM s
+    )
+    SELECT query_id, vec_id, rank FROM r WHERE rank <= 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1030,24 +1085,9 @@ def oracle_sql() -> dict[str, str]:
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
-        "ann_topk": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding AS qv
-                FROM embeddings WHERE vec_id < 3
-            ),
-            s AS (
-                SELECT q.query_id, e.vec_id,
-                    list_cosine_similarity(q.qv, e.embedding) AS sim
-                FROM q CROSS JOIN embeddings e
-            ),
-            r AS (
-                SELECT query_id, vec_id,
-                    ROW_NUMBER() OVER (PARTITION BY query_id
-                                       ORDER BY sim DESC, vec_id) AS rank
-                FROM s
-            )
-            SELECT query_id, vec_id, rank FROM r WHERE rank <= 10
-        """,
+        "ann_topk": _ANN_TOPK_SQL,
+        # exhaustive IVF (nprobe == num_cells) must equal brute force
+        "ivf_topk_full": _ANN_TOPK_SQL,
         "politeness_slots": f"""
             SELECT {_CLEAN} AS url,
                 TRUE AS robots_allowed,
