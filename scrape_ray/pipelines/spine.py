@@ -67,18 +67,27 @@ def fetch_extract(
 
     if fetcher is not None:
         fkw: dict = {"batch_format": "pyarrow", "batch_size": extract_batch_size}
+        fetch_fn = fetcher
         if isinstance(fetcher, type):
-            import ray
+            if getattr(fetcher, "cheap_state", False):
+                # cheap-state fetchers (broadcast-ref corpus readers)
+                # run as tasks with per-worker instance caching — no
+                # actor-pool spin-up per call (see util.worker_cached)
+                from scrape_ray.util import worker_cached
 
-            conc = fetch_concurrency or max(
-                2, int(ray.cluster_resources().get("CPU", 4))
-            )
-            fkw.update(
-                concurrency=conc,
-                num_cpus=0.25,  # I/O-shaped: oversubscribe sessions per core
-                fn_constructor_kwargs=fetcher_kwargs or {},
-            )
-        ds = ds.map_batches(fetcher, **fkw)
+                fetch_fn = worker_cached(fetcher, **(fetcher_kwargs or {}))
+            else:
+                import ray
+
+                conc = fetch_concurrency or max(
+                    2, int(ray.cluster_resources().get("CPU", 4))
+                )
+                fkw.update(
+                    concurrency=conc,
+                    num_cpus=0.25,  # I/O-shaped: many sessions per core
+                    fn_constructor_kwargs=fetcher_kwargs or {},
+                )
+        ds = ds.map_batches(fetch_fn, **fkw)
 
     stage_kwargs = {
         "fixed_fetch_time": fixed_fetch_time,
