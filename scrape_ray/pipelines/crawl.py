@@ -221,25 +221,45 @@ def _explode_links(t: pa.Table) -> pa.Table:
     carries its dropped count (``n_dropped``) so the manifest's
     ``links_dropped`` is a cheap sum over the (narrow) links table —
     no second pass over the page blocks."""
+    import numpy as np
+
     from scrape_ray.functions.keys import key_columns
 
-    urls: list[str] = []
-    seqs: list[int] = []
-    dropped: list[int] = []
-    for s, ls in zip(t["seed_seq"].to_pylist(), t["links"].to_pylist()):
-        base = DISCOVERY_SEQ_BASE + (s % DISCOVERY_SEQ_BASE) * MAX_LINKS_PER_PAGE
-        kept = (ls or [])[:MAX_LINKS_PER_PAGE]
-        n_drop = len(ls or []) - len(kept)
-        for i, u in enumerate(kept):
-            urls.append(u)
-            seqs.append(base + i)
-            dropped.append(n_drop if i == 0 else 0)
-    _, shard = key_columns(urls)
+    links = t["links"].combine_chunks()
+    seed = t["seed_seq"].to_numpy()
+    lengths = pc.list_value_length(links).to_numpy(zero_copy_only=False)
+    lengths = np.where(np.isnan(lengths.astype(np.float64)), 0, lengths).astype(
+        np.int64
+    )
+    parent = pc.list_parent_indices(links).to_numpy(zero_copy_only=False)
+    if len(parent) == 0:
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "seed_seq": pa.array([], pa.int64()),
+                "priority": pa.array([], pa.int64()),
+                "host_shard": pa.array([], pa.int32()),
+                "n_dropped": pa.array([], pa.int64()),
+            }
+        )
+    parent = parent.astype(np.int64)
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    pos = np.arange(len(parent), dtype=np.int64) - starts[parent]
+    keep = pos < MAX_LINKS_PER_PAGE
+    base = DISCOVERY_SEQ_BASE + (seed % DISCOVERY_SEQ_BASE) * MAX_LINKS_PER_PAGE
+    flat = pc.list_flatten(links)
+    urls_arr = flat.filter(pa.array(keep))
+    kp, kpos = parent[keep], pos[keep]
+    seqs = base[kp] + kpos
+    n_drop = np.maximum(lengths - MAX_LINKS_PER_PAGE, 0)
+    dropped = np.where(kpos == 0, n_drop[kp], 0)
+    _, shard = key_columns(urls_arr.to_pylist())
     return pa.table(
         {
-            "url": pa.array(urls, pa.string()),
+            "url": urls_arr,
             "seed_seq": pa.array(seqs, pa.int64()),
-            "priority": pa.array([0] * len(urls), pa.int64()),
+            "priority": pa.array(np.zeros(len(seqs), np.int64), pa.int64()),
             "host_shard": shard,
             "n_dropped": pa.array(dropped, pa.int64()),
         }
