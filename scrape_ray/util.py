@@ -18,14 +18,36 @@ def dataset_to_table(ds) -> pa.Table:
     return pa.concat_tables(tables, promote_options="default")
 
 
-_WORKER_STAGE_CACHE: dict = {}
+_WORKER_STAGE_CACHE_MAX = 4  # LRU bound: stale instances (e.g. old
+# epochs' broadcast refs) would otherwise pin their state in every
+# worker for the life of the process
+
+
+def _worker_stage_cache() -> "OrderedDict":
+    """The per-worker-process stage cache, reached through
+    ``sys.modules`` AT CALL TIME. The indirection is load-bearing:
+    cloudpickle re-binds a shipped closure's module globals on every
+    task deserialization, so a cache referenced as a closure global
+    resets per TASK (measured: 48 inits for 48 tasks). The imported
+    module object itself, however, is created once per worker process
+    and stays in ``sys.modules`` — its attributes are the only
+    module-level state that actually persists across tasks."""
+    import sys
+    from collections import OrderedDict
+
+    mod = sys.modules[_worker_stage_cache.__module__]
+    cache = getattr(mod, "_worker_stage_cache_dict", None)
+    if cache is None:
+        cache = OrderedDict()
+        mod._worker_stage_cache_dict = cache
+    return cache
 
 
 def worker_cached(cls, **ctor_kwargs):
     """Task-pool variant of an actor-pool stage for CHEAP-state
     callables: returns a plain batch fn that builds ``cls(**kwargs)``
-    once per WORKER PROCESS (module-level cache; Ray reuses worker
-    processes across tasks and across dataset executions in a
+    once per WORKER PROCESS (LRU-bounded module cache; Ray reuses
+    worker processes across tasks and across dataset executions in a
     session) and calls it per batch.
 
     Why: ``map_batches(Cls, concurrency=N)`` spins up a fresh actor
@@ -41,10 +63,20 @@ def worker_cached(cls, **ctor_kwargs):
            tuple(sorted(ctor_kwargs.items())))
 
     def _f(batch):
-        inst = _WORKER_STAGE_CACHE.get(key)
+        from scrape_ray.util import (
+            _WORKER_STAGE_CACHE_MAX,
+            _worker_stage_cache,
+        )
+
+        cache = _worker_stage_cache()
+        inst = cache.get(key)
         if inst is None:
             inst = cls(**ctor_kwargs)
-            _WORKER_STAGE_CACHE[key] = inst
+            cache[key] = inst
+            while len(cache) > _WORKER_STAGE_CACHE_MAX:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(key)
         return inst(batch)
 
     _f.__name__ = f"cached_{cls.__name__}"
