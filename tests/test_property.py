@@ -221,3 +221,53 @@ def test_seen_state_matches_dict_model(ops):
             assert got.tolist() == want
             got_plain = state.contains(arr)
             assert got_plain.tolist() == [int(k) in model for k in arr]
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(st.none(), st.text(max_size=12)), max_size=80
+            ),
+        ),
+        max_size=20,
+    ),
+    st.lists(st.integers(min_value=0, max_value=2**45), min_size=0, max_size=20),
+)
+@settings(max_examples=150, deadline=None)
+def test_explode_links_matches_scalar_model(links, seeds):
+    """The vectorized link explode (Arrow list kernels + position
+    math) must agree with the obvious per-page Python model: per-page
+    truncation to MAX_LINKS_PER_PAGE, deterministic child seqs, and
+    the dropped counter on the first kept row."""
+    import pyarrow as pa
+
+    from scrape_ray.pipelines.crawl import (
+        DISCOVERY_SEQ_BASE,
+        MAX_LINKS_PER_PAGE,
+        _explode_links,
+    )
+
+    n = min(len(links), len(seeds))
+    links, seeds = links[:n], seeds[:n]
+    t = pa.table(
+        {
+            "seed_seq": pa.array(seeds, pa.int64()),
+            "links": pa.array(links, pa.list_(pa.string())),
+        }
+    )
+    out = _explode_links(t)
+
+    exp_urls, exp_seqs, exp_drop = [], [], []
+    for s, ls in zip(seeds, links):
+        base = DISCOVERY_SEQ_BASE + (s % DISCOVERY_SEQ_BASE) * MAX_LINKS_PER_PAGE
+        kept = (ls or [])[:MAX_LINKS_PER_PAGE]
+        n_drop = len(ls or []) - len(kept)
+        for i, u in enumerate(kept):
+            exp_urls.append(u)
+            exp_seqs.append(base + i)
+            exp_drop.append(n_drop if i == 0 else 0)
+    assert out["url"].to_pylist() == exp_urls
+    assert out["seed_seq"].to_pylist() == exp_seqs
+    assert out["n_dropped"].to_pylist() == exp_drop
