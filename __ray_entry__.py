@@ -218,6 +218,23 @@ def _q_near_dup_jaccard(sf_dir: str) -> Any:
     return near_dup_pairs(docs, threshold=0.7)
 
 
+def _q_near_dup_keep_list(sf_dir: str) -> Any:
+    """Dedup chain completed: near-dup pairs → connected components
+    (transitive closure, min-id canonical) → streaming keep-list
+    filter over the corpus. Oracle = recursive-CTE reachability over
+    the same exact-Jaccard pair set."""
+    import ray.data
+
+    from scrape_ray.ops.dedup import dedup_near_keep, near_dup_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = near_dup_pairs(docs, threshold=0.7)
+    kept = dedup_near_keep(docs.select_columns(["doc_id"]), pairs)
+    return kept
+
+
 def _q_near_dup_embedding(sf_dir: str) -> Any:
     """Training-data op: embedding-cosine near-dup via hyperplane-LSH
     buckets + exact cosine; planted scaled dups (cosine exactly 1)."""
@@ -855,6 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprint_dups": _q_fingerprint_dups,
         "near_dup_jaccard": _q_near_dup_jaccard,
+        "near_dup_keep_list": _q_near_dup_keep_list,
         "near_dup_embedding": _q_near_dup_embedding,
         "ann_topk": _q_ann_topk,
         "politeness_slots": _q_politeness_slots,
@@ -1022,6 +1040,42 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_embedding": """
             SELECT vec_id AS id_a, vec_id + 1000000 AS id_b
             FROM embeddings WHERE vec_id % 9 = 0
+        """,
+        # Keep-list = documents minus non-canonical near-dup cluster
+        # members. Components via recursive min-label reachability over
+        # the SAME exact-Jaccard pair set the near_dup_jaccard oracle
+        # defines — transitive closure, so chained near-dups (a~b, b~c,
+        # a!~c) still collapse to one canonical doc.
+        "near_dup_keep_list": """
+            WITH RECURSIVE
+            w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+            t AS (SELECT doc_id,
+                CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(words)-1),
+                          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                END AS tris FROM w),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(list_intersect(a.tris, b.tris)) AS DOUBLE)
+                    / len(list_distinct(a.tris || b.tris)) AS jac
+                FROM t a JOIN t b ON a.doc_id < b.doc_id),
+            pairs AS (SELECT id_a, id_b FROM p WHERE jac >= 0.7),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            walk(node, reach) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges) n(u)
+                UNION
+                SELECT wk.node, e.v FROM walk wk JOIN edges e ON wk.reach = e.u
+            ),
+            comp AS (
+                SELECT node AS doc_id, MIN(reach) AS component
+                FROM walk GROUP BY node
+            )
+            SELECT d.doc_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+            WHERE c.doc_id IS NULL OR c.component = d.doc_id
         """,
         # Full SimHash replica in SQL: FNV-1a-64 per word-3-gram
         # shingle (multiset voting, ops/dedup.py:simhash64_batch),

@@ -847,3 +847,84 @@ def embedding_dup_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.95,
 
     parted = bucketed.map_batches(_part, batch_format="pyarrow", batch_size=None)
     return parted.groupby("__part").map_groups(_exact, batch_format="pandas")
+
+
+# ------------------------------------------------- components / keep-list
+def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b"):
+    """Near-dup pair Dataset → ``(doc_id, component)`` pa.Table, where
+    ``component`` is the MIN member id of each connected cluster
+    (deterministic canonical label). Transitivity matters: a~b and b~c
+    puts a,b,c in ONE cluster even when a~c was never emitted as a
+    pair (LSH star truncation, chained near-dups).
+
+    Scale contract: the pair table — not the corpus — is collected to
+    the driver for the union-find. Pairs ≪ documents by construction
+    (banded LSH + ``max_bucket_width`` caps bound pair counts), so
+    this is a counters-sized collect. At 10^10 docs shard pairs by
+    ``min(id_a,id_b) >> k``, union within shards, and merge the tiny
+    cross-shard boundary pair set in a second pass."""
+    import ray.data
+
+    if isinstance(pairs_ds, pa.Table):
+        pairs = pairs_ds
+    elif isinstance(pairs_ds, ray.data.Dataset):
+        from scrape_ray.util import dataset_to_table
+
+        pairs = dataset_to_table(pairs_ds.select_columns([id_a, id_b]))
+    else:
+        pairs = pa.table(pairs_ds)
+    a = pairs[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+    if not len(a):
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "component": pa.array([], pa.int64())}
+        )
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    parent = np.arange(len(nodes), dtype=np.int64)
+    ia, ib = inv[: len(a)], inv[len(a):]
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(ia, ib):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by MIN node id so the root IS the canonical label
+            if nodes[rx] < nodes[ry]:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(i) for i in range(len(nodes))])
+    return pa.table(
+        {"doc_id": pa.array(nodes, pa.int64()),
+         "component": pa.array(nodes[roots], pa.int64())}
+    )
+
+
+def dedup_near_keep(ds, pairs, id_col: str = "doc_id"):
+    """Keep-list filter: drop every doc that belongs to a near-dup
+    cluster but is not its canonical (min-id) member. The dropped-id
+    set is derived from ``connected_components`` (small), broadcast
+    once via ``ray.put``, and applied per batch with a vectorized
+    ``pc.is_in`` — streaming over the corpus, no shuffle."""
+    import ray
+
+    comp = connected_components(pairs) if not isinstance(pairs, pa.Table) or \
+        "component" not in getattr(pairs, "column_names", []) else pairs
+    mask = pc.not_equal(comp["doc_id"], comp["component"])
+    dropped = comp.filter(mask)["doc_id"].combine_chunks()
+    dropped_ref = ray.put(dropped)
+
+    def _keep(t: pa.Table) -> pa.Table:
+        drop = ray.get(dropped_ref)
+        return t.filter(
+            pc.invert(pc.is_in(t[id_col], value_set=drop))
+        )
+
+    return ds.map_batches(_keep, batch_format="pyarrow", batch_size=None)

@@ -111,3 +111,58 @@ def test_simhash_wide_bucket_truncates(ray_session):
     assert len(out) == n - 1
     assert (out["id_a"] == 0).all()
     assert (out["hamming"] == 0).all()
+
+
+def test_connected_components_transitive_chain(ray_session):
+    """a~b and b~c cluster a,b,c together even though a~c was never a
+    pair; singletons are absent; labels are min member ids."""
+    import pyarrow as pa
+
+    from scrape_ray.ops.dedup import connected_components
+
+    pairs = pa.table(
+        {
+            "id_a": pa.array([10, 20, 50], pa.int64()),
+            "id_b": pa.array([20, 30, 60], pa.int64()),
+        }
+    )
+    comp = connected_components(pairs)
+    m = dict(zip(comp["doc_id"].to_pylist(), comp["component"].to_pylist()))
+    assert m == {10: 10, 20: 10, 30: 10, 50: 50, 60: 50}
+
+
+def test_connected_components_empty(ray_session):
+    import pyarrow as pa
+
+    from scrape_ray.ops.dedup import connected_components
+
+    comp = connected_components(
+        pa.table({"id_a": pa.array([], pa.int64()),
+                  "id_b": pa.array([], pa.int64())})
+    )
+    assert comp.num_rows == 0
+
+
+def test_dedup_near_keep_filters_non_canonical(ray_session):
+    """Corpus filter keeps canonical cluster members + untouched docs,
+    drops the rest — streaming pc.is_in over a broadcast drop set."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.dedup import dedup_near_keep
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(7)), pa.int64()),
+            "text": pa.array([f"t{i}" for i in range(7)], pa.string()),
+        }
+    )
+    pairs = pa.table(
+        {
+            "id_a": pa.array([1, 2, 4], pa.int64()),
+            "id_b": pa.array([2, 3, 5], pa.int64()),
+        }
+    )
+    out = dedup_near_keep(ray.data.from_arrow(docs), pairs).to_pandas()
+    # clusters {1,2,3} -> keep 1; {4,5} -> keep 4; 0 and 6 untouched
+    assert sorted(out["doc_id"]) == [0, 1, 4, 6]
