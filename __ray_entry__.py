@@ -235,6 +235,34 @@ def _q_near_dup_keep_list(sf_dir: str) -> Any:
     return kept
 
 
+def _q_hash_split(sf_dir: str) -> Any:
+    """Training-data op: deterministic leakage-safe train/holdout split
+    — FNV-1a-64 of the canonical URL mod 1000 < 100 ⇒ holdout. Pure
+    per-batch map (no shuffle, no sampling state); oracle replicates
+    the byte-wise FNV fold in DuckDB HUGEINT space."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.dedup import hash_split
+    from scrape_ray.stages.normalize import normalize
+
+    def _gen(t: pa.Table) -> pa.Table:
+        from scrape_ray.sources.frontier_gen import dirty_url
+
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([dirty_url(d) for d in ids], pa.string()),
+                "seed_seq": pa.array(ids, pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = normalize(docs.map_batches(_gen, batch_format="pyarrow", batch_size=2048))
+    out = hash_split(ds, "url", holdout_permille=100)
+    return out.select_columns(["url", "split"])
+
+
 def _q_near_dup_embedding(sf_dir: str) -> Any:
     """Training-data op: embedding-cosine near-dup via hyperplane-LSH
     buckets + exact cosine; planted scaled dups (cosine exactly 1)."""
@@ -873,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_dups": _q_fingerprint_dups,
         "near_dup_jaccard": _q_near_dup_jaccard,
         "near_dup_keep_list": _q_near_dup_keep_list,
+        "hash_split": _q_hash_split,
         "near_dup_embedding": _q_near_dup_embedding,
         "ann_topk": _q_ann_topk,
         "politeness_slots": _q_politeness_slots,
@@ -1076,6 +1105,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             WHERE c.doc_id IS NULL OR c.component = d.doc_id
+        """,
+        # FNV-1a-64 of the canonical URL replicated byte-by-byte in
+        # HUGEINT space (same fold as the simhash oracle below), then
+        # mod-1000 thresholding — the engine's hash_split must agree
+        # bit-exactly on every row.
+        "hash_split": rf"""
+            WITH u AS (SELECT {_CLEAN} AS url FROM documents),
+            h AS (
+                SELECT url, list_reduce(
+                    list_prepend(14695981039346656037::HUGEINT,
+                        list_transform(range(0, octet_length(encode(url))),
+                            i -> ('0x' || substr(hex(encode(url)), 2*i+1, 2))
+                                 ::UBIGINT::HUGEINT)),
+                    (h, x) -> (xor(h::UBIGINT, x::UBIGINT)::HUGEINT
+                               * 1099511628211::HUGEINT)
+                              % 18446744073709551616::HUGEINT
+                )::UBIGINT AS hv
+                FROM u
+            )
+            SELECT url,
+                   CASE WHEN hv % 1000 < 100 THEN 'holdout' ELSE 'train' END AS split
+            FROM h
         """,
         # Full SimHash replica in SQL: FNV-1a-64 per word-3-gram
         # shingle (multiset voting, ops/dedup.py:simhash64_batch),

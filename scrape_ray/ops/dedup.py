@@ -928,3 +928,26 @@ def dedup_near_keep(ds, pairs, id_col: str = "doc_id"):
         )
 
     return ds.map_batches(_keep, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------------------ deterministic split
+def hash_split(ds, key_col: str, holdout_permille: int = 100,
+               out_col: str = "split", batch_size: int | None = None):
+    """Deterministic train/holdout assignment: FNV-1a-64 of the key's
+    utf8 bytes mod 1000 < ``holdout_permille`` ⇒ ``holdout``, else
+    ``train``. Pure per-batch map — no shuffle, no sampling state, and
+    the assignment is reproducible across runs, nodes and engines (the
+    standard leakage-safe split for training corpora: a document's
+    split never depends on what else is in the batch). Keys should be
+    the DEDUP-stable identity (canonical url, content hash) so
+    near-identical rows land in one split."""
+    from scrape_ray.functions.keys import fnv1a64
+
+    def _f(t: pa.Table) -> pa.Table:
+        vals = t[key_col].to_pylist()
+        hv = fnv1a64([("" if v is None else str(v)).encode("utf-8") for v in vals])
+        hold = (hv % np.uint64(1000)) < np.uint64(holdout_permille)
+        split = np.where(hold, "holdout", "train")
+        return t.append_column(out_col, pa.array(split, pa.string()))
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
