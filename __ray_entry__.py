@@ -263,6 +263,41 @@ def _q_hash_split(sf_dir: str) -> Any:
     return out.select_columns(["url", "split"])
 
 
+def _q_repetition_filter(sf_dir: str) -> Any:
+    """Training-data op: C4/Gopher intra-document repetition filter —
+    duplicate-line removal (first kept, order preserved) plus the
+    top-word repetition ratio. The corpus has no newlines, so both
+    sides plant identical multi-line docs (3 fixed 40-char lines;
+    doc_id%3 re-appends line 1, doc_id%7 re-appends line 2 twice)."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.textstats import dedup_lines
+
+    def _plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out = []
+        for d, x in zip(ids, t["text"].to_pylist()):
+            l1, l2, l3 = x[0:40], x[40:80], x[80:120]
+            s = l1 + "\n" + l2 + "\n" + l3
+            if d % 3 == 0:
+                s += "\n" + l1
+            if d % 7 == 0:
+                s += "\n" + l2 + "\n" + l2
+            out.append(s)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(out, pa.string())}
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_plant, batch_format="pyarrow", batch_size=2048)
+    out = dedup_lines(docs)
+    return out.select_columns(
+        ["doc_id", "clean_text", "n_lines", "n_dup_lines", "top_word_frac_x1000"]
+    )
+
+
 def _q_near_dup_embedding(sf_dir: str) -> Any:
     """Training-data op: embedding-cosine near-dup via hyperplane-LSH
     buckets + exact cosine; planted scaled dups (cosine exactly 1)."""
@@ -902,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_jaccard": _q_near_dup_jaccard,
         "near_dup_keep_list": _q_near_dup_keep_list,
         "hash_split": _q_hash_split,
+        "repetition_filter": _q_repetition_filter,
         "near_dup_embedding": _q_near_dup_embedding,
         "ann_topk": _q_ann_topk,
         "politeness_slots": _q_politeness_slots,
@@ -1105,6 +1141,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
             WHERE c.doc_id IS NULL OR c.component = d.doc_id
+        """,
+        # C4 duplicate-line removal as window functions: zipped unnest
+        # gives (line, pos); rn=1 per (doc, line) marks first
+        # occurrences; string_agg FILTER rebuilds clean_text in order.
+        # Gopher top-word ratio via word-count groupby.
+        "repetition_filter": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                    substr(text,1,40) || chr(10) || substr(text,41,40)
+                    || chr(10) || substr(text,81,40)
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN chr(10) || substr(text,1,40) ELSE '' END
+                    || CASE WHEN doc_id % 7 = 0
+                            THEN chr(10) || substr(text,41,40)
+                                 || chr(10) || substr(text,41,40) ELSE '' END
+                    AS text
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id,
+                    unnest(str_split(text, chr(10))) AS line,
+                    unnest(range(1, len(str_split(text, chr(10))) + 1)) AS pos
+                FROM planted
+            ),
+            r AS (
+                SELECT doc_id, line, pos,
+                    ROW_NUMBER() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+                FROM l
+            ),
+            lines AS (
+                SELECT doc_id,
+                    string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE rn = 1) AS clean_text,
+                    COUNT(*) AS n_lines,
+                    COUNT(*) FILTER (WHERE rn > 1) AS n_dup_lines
+                FROM r GROUP BY doc_id
+            ),
+            w AS (
+                SELECT doc_id,
+                    unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x <> '')) AS word
+                FROM planted
+            ),
+            wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+            tw AS (
+                SELECT doc_id,
+                    CAST((MAX(c) * 1000) // SUM(c) AS BIGINT) AS top_word_frac_x1000
+                FROM wc GROUP BY doc_id
+            )
+            SELECT p.doc_id, li.clean_text,
+                   CAST(li.n_lines AS BIGINT) AS n_lines,
+                   CAST(li.n_dup_lines AS BIGINT) AS n_dup_lines,
+                   COALESCE(tw.top_word_frac_x1000, 0) AS top_word_frac_x1000
+            FROM planted p
+            JOIN lines li USING (doc_id)
+            LEFT JOIN tw USING (doc_id)
         """,
         # FNV-1a-64 of the canonical URL replicated byte-by-byte in
         # HUGEINT space (same fold as the simhash oracle below), then

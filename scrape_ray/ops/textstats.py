@@ -108,6 +108,53 @@ def add_langid(ds, text_col: str = "text", out_col: str = "lang_pred",
     return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
 
 
+# ------------------------------------------------- intra-doc repetition
+def dedup_lines(ds, text_col: str = "text", batch_size: int = 4096):
+    """C4/Gopher-style intra-document repetition filter (the standard
+    corpus-cleaning pass BEFORE cross-document dedup). Adds:
+
+    - ``clean_text``: duplicate lines removed — first occurrence kept,
+      original order preserved (C4's dedup-by-line rule, exact match)
+    - ``n_lines`` / ``n_dup_lines``: line count and removed count
+    - ``top_word_frac_x1000``: occurrences of the most frequent
+      whitespace token × 1000 // n_words (Gopher's top-word repetition
+      signal; 0 for empty text). Integer so the oracle is bit-exact.
+
+    Pure per-batch map, no shuffle; per-row work is O(len(text))."""
+    from collections import Counter
+
+    def _f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        clean, n_lines, n_dups, topfrac = [], [], [], []
+        for x in texts:
+            x = x or ""
+            lines = x.split("\n")
+            seen: set[str] = set()
+            kept = []
+            for ln in lines:
+                if ln in seen:
+                    continue
+                seen.add(ln)
+                kept.append(ln)
+            clean.append("\n".join(kept))
+            n_lines.append(len(lines))
+            n_dups.append(len(lines) - len(kept))
+            words = x.split()
+            topfrac.append(
+                Counter(words).most_common(1)[0][1] * 1000 // len(words)
+                if words
+                else 0
+            )
+        t = t.append_column("clean_text", pa.array(clean, pa.string()))
+        t = t.append_column("n_lines", pa.array(n_lines, pa.int64()))
+        t = t.append_column("n_dup_lines", pa.array(n_dups, pa.int64()))
+        return t.append_column(
+            "top_word_frac_x1000", pa.array(topfrac, pa.int64())
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
+
+
 # ----------------------------------------------------------- fingerprint
 def winnow_fingerprint(text: str, k: int = 5, window: int = 4) -> int:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):

@@ -81,3 +81,28 @@ def test_fingerprint_dataset(ray_session):
     out = add_fingerprint(_ds(texts)).to_pandas()
     assert out["fingerprint"][0] == out["fingerprint"][1]
     assert out["fingerprint"][0] != out["fingerprint"][2]
+
+
+def test_dedup_lines_semantics(ray_session):
+    from scrape_ray.ops.textstats import dedup_lines
+
+    texts = [
+        "a\nb\na\nc\nb",          # dups of a and b removed, order kept
+        "x\nx\nx",                # two dups
+        "",                        # one empty line, no words
+        "solo line no dups",
+        "w w w w\nother",         # top word 'w' 4/5
+    ]
+    out = dedup_lines(_ds(texts)).to_pandas().sort_values("doc_id")
+    assert list(out["clean_text"]) == [
+        "a\nb\nc",
+        "x",
+        "",
+        "solo line no dups",
+        "w w w w\nother",
+    ]
+    assert list(out["n_lines"]) == [5, 3, 1, 1, 2]
+    assert list(out["n_dup_lines"]) == [2, 2, 0, 0, 0]
+    # Gopher top-word ratio: integer permille of most frequent token
+    assert out["top_word_frac_x1000"].tolist()[4] == 4 * 1000 // 5
+    assert out["top_word_frac_x1000"].tolist()[2] == 0
