@@ -43,7 +43,12 @@ from scrape_ray.stages.extract import ExtractStage
 from scrape_ray.stages.normalize import normalize
 from scrape_ray.state.frontier import FrontierStore
 from scrape_ray.state.politeness import RobotsProvider, apply_politeness
-from scrape_ray.state.seen import commit_seen_ds, filter_unseen, make_seen_actors
+from scrape_ray.state.seen import (
+    drain_seen_stats,
+    filter_unseen,
+    make_seen_actors,
+    seen_commit_router,
+)
 
 _DOC_RE = re.compile(r"/(?:doc|private|canonical)/(\d+)")
 
@@ -388,6 +393,7 @@ def _run_epoch(
     )
     n_disc = 0
     n_links_dropped = 0
+    links_ds = None
     if discover:
         # two consumers (links → next frontier, pages → output):
         # materialize once in the object store, never on the driver
@@ -395,13 +401,12 @@ def _run_epoch(
         links_ds = pages.select_columns(["links", "seed_seq"]).map_batches(
             _explode_links, batch_format="pyarrow", batch_size=None
         ).materialize()
-        n_disc = links_ds.count()
+        n_disc = links_ds.count()  # metadata-only on the materialized ds
         # surface the MAX_LINKS_PER_PAGE truncation instead of silently
         # narrowing discovery coverage (counted in the explode pass)
         n_links_dropped = int(links_ds.sum("n_dropped") or 0) if n_disc else 0
-        if n_disc:
-            store.write_frontier_ds(links_ds.drop_columns(["n_dropped"]),
-                                    epoch + 1)
+        # links are NOT written here — they union into the fused
+        # defer/seen-commit frontier write below (one epoch+1 write)
         pages = pages.drop_columns(["links"])
     n_out = store.write_output(pages, epoch)
 
@@ -423,21 +428,26 @@ def _run_epoch(
             }
         )
 
+    # ---- seen-commit FUSED into the frontier write: the pass-through
+    # router marks admitted keys seen from inside the write's map tasks
+    # (exact counters accumulate on the shard actors — the driver never
+    # sees a key), _defer_rows keeps the over-budget remainder, and in
+    # discover mode the links union rides the same write. One epoch+1
+    # write execution instead of three separate passes.
+    ft = int(fixed_fetch_time.timestamp()) if fixed_fetch_time else 0
+    drain_seen_stats(actors)  # discard partials from a crashed prior epoch
     next_dir = store.frontier_dir(epoch + 1)
     rows_before = store.count_rows(next_dir) if store.has_frontier(epoch + 1) else 0
-    store.write_frontier_ds(
-        verdict.map_batches(_defer_rows, batch_format="pyarrow", batch_size=None),
-        epoch + 1,
-    )
-    n_defer = store.count_rows(next_dir) - rows_before
-
-    # ---- seen-set commit: admitted keys route to shard actors from
-    # the map tasks (commit_seen_ds) — only counters return to the
-    # driver. At 10^10 URLs/epoch nothing here scales with row count.
-    ft = int(fixed_fetch_time.timestamp()) if fixed_fetch_time else 0
-    n_fetched, newly, shards = commit_seen_ds(
-        admitted, actors, fetch_time=ft
-    )
+    defer_ds = verdict.map_batches(
+        seen_commit_router(actors, fetch_time=ft),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).map_batches(_defer_rows, batch_format="pyarrow", batch_size=None)
+    if links_ds is not None and n_disc:
+        defer_ds = defer_ds.union(links_ds.drop_columns(["n_dropped"]))
+    store.write_frontier_ds(defer_ds, epoch + 1)
+    n_defer = store.count_rows(next_dir) - rows_before - n_disc
+    n_fetched, newly, shards = drain_seen_stats(actors)
     import ray
 
     ray.get([a.snapshot.remote(store.seen_dir(epoch)) for a in actors])

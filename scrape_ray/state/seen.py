@@ -372,6 +372,9 @@ def make_seen_actors(num_shards: int, capacity_per_shard: int = 1 << 16,
                 )
             else:
                 self.state = SeenShardState(shard_id, capacity=capacity_per_shard)
+            self._stat_n = 0
+            self._stat_added = 0
+            self._stat_shards: set[int] = set()
 
         def contains(
             self, keys: np.ndarray, min_fetch_time: int | None = None
@@ -380,6 +383,25 @@ def make_seen_actors(num_shards: int, capacity_per_shard: int = 1 << 16,
 
         def add(self, keys: np.ndarray, fetch_time: int = 0) -> int:
             return self.state.add(keys, fetch_time=fetch_time)
+
+        def commit(self, keys: np.ndarray, host_shards: np.ndarray,
+                   fetch_time: int = 0) -> int:
+            """add() + epoch-stats accumulation (row count, newly-added
+            count, touched host shards) so a pass-through router can
+            commit from inside another consumer's execution and the
+            driver recovers exact counters via drain_epoch_stats()."""
+            added = self.state.add(keys, fetch_time=fetch_time)
+            self._stat_n += int(len(keys))
+            self._stat_added += int(added)
+            self._stat_shards.update(int(h) for h in host_shards)
+            return added
+
+        def drain_epoch_stats(self) -> tuple[int, int, list[int]]:
+            out = (self._stat_n, self._stat_added, sorted(self._stat_shards))
+            self._stat_n = 0
+            self._stat_added = 0
+            self._stat_shards = set()
+            return out
 
         def size(self) -> int:
             return len(self.state)
@@ -432,8 +454,9 @@ def filter_unseen(ds, actors, key_col: str = "key",
 def bulk_add(actors, keys: np.ndarray, shards: np.ndarray,
              fetch_time: int = 0) -> int:
     """Driver-side add of a small key array (tests / tools). The crawl
-    loop uses ``commit_seen_ds`` — keys route to shard actors from the
-    map tasks, never through the driver."""
+    loop uses ``seen_commit_router`` fused into its frontier write —
+    keys route to shard actors from the map tasks, never through the
+    driver."""
     import ray
 
     num_shards = len(actors)
@@ -447,16 +470,68 @@ def bulk_add(actors, keys: np.ndarray, shards: np.ndarray,
     return int(sum(ray.get(refs)))
 
 
+def seen_commit_router(actors, key_col: str = "key",
+                       shard_col: str = "host_shard", fetch_time: int = 0,
+                       mask_col: str = "admitted"):
+    """Pass-through batch fn: routes the batch's admitted keys to the
+    owning shard actors and returns the batch UNCHANGED, so the
+    seen-commit rides inside another consumer's execution (the crawl
+    fuses it into the deferred-rows frontier write) instead of paying
+    its own dataset pass. Exact counters accumulate on the actors
+    (``SeenShard.commit``); collect them with ``drain_seen_stats``
+    AFTER the host execution finishes — the in-task ``ray.get`` below
+    is the completion barrier that makes that ordering sound."""
+    import ray
+
+    num_shards = len(actors)
+
+    def _route(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        adm = t.filter(t[mask_col]) if mask_col in t.column_names else t
+        if adm.num_rows:
+            keys = adm[key_col].to_numpy().astype(np.uint64)
+            raw = adm[shard_col].to_numpy().astype(np.int64)
+            act = raw % num_shards
+            refs = []
+            for s in np.unique(act):
+                m = act == s
+                refs.append(
+                    actors[int(s)].commit.remote(
+                        keys[m], np.unique(raw[m]), fetch_time=fetch_time
+                    )
+                )
+            ray.get(refs)
+        return t
+
+    return _route
+
+
+def drain_seen_stats(actors) -> tuple[int, int, list[int]]:
+    """(rows committed, newly added, touched host shards) since the
+    last drain, summed across shard actors; resets the counters."""
+    import ray
+
+    res = ray.get([a.drain_epoch_stats.remote() for a in actors])
+    return (
+        int(sum(r[0] for r in res)),
+        int(sum(r[1] for r in res)),
+        sorted({int(s) for r in res for s in r[2]}),
+    )
+
+
 def commit_seen_ds(ds, actors, key_col: str = "key",
                    shard_col: str = "host_shard", fetch_time: int = 0,
                    batch_size: int = 8192):
-    """Distributed epoch-commit: every map task routes its batch's keys
-    to the owning shard actors directly (same in-task fan-out as
-    ``filter_unseen``); only per-(batch, shard) counters flow back.
-    Returns ``(n_rows, newly_added, sorted shard ids)`` — the driver
-    never sees a key. Exactness: within an epoch keys are already
-    deduped (politeness D1), so per-shard ``fresh`` counts sum exactly.
-    """
+    """Distributed epoch-commit as its OWN dataset pass: every map task
+    routes its batch's keys to the owning shard actors directly (same
+    in-task fan-out as ``filter_unseen``); only per-(batch, shard)
+    counters flow back. Returns ``(n_rows, newly_added, sorted shard
+    ids)`` — the driver never sees a key. Exactness: within an epoch
+    keys are already deduped (politeness D1), so per-shard ``fresh``
+    counts sum exactly. Standalone/library variant; the crawl loop
+    instead fuses ``seen_commit_router`` into its frontier write to
+    save the extra execution."""
     import ray
 
     num_shards = len(actors)
