@@ -476,6 +476,21 @@ def _q_invalid_urls(sf_dir: str) -> Any:
     return ds.select_columns(["original_url", "url", "parse_error"])
 
 
+def _q_hopping_window(sf_dir: str) -> Any:
+    """Windowed aggregate: 10-min windows hopping every 5 min (each
+    event in exactly 2 windows); same partial-combine shape as
+    tumbling — the shuffle moves (key, window) partials, not ×2
+    events."""
+    import ray.data
+
+    from scrape_ray.ops.windows import hopping_aggregate
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+    return hopping_aggregate(ev, width_s=600, hop_s=300)
+
+
 def _q_tumbling_window(sf_dir: str) -> Any:
     """Windowed aggregate: 10-min tumbling count+sum per user over the
     events stream (partial per-batch combine, then one small groupby)."""
@@ -946,6 +961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_settings_scan": _q_domain_settings_scan,
         "invalid_urls": _q_invalid_urls,
         "tumbling_window": _q_tumbling_window,
+        "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
         "json_props": _q_json_props,
         "ttl_expiry": _q_ttl_expiry,
@@ -1323,6 +1339,18 @@ def oracle_sql() -> dict[str, str]:
                 -- .df(); keep it BIGINT so the driver hash matches int64
                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        # hopping window: each event joins the 2 window starts
+        # (base, base-hop) that contain it; same CAST/ROUND rules as
+        # tumbling so sums stay BIGINT and half-away-from-zero
+        "hopping_window": """
+            SELECT user_id,
+                make_timestamp(((epoch_us(ts) // 300000000) - g.i) * 300000000)
+                    AS window_start,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events, (SELECT unnest(range(0, 2)) AS i) g
+            GROUP BY 1, 2
         """,
         "sessionize": """
             WITH o AS (

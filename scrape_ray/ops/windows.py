@@ -82,6 +82,77 @@ def tumbling_aggregate(
     return final.map_batches(_finish, batch_format="pyarrow", batch_size=None)
 
 
+def hopping_aggregate(
+    ds,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    width_s: int = 600,
+    hop_s: int = 300,
+):
+    """Hopping (sliding) window: count + sum(value_cents) per
+    (key, window_start) where windows are ``width_s`` long and start
+    every ``hop_s`` (``width_s % hop_s == 0``). Each event belongs to
+    exactly width/hop windows — the per-batch partial explodes events
+    ×k into NARROW partial rows and pre-aggregates them, so the
+    shuffle moves (keys × windows) partials, never k× the event
+    stream."""
+    from ray.data.aggregate import Sum
+
+    if width_s % hop_s:
+        raise ValueError("width_s must be a multiple of hop_s")
+    k = width_s // hop_s
+    hop_us = hop_s * 1_000_000
+
+    def _partial(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t[ts_col], pa.int64()).to_numpy()  # µs
+        cents = (
+            pc.cast(
+                pc.round(
+                    pc.multiply(t[value_col], 100.0),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            .to_numpy()
+            .astype(np.int64)
+        )
+        keys = t[key_col].to_numpy()
+        base = (epoch // hop_us) * hop_us
+        # window starts base, base-hop, ..., base-(k-1)*hop — all
+        # contain ts because width = k*hop
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_us, len(base)
+        )
+        df = pd.DataFrame(
+            {
+                key_col: np.repeat(keys, k),
+                "window_start": starts,
+                "cents": np.repeat(cents, k),
+            }
+        )
+        g = (
+            df.groupby([key_col, "window_start"], sort=False)
+            .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    final = partial.groupby([key_col, "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_cents", alias_name="sum_cents"),
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["window_start"], pa.timestamp("us"))
+        return t.set_column(
+            t.column_names.index("window_start"), "window_start", ts
+        )
+
+    return final.map_batches(_finish, batch_format="pyarrow", batch_size=None)
+
+
 def sessionize(
     ds,
     ts_col: str = "ts",

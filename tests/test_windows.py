@@ -71,3 +71,48 @@ def test_extract_json_prop(ray_session):
     assert out.loc[1, "prop_k"] == 87
     assert out.loc[2, "prop_k"] != out.loc[2, "prop_k"] or out.loc[2, "prop_k"] is None  # NaN
     assert out.loc[3, "prop_k"] != out.loc[3, "prop_k"] or out.loc[3, "prop_k"] is None
+
+
+def test_hopping_aggregate(ray_session):
+    import datetime
+
+    import pytest
+    import ray.data
+
+    from scrape_ray.ops.windows import hopping_aggregate, tumbling_aggregate
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    rows = pa.table(
+        {
+            "ts": pa.array(
+                [t0, t0 + datetime.timedelta(minutes=7)], pa.timestamp("us")
+            ),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(rows)
+    out = (
+        hopping_aggregate(ds, width_s=600, hop_s=300)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # event@12:00 -> windows 11:55 and 12:00; event@12:07 -> 12:00 and 12:05
+    starts = [w.strftime("%H:%M") for w in out["window_start"]]
+    assert starts == ["11:55", "12:00", "12:05"]
+    assert out["n_events"].tolist() == [1, 2, 1]
+    assert out["sum_cents"].tolist() == [100, 300, 200]
+    # every event lands in exactly width/hop windows
+    assert out["n_events"].sum() == len(rows) * (600 // 300)
+
+    # hop == width degenerates to tumbling
+    hop = hopping_aggregate(ds, width_s=600, hop_s=600).to_pandas()
+    tum = tumbling_aggregate(ds, width_s=600).to_pandas()
+    cols = ["user_id", "window_start", "n_events", "sum_cents"]
+    assert hop.sort_values(cols).reset_index(drop=True).equals(
+        tum.sort_values(cols).reset_index(drop=True)
+    )
+
+    with pytest.raises(ValueError):
+        hopping_aggregate(ds, width_s=600, hop_s=400)
