@@ -387,6 +387,34 @@ def _q_politeness_slots(sf_dir: str) -> Any:
     return verdict.select_columns(["url", "robots_allowed", "fetch_slot"])
 
 
+def _q_domain_cap(sf_dir: str) -> Any:
+    """Training-data op: per-domain document cap (group top-k) — keep
+    the 10 lowest-doc_id documents per host so no domain dominates
+    the corpus. One coarse-partition exchange, vectorized
+    groupby-head per partition."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.dedup import per_key_topk
+
+    def _gen(t: pa.Table) -> pa.Table:
+        from scrape_ray.sources.frontier_gen import host_of
+
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "domain": pa.array([host_of(d) for d in ids], pa.string()),
+            }
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = docs.map_batches(_gen, batch_format="pyarrow", batch_size=2048)
+    return per_key_topk(ds, "domain", "doc_id", k=10).select_columns(
+        ["domain", "doc_id"]
+    )
+
+
 def _q_host_counts_sorted(sf_dir: str) -> Any:
     """O1 analog: per-domain URL counts, sorted by domain, LIMIT 10
     (the reference's domain-settings range scan shape)."""
@@ -957,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "politeness_slots": _q_politeness_slots,
         "host_counts_sorted": _q_host_counts_sorted,
+        "domain_cap": _q_domain_cap,
         "feed_expand": _q_feed_expand,
         "domain_settings_scan": _q_domain_settings_scan,
         "invalid_urls": _q_invalid_urls,
@@ -1312,6 +1341,13 @@ def oracle_sql() -> dict[str, str]:
         "host_counts_sorted": f"""
             SELECT {_HOST} AS domain, COUNT(*) AS n_urls
             FROM documents GROUP BY 1 ORDER BY domain LIMIT 10
+        """,
+        "domain_cap": f"""
+            SELECT domain, doc_id FROM (
+                SELECT {_HOST} AS domain, doc_id,
+                    ROW_NUMBER() OVER (PARTITION BY {_HOST} ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 10
         """,
         "feed_expand": f"""
             SELECT 'https://feeds.example.com/' || source || '.xml' AS feed_url,

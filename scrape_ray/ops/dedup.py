@@ -80,6 +80,47 @@ def dedup_exact(ds, key_col: str, order_col: str, keep: str = "first",
     return out.drop_columns(["__part"])
 
 
+def per_key_topk(ds, key_col: str, order_col: str, k: int = 1,
+                 keep: str = "first", num_parts: int = 64):
+    """Per-key cap / group top-k: at most ``k`` rows per key — the
+    ``k`` smallest (``keep='first'``) or largest (``'last'``) by
+    ``order_col``. This is the domain-mixing primitive for corpus
+    curation (cap documents per host so one domain can't dominate the
+    training set) and the general group-top-k. Same ONE
+    coarse-partition exchange as ``dedup_exact`` (its k=1 case):
+    vectorized sort + ``groupby().head(k)`` per partition, so the
+    per-group UDF runs ``num_parts`` times, not once per key."""
+    import pandas as pd
+
+    asc = keep == "first"
+
+    def _part(t: pa.Table) -> pa.Table:
+        key = t[key_col]
+        if pa.types.is_string(key.type) or pa.types.is_large_string(key.type):
+            from scrape_ray.functions.keys import fnv1a64
+
+            h = fnv1a64([(v or "").encode() for v in key.to_pylist()])
+            part = pa.array((h % num_parts).astype(np.int32))
+        else:
+            part = pc.cast(
+                pc.bit_wise_and(
+                    pc.cast(key, pa.int64(), safe=False),
+                    pa.scalar(num_parts - 1, pa.int64()),
+                ),
+                pa.int32(),
+            )
+        return t.append_column("__part", part)
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], ascending=[True, asc],
+                          kind="mergesort")
+        return g.groupby(key_col, sort=False).head(k)
+
+    parted = ds.map_batches(_part, batch_format="pyarrow", batch_size=None)
+    out = parted.groupby("__part").map_groups(_topk, batch_format="pandas")
+    return out.drop_columns(["__part"])
+
+
 # ------------------------------------------------------------------ shingles
 def char_ngrams(text: str, n: int = 5) -> set[str]:
     if len(text) < n:

@@ -63,3 +63,38 @@ def test_hash_split_null_key(ray_session):
     # nulls hash as "" deterministically, never crash
     assert len(out) == 3
     assert set(out["split"]) <= {"train", "holdout"}
+
+
+def test_per_key_topk(ray_session):
+    from scrape_ray.ops.dedup import per_key_topk
+
+    t = pa.table(
+        {
+            "domain": pa.array(
+                ["a.com"] * 5 + ["b.com"] * 2 + ["c.com"], pa.string()
+            ),
+            "doc_id": pa.array([5, 3, 9, 1, 7, 20, 10, 42], pa.int64()),
+        }
+    )
+    import ray.data
+
+    out = (
+        per_key_topk(ray.data.from_arrow(t), "domain", "doc_id", k=2)
+        .to_pandas()
+        .sort_values(["domain", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.values.tolist())) == [
+        ("a.com", 1),
+        ("a.com", 3),
+        ("b.com", 10),
+        ("b.com", 20),
+        ("c.com", 42),
+    ]
+    # keep='last' takes the k largest
+    hi = (
+        per_key_topk(ray.data.from_arrow(t), "domain", "doc_id", k=1, keep="last")
+        .to_pandas()
+        .sort_values("domain")
+    )
+    assert hi["doc_id"].tolist() == [9, 20, 42]
