@@ -415,6 +415,35 @@ def _q_domain_cap(sf_dir: str) -> Any:
     )
 
 
+def _q_distinct_sketch(sf_dir: str) -> Any:
+    """KMV distinct-count sketch as a Ray Data AggregateFn: one
+    streaming pass, no shuffle, O(k) state per task. The input is the
+    canonical-URL stream UNIONED WITH ITSELF (planted duplicates) —
+    the k minima must collapse them, so the oracle's DISTINCT set of
+    the 64 smallest FNV hashes matches bit-exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.sketch import kmv_table
+    from scrape_ray.stages.normalize import normalize
+
+    def _gen(t: pa.Table) -> pa.Table:
+        from scrape_ray.sources.frontier_gen import dirty_url
+
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([dirty_url(d) for d in ids], pa.string()),
+                "seed_seq": pa.array(ids, pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = normalize(docs.map_batches(_gen, batch_format="pyarrow", batch_size=2048))
+    urls = ds.select_columns(["url"])
+    return kmv_table(urls.union(urls), "url", k=64)
+
+
 def _q_host_counts_sorted(sf_dir: str) -> Any:
     """O1 analog: per-domain URL counts, sorted by domain, LIMIT 10
     (the reference's domain-settings range scan shape)."""
@@ -986,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "politeness_slots": _q_politeness_slots,
         "host_counts_sorted": _q_host_counts_sorted,
         "domain_cap": _q_domain_cap,
+        "distinct_sketch": _q_distinct_sketch,
         "feed_expand": _q_feed_expand,
         "domain_settings_scan": _q_domain_settings_scan,
         "invalid_urls": _q_invalid_urls,
@@ -1348,6 +1378,28 @@ def oracle_sql() -> dict[str, str]:
                     ROW_NUMBER() OVER (PARTITION BY {_HOST} ORDER BY doc_id) AS rn
                 FROM documents
             ) WHERE rn <= 10
+        """,
+        # the KMV sketch CONTENT is deterministic: the 64 smallest
+        # distinct FNV-1a-64 hashes of the canonical URLs (same
+        # HUGEINT byte fold as hash_split's oracle)
+        "distinct_sketch": rf"""
+            WITH u AS (SELECT DISTINCT {_CLEAN} AS url FROM documents),
+            h AS (
+                SELECT list_reduce(
+                    list_prepend(14695981039346656037::HUGEINT,
+                        list_transform(range(0, octet_length(encode(url))),
+                            i -> ('0x' || substr(hex(encode(url)), 2*i+1, 2))
+                                 ::UBIGINT::HUGEINT)),
+                    (h, x) -> (xor(h::UBIGINT, x::UBIGINT)::HUGEINT
+                               * 1099511628211::HUGEINT)
+                              % 18446744073709551616::HUGEINT
+                )::UBIGINT AS hv
+                FROM u
+            ),
+            d AS (SELECT DISTINCT hv FROM h ORDER BY hv LIMIT 64)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY hv) - 1 AS BIGINT) AS rank,
+                   hv AS hash_value
+            FROM d
         """,
         "feed_expand": f"""
             SELECT 'https://feeds.example.com/' || source || '.xml' AS feed_url,

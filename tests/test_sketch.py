@@ -1,0 +1,47 @@
+"""KMV distinct-count sketch: determinism, mergeability, estimate."""
+
+import numpy as np
+import pyarrow as pa
+
+from scrape_ray.functions.keys import fnv1a64
+from scrape_ray.ops.sketch import kmv_estimate, kmv_sketch, kmv_table
+
+
+def _ds(vals, col="v"):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({col: pa.array(vals, pa.string())}))
+
+
+def test_kmv_exact_below_k(ray_session):
+    vals = [f"url-{i}" for i in range(40)]
+    mins = kmv_sketch(_ds(vals * 3), "v", k=64)  # dups collapse
+    assert len(mins) == 40
+    assert kmv_estimate(mins, 64) == 40
+
+
+def test_kmv_matches_scalar_model_and_dups(ray_session):
+    vals = [f"https://host{i % 97}.example.com/doc/{i}" for i in range(5000)]
+    hv = np.unique(fnv1a64([v.encode("utf-8") for v in vals]))
+    want = hv[:64]
+    got = kmv_sketch(_ds(vals), "v", k=64)
+    assert np.array_equal(got, want)
+    # duplicate-insensitive: tripling the input changes nothing
+    got3 = kmv_sketch(_ds(vals * 3), "v", k=64)
+    assert np.array_equal(got3, want)
+    # estimate within KMV's expected relative error (~1/sqrt(k) ≈ 12.5%)
+    est = kmv_estimate(got, 64)
+    assert abs(est - 5000) / 5000 < 0.4
+    # table surface: ranked rows
+    t = kmv_table(_ds(vals), "v", k=64)
+    assert t.column_names == ["rank", "hash_value"]
+    assert t.num_rows == 64
+
+
+def test_kmv_prehashed_column(ray_session):
+    import ray.data
+
+    keys = np.arange(1, 2001, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    ds = ray.data.from_arrow(pa.table({"h": pa.array(keys, pa.uint64())}))
+    mins = kmv_sketch(ds, "h", k=32, hashed=True)
+    assert np.array_equal(mins, np.sort(keys)[:32])
