@@ -67,14 +67,17 @@ def kmv_sketch(ds, col: str, k: int = 64, hashed: bool = False) -> np.ndarray:
     return np.asarray(mins, dtype=np.uint64)
 
 
-def kmv_estimate(mins: np.ndarray, k: int) -> int:
+def kmv_estimate(mins: np.ndarray, k: int, domain_bits: int = 64) -> int:
     """Distinct-count estimate from a KMV sketch. If fewer than k
     minima exist the sketch saw every distinct value — exact count.
-    Otherwise floor((k-1) * 2^64 / kth_min) (integer arithmetic, so
-    engines agree bit-exactly)."""
+    Otherwise floor((k-1) * 2^domain_bits / kth_min) (integer
+    arithmetic, so engines agree bit-exactly). ``domain_bits`` is the
+    width of the UNIFORM hash domain — 64 for FNV-hashed values, 63
+    for the engine's top-bit-clear URL keys (functions/keys.py);
+    using 64 on a 63-bit domain would read ~2× high."""
     if len(mins) < k:
         return int(len(mins))
-    return ((k - 1) << 64) // int(mins[k - 1])
+    return ((k - 1) << domain_bits) // int(mins[k - 1])
 
 
 def kmv_table(ds, col: str, k: int = 64, hashed: bool = False) -> pa.Table:

@@ -636,6 +636,25 @@ class CacheStore:
         self._stats_cache = (time.monotonic(), out)
         return out
 
+    def approx_distinct_urls(self, k: int = 1024) -> int:
+        """Estimated distinct canonical URLs across ALL stored versions
+        (the store keeps LWW history between compactions, so
+        ``urls_rows`` over-counts). One streaming KMV pass over the
+        ``id`` column only (ops/sketch.py): no shuffle, O(k) state per
+        task — the scale answer to ``COUNT(DISTINCT id)``. Reads data
+        pages, so it's opt-in rather than part of the metadata-only
+        ``stats()`` surface."""
+        import ray.data
+
+        from scrape_ray.ops.sketch import kmv_estimate, kmv_sketch
+
+        if not self._part_files(self.urls_dir):
+            return 0
+        ds = ray.data.read_parquet(self.urls_dir, columns=["id"])
+        mins = kmv_sketch(ds, "id", k=k, hashed=True)
+        # ids are 63-bit keys (top bit clear) — halve the hash domain
+        return kmv_estimate(mins, k, domain_bits=63)
+
     # -------------------------------------------------- distributed join
     BROADCAST_LIMIT_BYTES = 128 * 1024 * 1024
 

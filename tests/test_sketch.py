@@ -45,3 +45,30 @@ def test_kmv_prehashed_column(ray_session):
     ds = ray.data.from_arrow(pa.table({"h": pa.array(keys, pa.uint64())}))
     mins = kmv_sketch(ds, "h", k=32, hashed=True)
     assert np.array_equal(mins, np.sort(keys)[:32])
+
+
+def test_kmv_estimate_domain_bits():
+    # 63-bit uniform keys: the 64-bit formula reads ~2x high, the
+    # 63-bit one lands near truth (deterministic LCG-ish synthetic)
+    n, k = 50_000, 256
+    keys = (np.arange(1, n + 1, dtype=np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(1)
+    mins = np.sort(np.unique(keys))[:k]
+    est63 = kmv_estimate(mins, k, domain_bits=63)
+    est64 = kmv_estimate(mins, k, domain_bits=64)
+    assert abs(est63 - n) / n < 0.25
+    assert est64 > 1.5 * n
+
+
+def test_cache_approx_distinct_urls(tmp_path, ray_session):
+    from tests.test_cache import _webpage_table
+    from scrape_ray.state.cache import CacheStore
+
+    cs = CacheStore(str(tmp_path))
+    assert cs.approx_distinct_urls() == 0
+    for i in range(30):
+        cs.save_pages(_webpage_table(url=f"https://example.com/p{i}"))
+    # second version of every page: distinct ids unchanged
+    for i in range(30):
+        cs.save_pages(_webpage_table(url=f"https://example.com/p{i}", title="v2"))
+    assert cs.approx_distinct_urls(k=64) == 30  # below k -> exact
