@@ -415,6 +415,66 @@ def _q_domain_cap(sf_dir: str) -> Any:
     )
 
 
+def _q_redact_pii(sf_dir: str) -> Any:
+    """Corpus hygiene: email/IPv4/phone redaction with per-kind
+    counts. Arrow and DuckDB both run RE2, so replacement and
+    non-overlapping match counts agree byte-for-byte; the corpus has
+    no PII, so both sides plant identical tokens on doc_id%4==0."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.filtering import redact_pii
+
+    def _plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = [
+            x
+            + (
+                f" contact user{d}@example.com at 10.0.{d % 256}.7"
+                f" or +1-555-{1000 + d % 9000}"
+                if d % 4 == 0
+                else ""
+            )
+            for d, x in zip(ids, t["text"].to_pylist())
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_plant, batch_format="pyarrow", batch_size=2048)
+    return redact_pii(docs).select_columns(
+        ["doc_id", "clean_text", "n_emails", "n_ips", "n_phones"]
+    )
+
+
+def _q_decontaminate(sf_dir: str) -> Any:
+    """Eval decontamination: flag documents sharing any word 5-gram
+    with the benchmark slice (doc_id%10==0). The benchmark's distinct
+    shingle hashes broadcast once (ray.put); the corpus streams
+    through a vectorized np.isin probe — a broadcast semi-join, no
+    shuffle."""
+    import ray
+    import ray.data
+
+    from scrape_ray.ops.filtering import benchmark_shingle_hashes, decontaminate
+
+    import numpy as np
+    import pyarrow as pa
+
+    def _bench_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(t["doc_id"].to_numpy() % 10 == 0))
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    bench = docs.map_batches(_bench_rows, batch_format="pyarrow", batch_size=None)
+    ref = ray.put(benchmark_shingle_hashes(bench, ngram=5))
+    out = decontaminate(docs, ref, ngram=5)
+    return out.select_columns(["doc_id", "contaminated", "n_hits"])
+
+
 def _q_distinct_sketch(sf_dir: str) -> Any:
     """KMV distinct-count sketch as a Ray Data AggregateFn: one
     streaming pass, no shuffle, O(k) state per task. The input is the
@@ -1016,6 +1076,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_counts_sorted": _q_host_counts_sorted,
         "domain_cap": _q_domain_cap,
         "distinct_sketch": _q_distinct_sketch,
+        "redact_pii": _q_redact_pii,
+        "decontaminate": _q_decontaminate,
         "feed_expand": _q_feed_expand,
         "domain_settings_scan": _q_domain_settings_scan,
         "invalid_urls": _q_invalid_urls,
@@ -1378,6 +1440,81 @@ def oracle_sql() -> dict[str, str]:
                     ROW_NUMBER() OVER (PARTITION BY {_HOST} ORDER BY doc_id) AS rn
                 FROM documents
             ) WHERE rn <= 10
+        """,
+        # redaction mirrored step-by-step (counts run on the PREVIOUS
+        # step's output, exactly like the engine); both engines are
+        # RE2, so non-overlapping leftmost matching agrees
+        "redact_pii": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                    text || CASE WHEN doc_id % 4 = 0
+                        THEN ' contact user' || doc_id || '@example.com at 10.0.'
+                             || (doc_id % 256) || '.7 or +1-555-'
+                             || (1000 + doc_id % 9000)
+                        ELSE '' END AS text
+                FROM documents
+            ),
+            s0 AS (
+                SELECT doc_id, text,
+                    CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        AS BIGINT) AS n_emails,
+                    regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1
+                FROM planted
+            ),
+            s1 AS (
+                SELECT doc_id, n_emails,
+                    CAST(len(regexp_extract_all(t1,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                        AS BIGINT) AS n_ips,
+                    regexp_replace(t1,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IP>', 'g') AS t2
+                FROM s0
+            )
+            SELECT doc_id,
+                regexp_replace(t2, '\+\d[\d-]{7,}\d', '<PHONE>', 'g')
+                    AS clean_text,
+                n_emails, n_ips,
+                CAST(len(regexp_extract_all(t2, '\+\d[\d-]{7,}\d'))
+                    AS BIGINT) AS n_phones
+            FROM s1
+        """,
+        # decontamination: word-5-gram shingles (same short-text rule
+        # as the simhash oracle), occurrence-counted semi-join against
+        # the DISTINCT benchmark shingle set
+        "decontaminate": r"""
+            WITH w AS (
+                SELECT doc_id,
+                    list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '') AS words
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                    CASE WHEN len(words) < 5
+                         THEN CASE WHEN len(words) = 0 THEN []::VARCHAR[]
+                              ELSE [array_to_string(words, ' ')] END
+                         ELSE list_transform(range(1, len(words) - 3),
+                              i -> words[i] || ' ' || words[i+1] || ' '
+                                   || words[i+2] || ' ' || words[i+3]
+                                   || ' ' || words[i+4])
+                    END AS shingles
+                FROM w
+            ),
+            tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+            bench AS (SELECT DISTINCT s FROM tok WHERE doc_id % 10 = 0),
+            hits AS (
+                SELECT t.doc_id, COUNT(*) AS n
+                FROM tok t JOIN bench b ON t.s = b.s
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n, 0) > 0 AS contaminated,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+            FROM documents d LEFT JOIN hits h USING (doc_id)
         """,
         # the KMV sketch CONTENT is deterministic: the 64 smallest
         # distinct FNV-1a-64 hashes of the canonical URLs (same

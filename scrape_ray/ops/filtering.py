@@ -1,0 +1,101 @@
+"""Corpus-hygiene operators: PII redaction and benchmark
+decontamination — the cleaning passes a training-data pipeline runs
+after extraction and before packing.
+
+Both are Ray-Data-first: redaction is a stateless vectorized
+``map_batches`` (Arrow's RE2 kernels, same regex engine DuckDB uses,
+so oracles match byte-for-byte); decontamination broadcasts the SMALL
+side (the benchmark's shingle hashes, one ``ray.put``) and probes it
+per batch with ``np.isin`` — a broadcast semi-join, never a shuffle
+of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# RE2-compatible patterns (Arrow and DuckDB both use RE2). Order of
+# application is part of the contract: email first, then IPv4, then
+# phone — a phone pattern must not eat an already-redacted token.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d[\d-]{7,}\d"
+
+
+def redact_pii(ds, text_col: str = "text", out_col: str = "clean_text",
+               batch_size: int | None = None):
+    """Replace emails / IPv4s / phone-shaped tokens with fixed
+    placeholder tags and count each kind (``n_emails``, ``n_ips``,
+    ``n_phones``). Pure vectorized map — ``pc.replace_substring_regex``
+    and ``pc.count_substring_regex`` run RE2 over the whole column
+    with no Python per row."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        col = pc.coalesce(t[text_col], pa.scalar("", pa.string()))
+        n_email = pc.count_substring_regex(col, EMAIL_RE)
+        s = pc.replace_substring_regex(col, EMAIL_RE, "<EMAIL>")
+        n_ip = pc.count_substring_regex(s, IPV4_RE)
+        s = pc.replace_substring_regex(s, IPV4_RE, "<IP>")
+        n_phone = pc.count_substring_regex(s, PHONE_RE)
+        s = pc.replace_substring_regex(s, PHONE_RE, "<PHONE>")
+        t = t.append_column(out_col, s)
+        t = t.append_column("n_emails", pc.cast(n_email, pa.int64()))
+        t = t.append_column("n_ips", pc.cast(n_ip, pa.int64()))
+        return t.append_column("n_phones", pc.cast(n_phone, pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def benchmark_shingle_hashes(bench_ds, text_col: str = "text",
+                             ngram: int = 5) -> np.ndarray:
+    """Distinct FNV-1a-64 hashes of the benchmark's word n-grams,
+    collected to the driver for broadcast. The benchmark is the SMALL
+    side by definition (eval sets are thousands of documents, not
+    billions); the per-task partials are already unique'd so the
+    driver merge is bounded by distinct-shingle count."""
+    from scrape_ray.ops.dedup import _shingle_hashes_flat
+
+    def _h(t: pa.Table) -> pa.Table:
+        hv, _ = _shingle_hashes_flat(t[text_col].to_pylist(), ngram)
+        return pa.table({"h": pa.array(np.unique(hv), pa.uint64())})
+
+    parts = bench_ds.map_batches(_h, batch_format="pyarrow", batch_size=None)
+    tbl = parts.to_arrow_refs()
+    import ray
+
+    arrays = [t["h"].to_numpy(zero_copy_only=False) for t in ray.get(tbl)]
+    if not arrays:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.concatenate(arrays))
+
+
+def decontaminate(ds, bench_hashes_ref, text_col: str = "text",
+                  ngram: int = 5, batch_size: int | None = None):
+    """Mark documents sharing ANY word n-gram with the benchmark
+    (``contaminated`` bool + ``n_hits`` overlap count) — the standard
+    eval-decontamination pass (n-gram overlap). ``bench_hashes_ref``
+    is a ``ray.put`` handle to the sorted benchmark hash array: shipped
+    once per worker, probed per batch with vectorized ``np.isin`` over
+    the batch's flat shingle-hash array. No shuffle; the corpus
+    streams."""
+    import ray
+
+    from scrape_ray.ops.dedup import _shingle_hashes_flat
+
+    def _f(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_hashes_ref)  # zero-copy from object store
+        hv, counts = _shingle_hashes_flat(t[text_col].to_pylist(), ngram)
+        hits = np.isin(hv, bench)
+        # per-doc hit counts via segment sums over the flat array
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        csum = np.concatenate([[0], np.cumsum(hits)])
+        n_hits = csum[ends] - csum[starts]
+        t = t.append_column(
+            "contaminated", pa.array(n_hits > 0, pa.bool_())
+        )
+        return t.append_column("n_hits", pa.array(n_hits, pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,71 @@
+"""Corpus-hygiene operators: PII redaction, benchmark decontamination."""
+
+import numpy as np
+import pyarrow as pa
+
+from scrape_ray.ops.filtering import (
+    benchmark_shingle_hashes,
+    decontaminate,
+    redact_pii,
+)
+
+
+def _ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(rows))
+
+
+def test_redact_pii(ray_session):
+    texts = [
+        "write to alice@corp.example.org or bob.smith+x@mail.co today",
+        "server at 192.168.0.1 and 10.0.255.7 port 80",
+        "call +1-555-123-4567 now",
+        "clean text with no pii at all",
+        None,
+    ]
+    out = (
+        redact_pii(_ds({"doc_id": list(range(5)), "text": texts}))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_emails"] == 2
+    assert out.loc[0, "clean_text"] == "write to <EMAIL> or <EMAIL> today"
+    assert out.loc[1, "n_ips"] == 2
+    assert out.loc[1, "clean_text"] == "server at <IP> and <IP> port 80"
+    assert out.loc[2, "n_phones"] == 1
+    assert out.loc[2, "clean_text"] == "call <PHONE> now"
+    assert out.loc[3, "clean_text"] == texts[3]
+    assert (out.loc[3, ["n_emails", "n_ips", "n_phones"]] == 0).all()
+    assert out.loc[4, "clean_text"] == ""  # null -> empty, no crash
+
+
+def test_decontaminate(ray_session):
+    import ray
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = [
+        bench_text,  # full overlap
+        "xx yy " + bench_text,  # contains benchmark 5-grams
+        "alpha beta gamma delta different tail entirely here now",  # shares 1 shingle? no: 5-gram needs 5 in a row
+        "totally unrelated words with zero overlap whatsoever here",
+    ]
+    bench = _ds({"doc_id": [0], "text": [bench_text]})
+    ref = ray.put(benchmark_shingle_hashes(bench, ngram=5))
+    out = (
+        decontaminate(_ds({"doc_id": list(range(4)), "text": corpus}), ref, ngram=5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out["contaminated"].tolist() == [True, True, False, False]
+    # doc 0 has 4 shingles (8 words, n=5), all hits
+    assert out.loc[0, "n_hits"] == 4
+    # doc 2: "alpha beta gamma delta different" is not a benchmark shingle
+    assert out.loc[2, "n_hits"] == 0
+
+    # empty benchmark flags nothing
+    ref0 = ray.put(np.zeros(0, dtype=np.uint64))
+    out0 = decontaminate(
+        _ds({"doc_id": [0], "text": ["alpha beta gamma delta epsilon"]}), ref0
+    ).to_pandas()
+    assert not out0["contaminated"][0]
