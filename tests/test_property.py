@@ -271,3 +271,44 @@ def test_explode_links_matches_scalar_model(links, seeds):
     assert out["url"].to_pylist() == exp_urls
     assert out["seed_seq"].to_pylist() == exp_seqs
     assert out["n_dropped"].to_pylist() == exp_drop
+
+
+@given(
+    st.lists(st.text(alphabet="abcdef./:", min_size=0, max_size=20),
+             min_size=0, max_size=200),
+    st.integers(1, 32),
+)
+@settings(max_examples=50, deadline=None)
+def test_kmv_merge_model(vals, k):
+    """KMV sketch built by any split/merge tree == k smallest distinct
+    hashes of the whole set (the property the AggregateFn relies on)."""
+    from scrape_ray.functions.keys import fnv1a64
+    from scrape_ray.ops.sketch import _kmin_merge
+
+    hv = (fnv1a64([v.encode("utf-8") for v in vals])
+          if vals else np.zeros(0, np.uint64))
+    want = np.unique(hv)[:k]
+    # arbitrary 3-way split, pairwise merges in a skewed tree
+    a, b, c = hv[::3], hv[1::3], hv[2::3]
+    state = np.zeros(0, dtype=np.uint64)
+    for part in (a, b, c):
+        acc = _kmin_merge(np.zeros(0, np.uint64), part, k)
+        state = _kmin_merge(state, acc, k)
+    assert np.array_equal(state, want)
+
+
+@given(st.lists(st.integers(0, 2**63 - 1), min_size=0, max_size=300),
+       st.integers(1, 1000))
+@settings(max_examples=50, deadline=None)
+def test_hash_split_permille_model(keys, permille):
+    """hash_split assignment == scalar FNV model, any batch size."""
+    from scrape_ray.functions.keys import fnv1a64
+
+    ks = [str(x) for x in keys]
+    hv = (fnv1a64([s.encode("utf-8") for s in ks])
+          if ks else np.zeros(0, np.uint64))
+    hold = hv % np.uint64(1000) < np.uint64(permille)
+    # the same rule the dataset op applies per batch, order-free
+    for s, h in zip(ks, hold):
+        single = fnv1a64([s.encode("utf-8")])[0]
+        assert (single % np.uint64(1000) < np.uint64(permille)) == h
