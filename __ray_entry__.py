@@ -475,6 +475,40 @@ def _q_decontaminate(sf_dir: str) -> Any:
     return out.select_columns(["doc_id", "contaminated", "n_hits"])
 
 
+def _q_boilerplate_strip(sf_dir: str) -> Any:
+    """Site-level boilerplate removal: lines present in > 50% of a
+    host's documents (planted NAV on every doc, FOOTER on evens) are
+    chrome, not content. One coarse exchange on the host; line stats
+    and the filter run inside the group task."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.filtering import boilerplate_strip
+
+    def _plant(t: pa.Table) -> pa.Table:
+        from scrape_ray.sources.frontier_gen import host_of
+
+        ids = t["doc_id"].to_pylist()
+        hosts = [host_of(d) for d in ids]
+        texts = [
+            f"NAV {h}\n" + x[0:40] + ("\nFOOTER" if d % 2 == 0 else "")
+            for d, h, x in zip(ids, hosts, t["text"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "domain": pa.array(hosts, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_plant, batch_format="pyarrow", batch_size=2048)
+    out = boilerplate_strip(docs, host_col="domain", min_frac=0.5)
+    return out.select_columns(["doc_id", "domain", "text", "n_boiler_lines"])
+
+
 def _q_distinct_sketch(sf_dir: str) -> Any:
     """KMV distinct-count sketch as a Ray Data AggregateFn: one
     streaming pass, no shuffle, O(k) state per task. The input is the
@@ -1077,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": _q_domain_cap,
         "distinct_sketch": _q_distinct_sketch,
         "redact_pii": _q_redact_pii,
+        "boilerplate_strip": _q_boilerplate_strip,
         "decontaminate": _q_decontaminate,
         "feed_expand": _q_feed_expand,
         "domain_settings_scan": _q_domain_settings_scan,
@@ -1481,6 +1516,46 @@ def oracle_sql() -> dict[str, str]:
                 CAST(len(regexp_extract_all(t2, '\+\d[\d-]{7,}\d'))
                     AS BIGINT) AS n_phones
             FROM s1
+        """,
+        # boilerplate: presence (COUNT DISTINCT doc) per (host, line),
+        # threshold against the host's doc count, rebuild text from
+        # non-boiler lines in order
+        "boilerplate_strip": f"""
+            WITH planted AS (
+                SELECT doc_id, {_HOST} AS domain,
+                    'NAV ' || {_HOST} || chr(10) || substr(text, 1, 40)
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN chr(10) || 'FOOTER' ELSE '' END AS text
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id, domain,
+                    unnest(str_split(text, chr(10))) AS line,
+                    unnest(range(1, len(str_split(text, chr(10))) + 1)) AS pos
+                FROM planted
+            ),
+            presence AS (
+                SELECT domain, line, COUNT(DISTINCT doc_id) AS c
+                FROM l GROUP BY 1, 2
+            ),
+            hostdocs AS (SELECT domain, COUNT(*) AS n FROM planted GROUP BY 1),
+            boiler AS (
+                SELECT p.domain, p.line
+                FROM presence p JOIN hostdocs h USING (domain)
+                WHERE p.c > 0.5 * h.n
+            ),
+            kept AS (
+                SELECT l.doc_id, l.domain, l.line, l.pos,
+                    (b.line IS NOT NULL) AS is_boiler
+                FROM l LEFT JOIN boiler b
+                    ON l.domain = b.domain AND l.line = b.line
+            )
+            SELECT doc_id, domain,
+                COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                         FILTER (WHERE NOT is_boiler), '') AS text,
+                CAST(COUNT(*) FILTER (WHERE is_boiler) AS BIGINT)
+                    AS n_boiler_lines
+            FROM kept GROUP BY doc_id, domain
         """,
         # decontamination: word-5-gram shingles (same short-text rule
         # as the simhash oracle), occurrence-counted semi-join against

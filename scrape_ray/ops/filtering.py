@@ -48,6 +48,57 @@ def redact_pii(ds, text_col: str = "text", out_col: str = "clean_text",
     return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
 
 
+def boilerplate_strip(ds, host_col: str = "domain", text_col: str = "text",
+                      min_frac: float = 0.5, num_parts: int = 64):
+    """Cross-document boilerplate removal: a line that appears in
+    > ``min_frac`` of a host's documents is nav/footer chrome, not
+    content — drop it from every document of that host (the
+    RefinedWeb/C4 site-level cleaning rule; presence per document,
+    not occurrence count, so a line repeated inside ONE doc doesn't
+    qualify).
+
+    Ray design: ONE coarse hash exchange on the host column
+    (``groupby(host_hash % num_parts)``), then line frequencies AND
+    the filter both run inside the group task — the line-stats never
+    leave the worker, there is no second join. Docs of one host
+    co-locate by construction; ``num_parts`` bounds UDF invocations.
+
+    Output replaces ``text_col`` with the stripped text and adds
+    ``n_boiler_lines`` (lines removed per doc)."""
+    import pandas as pd
+
+    def _part(t: pa.Table) -> pa.Table:
+        from scrape_ray.functions.keys import fnv1a64
+
+        h = fnv1a64([(v or "").encode() for v in t[host_col].to_pylist()])
+        return t.append_column(
+            "__part", pa.array((h % num_parts).astype(np.int32))
+        )
+
+    def _strip(g: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for host, sub in g.groupby(host_col, sort=False):
+            docs = [(x or "").split("\n") for x in sub[text_col]]
+            n_docs = len(docs)
+            # presence count: each doc votes once per distinct line
+            freq: dict[str, int] = {}
+            for lines in docs:
+                for ln in set(lines):
+                    freq[ln] = freq.get(ln, 0) + 1
+            cut = min_frac * n_docs
+            boiler = {ln for ln, c in freq.items() if c > cut}
+            for r, lines in zip(sub.to_dict("records"), docs):
+                kept = [ln for ln in lines if ln not in boiler]
+                r[text_col] = "\n".join(kept)
+                r["n_boiler_lines"] = len(lines) - len(kept)
+                out_rows.append(r)
+        return pd.DataFrame(out_rows)
+
+    parted = ds.map_batches(_part, batch_format="pyarrow", batch_size=None)
+    out = parted.groupby("__part").map_groups(_strip, batch_format="pandas")
+    return out.drop_columns(["__part"])
+
+
 def benchmark_shingle_hashes(bench_ds, text_col: str = "text",
                              ngram: int = 5) -> np.ndarray:
     """Distinct FNV-1a-64 hashes of the benchmark's word n-grams,

@@ -69,3 +69,36 @@ def test_decontaminate(ray_session):
         _ds({"doc_id": [0], "text": ["alpha beta gamma delta epsilon"]}), ref0
     ).to_pandas()
     assert not out0["contaminated"][0]
+
+
+def test_boilerplate_strip(ray_session):
+    from scrape_ray.ops.filtering import boilerplate_strip
+
+    # host a: NAV in 3/3 docs (boiler), FOOT in 2/3 (boiler: 2 > 1.5),
+    # EDGE in 1/3 (kept); host b shares the NAV string but only 1/2
+    # docs have it (1 > 1.0 false -> kept there)
+    rows = {
+        "doc_id": [0, 1, 2, 3, 4],
+        "domain": ["a", "a", "a", "b", "b"],
+        "text": [
+            "NAV\nbody zero\nFOOT",
+            "NAV\nbody one\nFOOT",
+            "NAV\nbody two\nEDGE",
+            "NAV\nbody three",
+            "body four",
+        ],
+    }
+    out = (
+        boilerplate_strip(_ds(rows), host_col="domain", min_frac=0.5)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "text"] == "body zero"
+    assert out.loc[0, "n_boiler_lines"] == 2
+    assert out.loc[2, "text"] == "body two\nEDGE"
+    assert out.loc[2, "n_boiler_lines"] == 1
+    # host b: NAV present in only half -> not boilerplate there
+    assert out.loc[3, "text"] == "NAV\nbody three"
+    assert out.loc[3, "n_boiler_lines"] == 0
+    assert out.loc[4, "text"] == "body four"
