@@ -475,6 +475,33 @@ def _q_decontaminate(sf_dir: str) -> Any:
     return out.select_columns(["doc_id", "contaminated", "n_hits"])
 
 
+def _q_pack_offsets(sf_dir: str) -> Any:
+    """Sequence packing layout: each document's start offset in the
+    doc_id-ordered concatenated token stream and the 512-token chunk
+    it starts in — a distributed two-phase prefix sum (per-block
+    partials → broadcast block offsets → local cumsum); the sort is
+    the only exchange. Oracle = SUM() OVER (ORDER BY) window."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.packing import pack_offsets
+
+    def _tok(t: pa.Table) -> pa.Table:
+        n = [len((x or "").split()) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].combine_chunks(),
+                "n_tok": pa.array(n, pa.int64()),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_tok, batch_format="pyarrow", batch_size=2048)
+    out = pack_offsets(docs, "doc_id", "n_tok", chunk=512)
+    return out.select_columns(["doc_id", "n_tok", "start_offset", "bin"])
+
+
 def _q_boilerplate_strip(sf_dir: str) -> Any:
     """Site-level boilerplate removal: lines present in > 50% of a
     host's documents (planted NAV on every doc, FOOTER on evens) are
@@ -1112,6 +1139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sketch": _q_distinct_sketch,
         "redact_pii": _q_redact_pii,
         "boilerplate_strip": _q_boilerplate_strip,
+        "pack_offsets": _q_pack_offsets,
         "decontaminate": _q_decontaminate,
         "feed_expand": _q_feed_expand,
         "domain_settings_scan": _q_domain_settings_scan,
@@ -1516,6 +1544,26 @@ def oracle_sql() -> dict[str, str]:
                 CAST(len(regexp_extract_all(t2, '\+\d[\d-]{7,}\d'))
                     AS BIGINT) AS n_phones
             FROM s1
+        """,
+        # packing layout: exclusive prefix sum of token counts in
+        # doc_id order; bin = integer chunk of the start offset
+        "pack_offsets": r"""
+            WITH t AS (
+                SELECT doc_id,
+                    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                         x -> x <> '')) AS BIGINT) AS n_tok
+                FROM documents
+            )
+            SELECT doc_id, n_tok,
+                CAST(COALESCE(SUM(n_tok) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS start_offset,
+                CAST(COALESCE(SUM(n_tok) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) // 512 AS BIGINT) AS bin
+            FROM t
         """,
         # boilerplate: presence (COUNT DISTINCT doc) per (host, line),
         # threshold against the host's doc count, rebuild text from
