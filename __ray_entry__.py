@@ -475,6 +475,29 @@ def _q_decontaminate(sf_dir: str) -> Any:
     return out.select_columns(["doc_id", "contaminated", "n_hits"])
 
 
+def _q_freq_sketch(sf_dir: str) -> Any:
+    """Count-Min frequency sketch over the (skewed) host column — the
+    heavy-hitter estimator that needs no shuffle: a 4×128 count matrix
+    accumulated per block and tree-merged. Counts are sums, so the
+    matrix is deterministic; the oracle rebuilds every cell."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.sketch import cm_table
+
+    def _gen(t: pa.Table) -> pa.Table:
+        from scrape_ray.sources.frontier_gen import host_of
+
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {"host": pa.array([host_of(d) for d in ids], pa.string())}
+        )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    hosts = docs.map_batches(_gen, batch_format="pyarrow", batch_size=2048)
+    return cm_table(hosts, "host", width=128, depth=4)
+
+
 def _q_pack_offsets(sf_dir: str) -> Any:
     """Sequence packing layout: each document's start offset in the
     doc_id-ordered concatenated token stream and the 512-token chunk
@@ -1140,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "boilerplate_strip": _q_boilerplate_strip,
         "pack_offsets": _q_pack_offsets,
+        "freq_sketch": _q_freq_sketch,
         "decontaminate": _q_decontaminate,
         "feed_expand": _q_feed_expand,
         "domain_settings_scan": _q_domain_settings_scan,
@@ -1544,6 +1568,40 @@ def oracle_sql() -> dict[str, str]:
                 CAST(len(regexp_extract_all(t2, '\+\d[\d-]{7,}\d'))
                     AS BIGINT) AS n_phones
             FROM s1
+        """,
+        # Count-Min matrix cell-by-cell: seeded hash j = FNV over a
+        # one-char prefix + host (same HUGEINT fold), zeros included
+        "freq_sketch": rf"""
+            WITH hosts AS (SELECT {_HOST} AS h FROM documents),
+            pj AS (SELECT * FROM (VALUES (0, 'A'), (1, 'B'),
+                                         (2, 'C'), (3, 'D')) p("row", pre)),
+            hashed AS (
+                SELECT p."row",
+                    CAST(list_reduce(
+                        list_prepend(14695981039346656037::HUGEINT,
+                            list_transform(
+                                range(0, octet_length(encode(p.pre || h.h))),
+                                i -> ('0x' || substr(hex(encode(p.pre || h.h)),
+                                                     2*i+1, 2))
+                                     ::UBIGINT::HUGEINT)),
+                        (a, x) -> (xor(a::UBIGINT, x::UBIGINT)::HUGEINT
+                                   * 1099511628211::HUGEINT)
+                                  % 18446744073709551616::HUGEINT
+                    )::UBIGINT % 128 AS BIGINT) AS col
+                FROM hosts h CROSS JOIN pj p
+            ),
+            counts AS (
+                SELECT "row", col, COUNT(*) AS c FROM hashed GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT r."row", c.col
+                FROM (SELECT unnest(range(0, 4)) AS "row") r,
+                     (SELECT unnest(range(0, 128)) AS col) c
+            )
+            SELECT g."row" AS row, g.col,
+                   CAST(COALESCE(ct.c, 0) AS BIGINT) AS count
+            FROM grid g LEFT JOIN counts ct
+                ON g."row" = ct."row" AND g.col = ct.col
         """,
         # packing layout: exclusive prefix sum of token counts in
         # doc_id order; bin = integer chunk of the start offset

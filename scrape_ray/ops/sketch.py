@@ -80,6 +80,83 @@ def kmv_estimate(mins: np.ndarray, k: int, domain_bits: int = 64) -> int:
     return ((k - 1) << domain_bits) // int(mins[k - 1])
 
 
+# --------------------------------------------------------------- Count-Min
+# Seeded hash j = FNV-1a-64 over (PREFIX[j] || value) — one byte of
+# prefix per row of the sketch, so a SQL oracle replicates the exact
+# same fold it already uses elsewhere.
+CM_PREFIXES = ("A", "B", "C", "D")
+
+
+def count_min_aggregate(col: str, width: int = 128, depth: int = 4):
+    """Ray Data AggregateFn building a Count-Min sketch (Cormode &
+    Muthukrishnan 2005): a depth×width int64 matrix where cell
+    (j, FNV(prefix_j || x) % width) accumulates occurrences. Counts
+    are pure sums ⇒ the merged matrix is deterministic under any
+    partitioning/merge order, so the sketch CONTENT is
+    oracle-checkable. One streaming pass, no shuffle, O(depth×width)
+    state per task."""
+    from ray.data.aggregate import AggregateFn
+
+    from scrape_ray.functions.keys import fnv1a64
+
+    assert depth <= len(CM_PREFIXES)
+
+    def _acc(state: np.ndarray, block) -> np.ndarray:
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        if t.num_rows == 0:
+            return state
+        vals = [("" if v is None else str(v)) for v in t[col].to_pylist()]
+        for j in range(depth):
+            hv = fnv1a64(
+                [(CM_PREFIXES[j] + v).encode("utf-8") for v in vals]
+            )
+            np.add.at(state[j], (hv % np.uint64(width)).astype(np.int64), 1)
+        return state
+
+    return AggregateFn(
+        init=lambda _: np.zeros((depth, width), dtype=np.int64),
+        accumulate_block=_acc,
+        merge=lambda a, b: a + b,
+        finalize=lambda s: s,
+        name=f"cm_{col}",
+    )
+
+
+def count_min_sketch(ds, col: str, width: int = 128, depth: int = 4) -> np.ndarray:
+    """One-pass distributed Count-Min matrix (depth×width int64)."""
+    out = ds.aggregate(count_min_aggregate(col, width=width, depth=depth))
+    return np.asarray(out[f"cm_{col}"], dtype=np.int64).reshape(depth, width)
+
+
+def cm_estimate(matrix: np.ndarray, value: str) -> int:
+    """Point frequency estimate: min over rows (never under-counts;
+    over-counts by at most ~N/width with high probability)."""
+    from scrape_ray.functions.keys import fnv1a64
+
+    depth, width = matrix.shape
+    est = None
+    for j in range(depth):
+        hv = int(fnv1a64([(CM_PREFIXES[j] + value).encode("utf-8")])[0])
+        c = int(matrix[j][hv % width])
+        est = c if est is None else min(est, c)
+    return int(est)
+
+
+def cm_table(ds, col: str, width: int = 128, depth: int = 4) -> pa.Table:
+    """Sketch as (row, col, count) rows — the oracle-checkable surface
+    (all depth×width cells, zeros included)."""
+    m = count_min_sketch(ds, col, width=width, depth=depth)
+    rows = np.repeat(np.arange(depth, dtype=np.int64), width)
+    cols = np.tile(np.arange(width, dtype=np.int64), depth)
+    return pa.table(
+        {
+            "row": pa.array(rows, pa.int64()),
+            "col": pa.array(cols, pa.int64()),
+            "count": pa.array(m.reshape(-1), pa.int64()),
+        }
+    )
+
+
 def kmv_table(ds, col: str, k: int = 64, hashed: bool = False) -> pa.Table:
     """Sketch as an Arrow table of (rank, hash_value) rows — the
     oracle-checkable surface (the k smallest distinct hashes are a

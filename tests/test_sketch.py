@@ -72,3 +72,25 @@ def test_cache_approx_distinct_urls(tmp_path, ray_session):
     for i in range(30):
         cs.save_pages(_webpage_table(url=f"https://example.com/p{i}", title="v2"))
     assert cs.approx_distinct_urls(k=64) == 30  # below k -> exact
+
+
+def test_count_min(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.sketch import cm_estimate, count_min_sketch
+
+    # skewed stream: 'hot' x500, 'warm' x50, singles x200
+    vals = ["hot"] * 500 + ["warm"] * 50 + [f"cold{i}" for i in range(200)]
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.string())})
+    ).repartition(13)  # force multi-block accumulate + merge
+    m = count_min_sketch(ds, "v", width=128, depth=4)
+    assert m.shape == (4, 4 * 32)
+    # every row sums to the stream length (counts are conserved)
+    assert (m.sum(axis=1) == len(vals)).all()
+    # CM never under-counts; over-count bounded by ~N/width
+    est_hot = cm_estimate(m, "hot")
+    assert 500 <= est_hot <= 500 + len(vals)
+    est_warm = cm_estimate(m, "warm")
+    assert 50 <= est_warm <= 50 + 3 * len(vals) // 128 + 1
+    assert cm_estimate(m, "never-seen") <= 3 * len(vals) // 128 + 1
