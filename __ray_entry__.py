@@ -475,6 +475,38 @@ def _q_decontaminate(sf_dir: str) -> Any:
     return out.select_columns(["doc_id", "contaminated", "n_hits"])
 
 
+def _q_curate(sf_dir: str) -> Any:
+    """Flagship composed curation pipeline, one streaming lineage with
+    no mid-pipeline materialization: fetch+extract spine → drop
+    non-content rows → token stats → quality gate (≥10 whitespace
+    tokens) → deterministic train/holdout split keyed on the
+    canonical URL. Every stage is an operator verified on its own
+    elsewhere; this query verifies their COMPOSITION end-to-end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from scrape_ray.ops.dedup import hash_split
+    from scrape_ray.ops.textstats import token_stats
+    from scrape_ray.pipelines.spine import fetch_extract
+    from scrape_ray.sources.frontier_gen import frontier_dataset
+
+    out = fetch_extract(frontier_dataset(sf_dir), fixed_fetch_time=FIXED_FETCH_TIME)
+
+    def _content(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["content_text"]))
+
+    content = out.map_batches(_content, batch_format="pyarrow", batch_size=None)
+    stats = token_stats(content, "content_text")
+
+    def _gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_ws_tokens"], pa.scalar(10)))
+
+    kept = stats.map_batches(_gate, batch_format="pyarrow", batch_size=None)
+    return hash_split(kept, "url").select_columns(
+        ["url", "n_ws_tokens", "split"]
+    )
+
+
 def _q_freq_sketch(sf_dir: str) -> Any:
     """Count-Min frequency sketch over the (skewed) host column — the
     heavy-hitter estimator that needs no shuffle: a 4×128 count matrix
@@ -1164,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_strip": _q_boilerplate_strip,
         "pack_offsets": _q_pack_offsets,
         "freq_sketch": _q_freq_sketch,
+        "curate": _q_curate,
         "decontaminate": _q_decontaminate,
         "feed_expand": _q_feed_expand,
         "domain_settings_scan": _q_domain_settings_scan,
@@ -1568,6 +1601,43 @@ def oracle_sql() -> dict[str, str]:
                 CAST(len(regexp_extract_all(t2, '\+\d[\d-]{7,}\d'))
                     AS BIGINT) AS n_phones
             FROM s1
+        """,
+        # flagship composition: extract mirror -> content filter ->
+        # token count -> >=10 gate -> FNV split on the canonical url
+        "curate": rf"""
+            WITH ex AS (
+                SELECT
+                    CASE WHEN {_IS_CONTENT} THEN {_CANONICAL}
+                         ELSE {_CLEAN} END AS url,
+                    CASE WHEN {_IS_CONTENT}
+                         THEN 'Doc ' || doc_id || ' ' || text
+                         ELSE NULL END AS content_text
+                FROM documents
+            ),
+            tk AS (
+                SELECT url,
+                    CAST(len(list_filter(
+                        regexp_split_to_array(content_text, '\s+'),
+                        x -> x <> '')) AS BIGINT) AS n_ws_tokens
+                FROM ex WHERE content_text IS NOT NULL
+            ),
+            k AS (SELECT * FROM tk WHERE n_ws_tokens >= 10),
+            h AS (
+                SELECT url, n_ws_tokens, list_reduce(
+                    list_prepend(14695981039346656037::HUGEINT,
+                        list_transform(range(0, octet_length(encode(url))),
+                            i -> ('0x' || substr(hex(encode(url)), 2*i+1, 2))
+                                 ::UBIGINT::HUGEINT)),
+                    (a, x) -> (xor(a::UBIGINT, x::UBIGINT)::HUGEINT
+                               * 1099511628211::HUGEINT)
+                              % 18446744073709551616::HUGEINT
+                )::UBIGINT AS hv
+                FROM k
+            )
+            SELECT url, n_ws_tokens,
+                   CASE WHEN hv % 1000 < 100 THEN 'holdout'
+                        ELSE 'train' END AS split
+            FROM h
         """,
         # Count-Min matrix cell-by-cell: seeded hash j = FNV over a
         # one-char prefix + host (same HUGEINT fold), zeros included
