@@ -62,6 +62,10 @@ def boilerplate_strip(ds, host_col: str = "domain", text_col: str = "text",
     the filter both run inside the group task — the line-stats never
     leave the worker, there is no second join. Docs of one host
     co-locate by construction; ``num_parts`` bounds UDF invocations.
+    Scale note: a group task holds its partition's documents in
+    memory, so size ``num_parts`` to corpus_bytes / worker_heap (the
+    host is the true partitioning unit — any num_parts that keeps one
+    partition's hosts in heap is semantically equivalent).
 
     Output replaces ``text_col`` with the stripped text and adds
     ``n_boiler_lines`` (lines removed per doc)."""

@@ -31,7 +31,12 @@ def pack_offsets(ds, order_col: str, size_col: str, chunk: int):
     """Adds ``start_offset`` (position of the row's first token in the
     concatenated stream) and ``bin`` (``start_offset // chunk`` — the
     fixed-size chunk its first token lands in). Requires unique
-    ``order_col`` values (document ids)."""
+    ``order_col`` values (document ids).
+
+    Scale note: the sort pays the exchange on every byte of the input,
+    so pass a NARROW (order, size) projection and join the offsets
+    back by ``order_col`` when rows are wide (e.g. carry text) — the
+    offsets table is two int64 columns regardless of corpus width."""
     import ray
 
     sorted_ds = ds.sort(order_col).materialize()
