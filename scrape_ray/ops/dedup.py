@@ -420,15 +420,11 @@ def near_dup_pairs(
         )
         return pa.table({"id": pa.array(u)})
 
-    id_parts = [
-        t
-        for t in ray.get(
-            cands.map_batches(
-                _uniq_ids, batch_format="pyarrow", batch_size=None
-            ).to_arrow_refs()
-        )
-        if t.num_rows
-    ]
+    from scrape_ray.util import collect_nonempty
+
+    id_parts = collect_nonempty(
+        cands.map_batches(_uniq_ids, batch_format="pyarrow", batch_size=None)
+    )
     if not id_parts:
         return ray.data.from_arrow(
             pa.table({"id_a": pa.array([], pa.int64()),
@@ -457,9 +453,7 @@ def near_dup_pairs(
         # broadcast-verify fast path: the filtered text table fits a
         # broadcast, so skip the join shuffles entirely — ship it once
         # via ray.put and look both sides up per pair batch
-        t_tbl = pa.concat_tables(
-            [t for t in ray.get(texts.to_arrow_refs()) if t.num_rows]
-        )
+        t_tbl = pa.concat_tables(collect_nonempty(texts))
         order = pc.sort_indices(t_tbl[id_col])
         t_tbl = t_tbl.take(order)
         texts_ref = ray.put(

@@ -116,11 +116,15 @@ def benchmark_shingle_hashes(bench_ds, text_col: str = "text",
         hv, _ = _shingle_hashes_flat(t[text_col].to_pylist(), ngram)
         return pa.table({"h": pa.array(np.unique(hv), pa.uint64())})
 
-    parts = bench_ds.map_batches(_h, batch_format="pyarrow", batch_size=None)
-    tbl = parts.to_arrow_refs()
-    import ray
+    from scrape_ray.util import collect_nonempty
 
-    arrays = [t["h"].to_numpy(zero_copy_only=False) for t in ray.get(tbl)]
+    parts = bench_ds.map_batches(_h, batch_format="pyarrow", batch_size=None)
+    # collect_nonempty, NOT raw to_arrow_refs: zero-row blocks skip the
+    # UDF and keep the input schema (no "h" column) — fires only at
+    # high parallelism, when the read splits finely enough that a
+    # filter empties some blocks (round-2 driver failure at 32 CPUs).
+    arrays = [t["h"].to_numpy(zero_copy_only=False)
+              for t in collect_nonempty(parts)]
     if not arrays:
         return np.zeros(0, dtype=np.uint64)
     return np.unique(np.concatenate(arrays))

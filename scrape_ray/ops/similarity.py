@@ -119,14 +119,11 @@ def _bottom_k_sample(ds, id_col: str, vec_col: str, k: int):
         idx = pc.sort_indices(t[id_col])
         return t.take(idx.slice(0, k))
 
-    parts = [
-        t
-        for t in ray.get(
-            ds.map_batches(_blk, batch_format="pyarrow", batch_size=None)
-            .to_arrow_refs()
-        )
-        if t.num_rows
-    ]
+    from scrape_ray.util import collect_nonempty
+
+    parts = collect_nonempty(
+        ds.map_batches(_blk, batch_format="pyarrow", batch_size=None)
+    )
     if not parts:
         return np.zeros(0, dtype=np.int64), np.zeros((0, 0), dtype=np.float32)
     merged = pa.concat_tables(parts)

@@ -7,14 +7,31 @@ from __future__ import annotations
 import pyarrow as pa
 
 
-def dataset_to_table(ds) -> pa.Table:
-    """Materialize a (small!) Dataset to one Arrow table on the driver."""
+def collect_nonempty(ds) -> "list[pa.Table]":
+    """Collect a (small!) Dataset's blocks to the driver, dropping
+    zero-row blocks.
+
+    The guard is load-bearing, not cosmetic: Ray Data propagates
+    EMPTY input blocks through ``map_batches`` WITHOUT applying the
+    UDF, so a zero-row block keeps the *upstream* schema. Any driver
+    collector that indexes a UDF-added column on the raw block list
+    crashes with ``KeyError`` — and only at high parallelism, where
+    the read splits into enough blocks that a filter leaves some
+    empty (the exact shape of the round-2 ``decontaminate`` failure
+    at ``num_cpus=32``). Every to-driver collect in the repo must go
+    through this helper."""
     import ray
 
-    tables = ray.get(ds.to_arrow_refs())
-    tables = [t for t in tables if t.num_rows]
+    return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+
+
+def dataset_to_table(ds) -> pa.Table:
+    """Materialize a (small!) Dataset to one Arrow table on the driver."""
+    tables = collect_nonempty(ds)
     if not tables:
-        return ds.schema().base_schema.empty_table()
+        schema = ds.schema()  # None when even the schema was filtered away
+        base = getattr(schema, "base_schema", None)
+        return base.empty_table() if base is not None else pa.table({})
     return pa.concat_tables(tables, promote_options="default")
 
 

@@ -86,6 +86,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
 
 def main() -> int:
     sf_dir = "/root/testdata/sf0.01"
+    num_cpus = 32  # the DRIVER'S parallelism — block-count-dependent
+    # bugs (empty-block UDF passthrough) only fire at high block
+    # counts, so verifying at fewer CPUs is not verifying (round 2
+    # shipped a green local board and a red driver board this way)
     args, skip = [], False
     for i, a in enumerate(sys.argv[1:], 1):
         if skip:
@@ -94,6 +98,9 @@ def main() -> int:
         if a == "--sf":
             sf_dir = sys.argv[i + 1]
             skip = True
+        elif a == "--cpus":
+            num_cpus = int(sys.argv[i + 1])
+            skip = True
         elif not a.startswith("--"):
             args.append(a)
 
@@ -101,7 +108,7 @@ def main() -> int:
 
     if not ray.is_initialized():
         ray.init(
-            address="local", num_cpus=8, include_dashboard=False,
+            address="local", num_cpus=num_cpus, include_dashboard=False,
             ignore_reinit_error=True, logging_level="ERROR",
         )
     from ray.data import DataContext
