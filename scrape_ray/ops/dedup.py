@@ -304,7 +304,7 @@ class MinHashStage:
 
 
 def minhash_lsh_pairs(ds, text_col: str, id_col: str, num_perm=64, bands=16, ngram=3,
-                      concurrency=None, max_bucket_width: int | None = 4096):
+                      concurrency=None, max_bucket_width: int | None = None):
     """Near-dup CANDIDATE pairs via MinHash+LSH (no exact verify —
     ``near_dup_pairs`` is the verified variant): signature per doc
     (actor-pool map_batches) → explode to (band, bucket, id) — never
@@ -353,7 +353,7 @@ def near_dup_pairs(
     num_perm: int = 64,
     bands: int = 32,
     batch_size: int = 2048,
-    max_bucket_width: int | None = 4096,
+    max_bucket_width: int | None = None,
     num_partitions: int | None = None,
 ):
     """Verified near-duplicate pairs: MinHash-LSH candidate generation
@@ -365,9 +365,12 @@ def near_dup_pairs(
     all N² verified pairs (logged per bucket). The star edges are kept
     in the output without the Jaccard test — dropping edges that fail
     against the representative would silently erase cluster members
-    whose true near-dup is another member. Pass
-    ``max_bucket_width=None`` for strict exact semantics at O(N²)
-    worst-case cost.
+    whose true near-dup is another member. The DEFAULT is
+    ``max_bucket_width=None`` — strict exact semantics (every emitted
+    pair truly meets the threshold) at O(N²) worst-case bucket cost;
+    truncation is the explicit opt-in for boilerplate-heavy corpora at
+    scale (pass e.g. ``max_bucket_width=4096``), and it changes the
+    output contract, so oracle-verified callers must not enable it.
 
     Scale design (the 100 TB path): the banded explode carries ONLY
     (id, band, bucket) — never text, so the LSH exchange moves
@@ -716,7 +719,7 @@ def simhash_dup_pairs(
     max_hamming: int = 3,
     ngram: int = 3,
     batch_size: int = 2048,
-    max_bucket_width: int | None = 4096,
+    max_bucket_width: int | None = None,
 ):
     """SimHash near-dup pairs with EXACT recall: split the 64-bit
     simhash into ``max_hamming + 1`` blocks — any pair within the
@@ -732,8 +735,9 @@ def simhash_dup_pairs(
     (the ``hamming`` column reports the true distance, which may
     exceed ``max_hamming`` on star edges) — dropping them would erase
     cluster members whose true near-dup is a non-representative
-    member. ``max_bucket_width=None`` restores strict exactness at
-    O(N²) worst-case bucket cost."""
+    member. The DEFAULT ``max_bucket_width=None`` is strictly exact at
+    O(N²) worst-case bucket cost; truncation is the explicit scale
+    opt-in and changes the output contract."""
     import pandas as pd
 
     nblocks = max_hamming + 1
@@ -885,31 +889,11 @@ def embedding_dup_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.95,
 
 
 # ------------------------------------------------- components / keep-list
-def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b"):
-    """Near-dup pair Dataset → ``(doc_id, component)`` pa.Table, where
-    ``component`` is the MIN member id of each connected cluster
-    (deterministic canonical label). Transitivity matters: a~b and b~c
-    puts a,b,c in ONE cluster even when a~c was never emitted as a
-    pair (LSH star truncation, chained near-dups).
-
-    Scale contract: the pair table — not the corpus — is collected to
-    the driver for the union-find. Pairs ≪ documents by construction
-    (banded LSH + ``max_bucket_width`` caps bound pair counts), so
-    this is a counters-sized collect. At 10^10 docs shard pairs by
-    ``min(id_a,id_b) >> k``, union within shards, and merge the tiny
-    cross-shard boundary pair set in a second pass."""
-    import ray.data
-
-    if isinstance(pairs_ds, pa.Table):
-        pairs = pairs_ds
-    elif isinstance(pairs_ds, ray.data.Dataset):
-        from scrape_ray.util import dataset_to_table
-
-        pairs = dataset_to_table(pairs_ds.select_columns([id_a, id_b]))
-    else:
-        pairs = pa.table(pairs_ds)
-    a = pairs[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
-    b = pairs[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+def _union_find_arrays(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Exact union-find over an in-memory edge list → (doc_id,
+    component) with ``component`` = MIN member id (deterministic
+    canonical label). Runs inside shard group tasks (bounded edge
+    slices) and on the driver for the tiny boundary-label graph."""
     if not len(a):
         return pa.table(
             {"doc_id": pa.array([], pa.int64()),
@@ -939,6 +923,103 @@ def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b"):
     return pa.table(
         {"doc_id": pa.array(nodes, pa.int64()),
          "component": pa.array(nodes[roots], pa.int64())}
+    )
+
+
+def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
+                         num_shards: int = 16):
+    """Near-dup pair Dataset → ``(doc_id, component)`` pa.Table, where
+    ``component`` is the MIN member id of each connected cluster
+    (deterministic canonical label). Transitivity matters: a~b and b~c
+    puts a,b,c in ONE cluster even when a~c was never emitted as a
+    pair (LSH star truncation, chained near-dups).
+
+    Scale design — shard-wise union-find + boundary merge, two phases:
+
+    1. Edges partition by ``min(id_a, id_b) % num_shards`` (ONE narrow
+       exchange of int64 pairs; text never moves). Each shard's group
+       task runs an exact local union-find over its edge slice and
+       emits ``(doc_id, label)`` rows, ``label`` = min member of the
+       node's LOCAL component.
+    2. A node whose edges landed in several shards carries one label
+       per shard; those labels are, by transitivity, the same global
+       component. The driver gathers the (node, label) table — O(docs
+       that appear in any pair), i.e. OUTPUT-sized, never edge-sized —
+       finds multi-labelled nodes with one numpy sort, and runs
+       union-find on the boundary LABEL graph only (labels ≤ boundary
+       nodes ≪ pairs). Global component = boundary-resolved label.
+
+    Correctness of two phases (no iteration needed): within a shard
+    connectivity is fully collapsed, so any global component is a
+    union of per-shard components glued at shared nodes — exactly the
+    edges of the label graph. Driver state: O(output) for the label
+    table + O(boundary) for the merge; the EDGE table (which can
+    exceed output size on skewed corpora) never concentrates anywhere.
+    """
+    import ray.data
+
+    if isinstance(pairs_ds, pa.Table):
+        pairs = pairs_ds
+        a = pairs[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pairs[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _union_find_arrays(a, b)
+    if not isinstance(pairs_ds, ray.data.Dataset):
+        pairs = pa.table(pairs_ds)
+        a = pairs[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pairs[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _union_find_arrays(a, b)
+
+    def _part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__cc_shard": pa.array([], pa.int32()),
+                             id_a: pa.array([], pa.int64()),
+                             id_b: pa.array([], pa.int64())})
+        a = t[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = (np.minimum(a, b) % num_shards).astype(np.int32)
+        return pa.table({"__cc_shard": pa.array(shard),
+                         id_a: pa.array(a), id_b: pa.array(b)})
+
+    def _local_cc(g) -> "pd.DataFrame":
+        a = g[id_a].to_numpy().astype(np.int64)
+        b = g[id_b].to_numpy().astype(np.int64)
+        t = _union_find_arrays(a, b)
+        return t.to_pandas()
+
+    labels = (
+        pairs_ds.select_columns([id_a, id_b])
+        .map_batches(_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__cc_shard")
+        .map_groups(_local_cc, batch_format="pandas")
+    )
+    from scrape_ray.util import dataset_to_table
+
+    lt = dataset_to_table(labels)  # (doc_id, label) — OUTPUT-sized
+    if lt.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "component": pa.array([], pa.int64())}
+        )
+    node = lt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lab = lt["component"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((lab, node))
+    node, lab = node[order], lab[order]
+    # boundary label edges: consecutive distinct labels of one node
+    same_node = node[1:] == node[:-1]
+    diff_lab = lab[1:] != lab[:-1]
+    m = same_node & diff_lab
+    if m.any():
+        res = _union_find_arrays(lab[:-1][m], lab[1:][m])
+        rk = res["doc_id"].to_numpy()  # sorted (np.unique output)
+        rv = res["component"].to_numpy()
+        pos = np.clip(np.searchsorted(rk, lab), 0, len(rk) - 1)
+        hit = rk[pos] == lab
+        lab = np.where(hit, rv[pos], lab)
+    # one row per node (multi-shard nodes collapsed; labels now agree)
+    keep = np.concatenate([[True], node[1:] != node[:-1]])
+    return pa.table(
+        {"doc_id": pa.array(node[keep], pa.int64()),
+         "component": pa.array(lab[keep], pa.int64())}
     )
 
 

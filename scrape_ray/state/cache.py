@@ -263,8 +263,17 @@ class CacheStore:
                 n = int(f.read().strip() or "0")
         except FileNotFoundError:
             n = 0
-        with open(self._seq_path, "w") as f:
+        # atomic replace, never truncate-then-write: a crash between
+        # open('w') and write() would leave an empty file that parses
+        # back to 0, regressing the store-wide seq and letting an older
+        # append win future LWW ties — the exact failure this counter
+        # exists to prevent
+        tmp = self._seq_path + ".tmp"
+        with open(tmp, "w") as f:
             f.write(str(n + 1))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._seq_path)
         return n
 
     def append_tables(self, urls_tbl: pa.Table, id_map_tbl: pa.Table) -> None:

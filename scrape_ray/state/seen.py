@@ -375,6 +375,7 @@ def make_seen_actors(num_shards: int, capacity_per_shard: int = 1 << 16,
             self._stat_n = 0
             self._stat_added = 0
             self._stat_shards: set[int] = set()
+            self._commit_tokens: set[int] = set()
 
         def contains(
             self, keys: np.ndarray, min_fetch_time: int | None = None
@@ -385,11 +386,24 @@ def make_seen_actors(num_shards: int, capacity_per_shard: int = 1 << 16,
             return self.state.add(keys, fetch_time=fetch_time)
 
         def commit(self, keys: np.ndarray, host_shards: np.ndarray,
-                   fetch_time: int = 0) -> int:
+                   fetch_time: int = 0, token: int | None = None) -> int:
             """add() + epoch-stats accumulation (row count, newly-added
             count, touched host shards) so a pass-through router can
             commit from inside another consumer's execution and the
-            driver recovers exact counters via drain_epoch_stats()."""
+            driver recovers exact counters via drain_epoch_stats().
+
+            ``token`` makes the commit IDEMPOTENT under Ray task
+            retries / object reconstruction: re-executed map tasks
+            replay their side effects, and while ``add`` is a set
+            (naturally idempotent), the counters are not — a replayed
+            batch would inflate ``_stat_n``. Callers pass a
+            content-derived batch token; a repeat is acknowledged and
+            ignored. Tokens are held until the next drain (retries can
+            only happen within the execution the drain barriers on)."""
+            if token is not None:
+                if token in self._commit_tokens:
+                    return 0
+                self._commit_tokens.add(token)
             added = self.state.add(keys, fetch_time=fetch_time)
             self._stat_n += int(len(keys))
             self._stat_added += int(added)
@@ -401,6 +415,7 @@ def make_seen_actors(num_shards: int, capacity_per_shard: int = 1 << 16,
             self._stat_n = 0
             self._stat_added = 0
             self._stat_shards = set()
+            self._commit_tokens = set()
             return out
 
         def size(self) -> int:
@@ -480,7 +495,14 @@ def seen_commit_router(actors, key_col: str = "key",
     its own dataset pass. Exact counters accumulate on the actors
     (``SeenShard.commit``); collect them with ``drain_seen_stats``
     AFTER the host execution finishes — the in-task ``ray.get`` below
-    is the completion barrier that makes that ordering sound."""
+    is the completion barrier that makes that ordering sound.
+
+    Retry safety: Ray replaces a lost task's block OUTPUT exactly
+    once, but the task's SIDE EFFECTS replay — so each per-actor
+    commit carries a content-derived token (FNV over the routed key
+    bytes + fetch_time) and ``SeenShard.commit`` ignores repeats.
+    Within an epoch keys are deduped (politeness D1), so two distinct
+    batches can't share a token by content."""
     import ray
 
     num_shards = len(actors)
@@ -496,9 +518,23 @@ def seen_commit_router(actors, key_col: str = "key",
             refs = []
             for s in np.unique(act):
                 m = act == s
+                payload = keys[m]
+                # deterministic across worker processes (builtin hash()
+                # is PYTHONHASHSEED-salted — a retry on another worker
+                # would mint a fresh token and defeat the dedup)
+                import hashlib
+
+                token = int.from_bytes(
+                    hashlib.blake2b(
+                        payload.tobytes() + int(fetch_time).to_bytes(8, "little"),
+                        digest_size=8,
+                    ).digest(),
+                    "little",
+                )
                 refs.append(
                     actors[int(s)].commit.remote(
-                        keys[m], np.unique(raw[m]), fetch_time=fetch_time
+                        payload, np.unique(raw[m]), fetch_time=fetch_time,
+                        token=token,
                     )
                 )
             ray.get(refs)

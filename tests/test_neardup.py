@@ -166,3 +166,63 @@ def test_dedup_near_keep_filters_non_canonical(ray_session):
     out = dedup_near_keep(ray.data.from_arrow(docs), pairs).to_pandas()
     # clusters {1,2,3} -> keep 1; {4,5} -> keep 4; 0 and 6 untouched
     assert sorted(out["doc_id"]) == [0, 1, 4, 6]
+
+
+def test_connected_components_distributed_cross_shard_chain(ray_session):
+    """Dataset input takes the shard-wise union-find + boundary-merge
+    path. A path graph 0-1-2-...-N with min(a,b) % num_shards places
+    consecutive edges in DIFFERENT shards, so every interior node is a
+    boundary node and the global component only emerges from the
+    label-graph merge — the adversarial case for the two-phase plan."""
+    import ray.data
+
+    from scrape_ray.ops.dedup import connected_components
+
+    n = 200
+    pairs = ray.data.from_items(
+        [{"id_a": i, "id_b": i + 1} for i in range(n)]
+        + [{"id_a": 1000 + i, "id_b": 1001 + i} for i in range(5)],
+        override_num_blocks=16,
+    )
+    comp = connected_components(pairs, num_shards=8)
+    m = dict(zip(comp["doc_id"].to_pylist(), comp["component"].to_pylist()))
+    assert len(m) == (n + 1) + 6
+    assert all(m[i] == 0 for i in range(n + 1))
+    assert all(m[1000 + i] == 1000 for i in range(6))
+
+
+def test_connected_components_distributed_matches_local(ray_session):
+    """Distributed path ≡ single-table union-find on a random-ish
+    multi-component graph (includes duplicate + reversed edges)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.dedup import connected_components
+
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 300, size=400).astype(np.int64)
+    b = rng.randint(0, 300, size=400).astype(np.int64)
+    tbl = pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+    local = connected_components(tbl)
+    ds = ray.data.from_arrow(tbl).repartition(24)
+    dist = connected_components(ds, num_shards=8)
+    lm = dict(zip(local["doc_id"].to_pylist(), local["component"].to_pylist()))
+    dm = dict(zip(dist["doc_id"].to_pylist(), dist["component"].to_pylist()))
+    assert lm == dm
+
+
+def test_connected_components_distributed_empty_blocks(ray_session):
+    """Empty blocks upstream of the shard exchange must not crash the
+    groupby (the UDF-skip passthrough hazard)."""
+    import ray.data
+
+    from scrape_ray.ops.dedup import connected_components
+
+    pairs = ray.data.from_items(
+        [{"id_a": i, "id_b": i + 1, "keep": i % 37 == 0} for i in range(64)],
+        override_num_blocks=32,
+    ).filter(lambda r: r["keep"]).select_columns(["id_a", "id_b"])
+    comp = connected_components(pairs, num_shards=4)
+    m = dict(zip(comp["doc_id"].to_pylist(), comp["component"].to_pylist()))
+    assert m == {0: 0, 1: 0, 37: 37, 38: 37}
