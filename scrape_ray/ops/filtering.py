@@ -69,7 +69,6 @@ def boilerplate_strip(ds, host_col: str = "domain", text_col: str = "text",
 
     Output replaces ``text_col`` with the stripped text and adds
     ``n_boiler_lines`` (lines removed per doc)."""
-    import pandas as pd
 
     def _part(t: pa.Table) -> pa.Table:
         from scrape_ray.functions.keys import fnv1a64
@@ -79,27 +78,64 @@ def boilerplate_strip(ds, host_col: str = "domain", text_col: str = "text",
             "__part", pa.array((h % num_parts).astype(np.int32))
         )
 
-    def _strip(g: pd.DataFrame) -> pd.DataFrame:
-        out_rows = []
-        for host, sub in g.groupby(host_col, sort=False):
-            docs = [(x or "").split("\n") for x in sub[text_col]]
-            n_docs = len(docs)
-            # presence count: each doc votes once per distinct line
-            freq: dict[str, int] = {}
-            for lines in docs:
-                for ln in set(lines):
-                    freq[ln] = freq.get(ln, 0) + 1
-            cut = min_frac * n_docs
-            boiler = {ln for ln, c in freq.items() if c > cut}
-            for r, lines in zip(sub.to_dict("records"), docs):
-                kept = [ln for ln in lines if ln not in boiler]
-                r[text_col] = "\n".join(kept)
-                r["n_boiler_lines"] = len(lines) - len(kept)
-                out_rows.append(r)
-        return pd.DataFrame(out_rows)
+    def _strip(g: pa.Table) -> pa.Table:
+        """Fully vectorized, Arrow-native: the group's text column is
+        split into a line LIST column in one kernel; line identity
+        comes from ``dictionary_encode`` (C++ hash table, byte-exact
+        strings — no collision risk a 64-bit line hash would carry);
+        presence counts and the boiler filter run over flat (doc,
+        host, line-code) integer arrays; stripped text is rebuilt with
+        one ``pc.binary_join`` over a reassembled list array. No
+        ``to_dict("records")``, no per-doc Python loop, and the text
+        bytes never pass through Python objects — this group task is
+        the whole per-partition cost at 100 TB. All hosts of the
+        partition are processed in ONE pass (votes key on (host,
+        line), so hosts never mix)."""
+        n = g.num_rows
+        if n == 0:
+            g = g.append_column("n_boiler_lines", pa.array([], pa.int64()))
+            return g
+        texts = pc.coalesce(
+            g[text_col].combine_chunks(), pa.scalar("", pa.string())
+        )
+        lines = pc.split_pattern(texts, "\n")  # list<string>, one row/doc
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines).to_numpy()  # doc idx per line
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        n_codes = len(enc.dictionary)
+        hosts = pc.coalesce(
+            g[host_col].combine_chunks(), pa.scalar("", pa.string())
+        )
+        hid = hosts.dictionary_encode().indices.to_numpy().astype(np.int64)
+        n_docs_per_host = np.bincount(hid)
+        # presence: each doc votes once per distinct line -> unique
+        # (doc, code) pairs, then count DOCS per (host, code)
+        dc = np.unique(parent * n_codes + codes) if n_codes else np.zeros(0, np.int64)
+        d_of = dc // n_codes if n_codes else dc
+        hc = hid[d_of] * n_codes + (dc % n_codes) if n_codes else dc
+        hc_uniq, hc_counts = np.unique(hc, return_counts=True)
+        cut = min_frac * n_docs_per_host  # per host
+        boiler = hc_uniq[hc_counts > cut[(hc_uniq // n_codes)]] if n_codes else hc_uniq
+        # per-occurrence keep mask via sorted-membership probe
+        occ_key = hid[parent] * n_codes + codes if n_codes else codes
+        pos = np.clip(np.searchsorted(boiler, occ_key), 0, max(len(boiler) - 1, 0))
+        drop = (boiler[pos] == occ_key) if len(boiler) else np.zeros(len(occ_key), bool)
+        keep = ~drop
+        kept_per_doc = np.bincount(parent[keep], minlength=n)
+        total_per_doc = np.bincount(parent, minlength=n)
+        offsets = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+        kept_vals = flat.take(pa.array(np.nonzero(keep)[0], pa.int64()))
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_vals)
+        joined = pc.binary_join(la, "\n")
+        g = g.set_column(g.column_names.index(text_col), text_col, joined)
+        return g.append_column(
+            "n_boiler_lines",
+            pa.array((total_per_doc - kept_per_doc).astype(np.int64), pa.int64()),
+        )
 
     parted = ds.map_batches(_part, batch_format="pyarrow", batch_size=None)
-    out = parted.groupby("__part").map_groups(_strip, batch_format="pandas")
+    out = parted.groupby("__part").map_groups(_strip, batch_format="pyarrow")
     return out.drop_columns(["__part"])
 
 

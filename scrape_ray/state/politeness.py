@@ -182,19 +182,34 @@ class PolitenessStage:
             hosts = np.array([p.hostname or "" for p in parsed])
             paths = [p.path or "/" for p in parsed]
 
-        allowed = np.zeros(n, dtype=bool)
+        # ONE pass over the partition: encode hosts to dense ids, look
+        # up each policy once, then rank every host's admitted rows via
+        # a single lexsort + segment-boundary subtraction. The previous
+        # per-host ``np.where(hosts == h)`` rescan was O(hosts × rows)
+        # per partition — quadratic-ish at crawl scale, where one
+        # partition holds thousands of hosts.
+        uniq_hosts, hid = np.unique(hosts, return_inverse=True)
+        pols = [self.robots.policy(h) for h in uniq_hosts]
+        delays = np.array([p.crawl_delay for p in pols], dtype=np.float64)
+        # robots path matching is per-row string logic (rule lists are
+        # tiny); the policy OBJECT lookup is O(1) via the dense id
+        allowed = np.fromiter(
+            (pols[hid[i]].allowed(paths[i]) for i in range(n)),
+            dtype=bool,
+            count=n,
+        )
         slots = np.full(n, -1.0)
-        for h in np.unique(hosts):
-            pol = self.robots.policy(h)
-            idx = np.where(hosts == h)[0]
-            ok = np.array([pol.allowed(paths[i]) for i in idx])
-            allowed[idx] = ok
-            adm = idx[ok]
-            # rank within host by (priority, seed_seq) → slot = rank * delay
-            sort_idx = np.lexsort((order[adm], prio[adm]))
-            rank = np.empty(len(adm), dtype=np.int64)
-            rank[sort_idx] = np.arange(len(adm))
-            slots[adm] = rank * pol.crawl_delay
+        adm = np.flatnonzero(allowed)
+        if len(adm):
+            # group by host, order by (priority, seed_seq) within host
+            srt = np.lexsort((order[adm], prio[adm], hid[adm]))
+            h_sorted = hid[adm][srt]
+            seg_start = np.concatenate(
+                [[0], np.flatnonzero(h_sorted[1:] != h_sorted[:-1]) + 1]
+            )
+            seg_len = np.diff(np.concatenate([seg_start, [len(h_sorted)]]))
+            rank_sorted = np.arange(len(h_sorted)) - np.repeat(seg_start, seg_len)
+            slots[adm[srt]] = rank_sorted * delays[h_sorted]
         admitted = allowed & (slots < self.epoch_budget) & (slots >= 0)
         t = t.append_column("robots_allowed", pa.array(allowed))
         t = t.append_column("fetch_slot", pa.array(slots, pa.float64()))

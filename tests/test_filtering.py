@@ -102,3 +102,55 @@ def test_boilerplate_strip(ray_session):
     assert out.loc[3, "text"] == "NAV\nbody three"
     assert out.loc[3, "n_boiler_lines"] == 0
     assert out.loc[4, "text"] == "body four"
+
+
+def test_boilerplate_strip_matches_reference_loop(ray_session):
+    """The vectorized group task ≡ the obvious per-doc Python loop on
+    a many-host partition with empty docs, shared lines across hosts
+    (must NOT mix votes), and single-doc hosts (every line >50% by
+    itself -> all dropped)."""
+    import numpy as np
+
+    from scrape_ray.ops.filtering import boilerplate_strip
+
+    rng = np.random.RandomState(3)
+    hosts = [f"h{i % 7}.example" for i in range(60)]
+    rows = []
+    for i, h in enumerate(hosts):
+        lines = [f"NAV {h}"] if i % 3 else []
+        lines += [f"body {i} line {j}" for j in range(rng.randint(0, 4))]
+        if i % 11 == 0:
+            lines.append("COMMON FOOTER")  # appears across hosts
+        rows.append({"doc_id": i, "domain": h, "text": "\n".join(lines)})
+    rows.append({"doc_id": 60, "domain": "solo.example", "text": "only doc\nhere"})
+
+    out = (
+        boilerplate_strip(_ds(
+            {k: [r[k] for r in rows] for k in ("doc_id", "domain", "text")}
+        ), host_col="domain", min_frac=0.5)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    # reference: per-host presence count, strict > cut
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["domain"], []).append(r)
+    exp_text, exp_n = {}, {}
+    for h, docs in by_host.items():
+        freq = {}
+        for r in docs:
+            for ln in set(r["text"].split("\n")):
+                freq[ln] = freq.get(ln, 0) + 1
+        boiler = {ln for ln, c in freq.items() if c > 0.5 * len(docs)}
+        for r in docs:
+            lines = r["text"].split("\n")
+            kept = [ln for ln in lines if ln not in boiler]
+            exp_text[r["doc_id"]] = "\n".join(kept)
+            exp_n[r["doc_id"]] = len(lines) - len(kept)
+
+    assert len(out) == len(rows)
+    for d in exp_text:
+        assert out.loc[d, "text"] == exp_text[d], d
+        assert out.loc[d, "n_boiler_lines"] == exp_n[d], d

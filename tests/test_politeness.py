@@ -181,3 +181,62 @@ def test_robots_wildcard_patterns():
     assert not pol.allowed("/a/x/c/d")
     assert pol.allowed("/a/b/c")                 # Allow exact, len tie -> allow
     assert pol.allowed("/a/b")
+
+
+def test_stage_one_pass_ranking_equals_per_host_scan(ray_session):
+    """The lexsort+segment ranking must reproduce the old per-host
+    np.where rescan exactly on a many-host partition with mixed
+    priorities, disallowed paths, and per-host crawl delays."""
+    import numpy as np
+    import pyarrow as pa
+
+    from scrape_ray.state.politeness import (
+        PolitenessStage,
+        RobotsProvider,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 600
+    hosts = [f"h{i}.example" for i in rng.randint(0, 80, n)]
+    urls = [
+        f"https://{h}/{'private' if rng.rand() < 0.2 else 'page'}/{i}"
+        for i, h in enumerate(hosts)
+    ]
+    order = rng.permutation(n).astype(np.int64)
+    prio = rng.randint(0, 3, n).astype(np.int64)
+    t = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "seed_seq": pa.array(order),
+        "priority": pa.array(prio),
+    })
+
+    def fetch_fn(host):
+        # vary crawl delay per host; disallow /private everywhere
+        d = 1 + (hash(host) % 3)
+        return f"User-agent: *\nDisallow: /private\nCrawl-delay: {d}\n"
+
+    out = PolitenessStage(RobotsProvider(fetch_fn), epoch_budget=5.0)(t)
+
+    # reference: the old per-host scan
+    from urllib.parse import urlsplit
+
+    robots = RobotsProvider(fetch_fn)
+    hosts_np = np.array([urlsplit(u).hostname or "" for u in urls])
+    paths = [urlsplit(u).path or "/" for u in urls]
+    allowed = np.zeros(n, dtype=bool)
+    slots = np.full(n, -1.0)
+    for h in np.unique(hosts_np):
+        pol = robots.policy(h)
+        idx = np.where(hosts_np == h)[0]
+        ok = np.array([pol.allowed(paths[i]) for i in idx])
+        allowed[idx] = ok
+        adm = idx[ok]
+        sort_idx = np.lexsort((order[adm], prio[adm]))
+        rank = np.empty(len(adm), dtype=np.int64)
+        rank[sort_idx] = np.arange(len(adm))
+        slots[adm] = rank * pol.crawl_delay
+    admitted = allowed & (slots < 5.0) & (slots >= 0)
+
+    assert out["robots_allowed"].to_pylist() == allowed.tolist()
+    assert out["fetch_slot"].to_pylist() == slots.tolist()
+    assert out["admitted"].to_pylist() == admitted.tolist()
