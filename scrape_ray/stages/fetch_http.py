@@ -43,6 +43,51 @@ DEFAULT_USER_AGENT = (
 DEFAULT_TIMEOUT_S = 30.0  # fetch/client.go:16
 
 
+def build_proxies(proxy_url: str | None, username: str | None = None,
+                  password: str | None = None) -> dict | None:
+    """Proxy URL (+ optional credentials) → a ``requests`` proxies map
+    applied to both schemes. Credentials embed into the URL userinfo,
+    which requests turns into ``Proxy-Authorization: Basic ...`` —
+    the same basic-auth proxy contract as the reference's ProxyURL /
+    Username / Password trio (internal/cmd/proxy.go:38-61)."""
+    if not proxy_url:
+        return None
+    if username:
+        from urllib.parse import quote, urlsplit, urlunsplit
+
+        p = urlsplit(proxy_url)
+        cred = quote(username, safe="")
+        if password:
+            cred += ":" + quote(password, safe="")
+        netloc = f"{cred}@{p.hostname}" + (f":{p.port}" if p.port else "")
+        proxy_url = urlunsplit((p.scheme, netloc, p.path, p.query, p.fragment))
+    return {"http": proxy_url, "https": proxy_url}
+
+
+def proxy_from_env(name: str = "") -> dict | None:
+    """Read the reference's proxy environment contract
+    (internal/cmd/proxy.go:17-61): ``PROXY`` / ``PROXY_USERNAME`` /
+    ``PROXY_PASSWORD`` (+ ``PROXY_ENABLED`` gate), or the
+    ``{NAME}_``-prefixed variants for named proxies (the reference
+    provisions a second one for headless scraping). Returns a
+    ``requests`` proxies map or None when unset/disabled."""
+    import os
+
+    prefix = f"{name.upper()}_" if name else ""
+    enabled_var = f"{name.upper()}_PROXY_ENABLED" if name else "PROXY_ENABLED"
+    enabled = os.environ.get(enabled_var, "").lower()
+    url = os.environ.get(f"{prefix}PROXY", "")
+    if not url:
+        return None
+    if enabled in ("0", "false", "no"):
+        return None
+    return build_proxies(
+        url,
+        os.environ.get(f"{prefix}PROXY_USERNAME") or None,
+        os.environ.get(f"{prefix}PROXY_PASSWORD") or None,
+    )
+
+
 def fetch_feed_http(
     url: str,
     timeout_s: float = DEFAULT_TIMEOUT_S,
@@ -125,6 +170,9 @@ class HttpFetcher:
         headers: dict | None = None,
         max_body_bytes: int = 16 * 1024 * 1024,
         proxies: dict | None = None,
+        proxy_url: str | None = None,
+        proxy_username: str | None = None,
+        proxy_password: str | None = None,
         domain_settings=None,
     ) -> None:
         """``domain_settings``: a DOMAIN_SETTINGS_SCHEMA Arrow table or
@@ -143,6 +191,13 @@ class HttpFetcher:
         if not any(k.lower() == "user-agent" for k in h):
             h["User-Agent"] = user_agent
         self.session.headers.update(h)
+        # proxy resolution order: explicit map > url+credentials args >
+        # the reference's env contract (PROXY / PROXY_USERNAME / ...)
+        proxies = (
+            proxies
+            or build_proxies(proxy_url, proxy_username, proxy_password)
+            or proxy_from_env()
+        )
         if proxies:
             self.session.proxies.update(proxies)
         self.per_host: dict[str, dict] = {}

@@ -329,3 +329,104 @@ def test_network_crawl_end_to_end(tmp_path, server, ray_session):
     assert ok["content_text"].str.contains("Network page").all()
     bad = out[out["error"].notna()]
     assert bad["error"].iloc[0] == "HTTP error: 404"
+
+
+class _ProxyHandler(BaseHTTPRequestHandler):
+    """Minimal forwarding HTTP proxy: accepts absolute-form GET
+    request lines (how an http:// proxy is spoken to), records each
+    request line + Proxy-Authorization header on the server object,
+    and forwards to the origin with urllib."""
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        from urllib.request import Request, urlopen
+
+        self.server.seen.append(
+            (self.path, self.headers.get("Proxy-Authorization"))
+        )
+        try:
+            with urlopen(Request(self.path, method="GET"), timeout=5) as r:
+                body = r.read()
+                code = r.status
+                ctype = r.headers.get("Content-Type", "text/plain")
+        except Exception as e:  # pragma: no cover - diagnostics only
+            body, code, ctype = str(e).encode(), 502, "text/plain"
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def proxy_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ProxyHandler)
+    srv.seen = []
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_proxy_requests_route_through_proxy(server, proxy_server):
+    """fetch through proxy_url: the origin page comes back AND the
+    proxy saw the absolute-form request for the origin host
+    (reference: internal/cmd/proxy.go proxy URL contract)."""
+    srv, proxy_url = proxy_server
+    srv.seen.clear()
+    out = _run([f"{server}/page/1"], proxy_url=proxy_url)
+    assert out["status_code"][0].as_py() == 200
+    assert "Network page 1" in out["content_text"][0].as_py()
+    assert len(srv.seen) == 1
+    path, auth = srv.seen[0]
+    assert path == f"{server}/page/1"  # absolute-form = proxied
+    assert auth is None
+
+
+def test_proxy_credentials_send_basic_auth(server, proxy_server):
+    """proxy_username/password -> Proxy-Authorization: Basic ... at
+    the proxy (reference: PROXY_USERNAME/PROXY_PASSWORD)."""
+    import base64
+
+    srv, proxy_url = proxy_server
+    srv.seen.clear()
+    out = _run(
+        [f"{server}/page/2"],
+        proxy_url=proxy_url,
+        proxy_username="scraper",
+        proxy_password="s3cret!",
+    )
+    assert out["status_code"][0].as_py() == 200
+    _, auth = srv.seen[0]
+    assert auth is not None and auth.startswith("Basic ")
+    user_pass = base64.b64decode(auth.split(" ", 1)[1]).decode()
+    assert user_pass == "scraper:s3cret%21" or user_pass == "scraper:s3cret!"
+
+
+def test_proxy_from_env_contract(monkeypatch):
+    """PROXY/PROXY_USERNAME/PROXY_PASSWORD/PROXY_ENABLED env semantics
+    mirror internal/cmd/proxy.go: unset -> None, disabled -> None,
+    named proxies use the {NAME}_ prefix."""
+    from scrape_ray.stages.fetch_http import proxy_from_env
+
+    for v in ("PROXY", "PROXY_USERNAME", "PROXY_PASSWORD", "PROXY_ENABLED",
+              "HEADLESS_PROXY", "HEADLESS_PROXY_ENABLED"):
+        monkeypatch.delenv(v, raising=False)
+    assert proxy_from_env() is None
+
+    monkeypatch.setenv("PROXY", "http://p.example:3128")
+    assert proxy_from_env() == {
+        "http": "http://p.example:3128",
+        "https": "http://p.example:3128",
+    }
+    monkeypatch.setenv("PROXY_ENABLED", "false")
+    assert proxy_from_env() is None
+    monkeypatch.setenv("PROXY_ENABLED", "true")
+    monkeypatch.setenv("PROXY_USERNAME", "u")
+    monkeypatch.setenv("PROXY_PASSWORD", "p")
+    assert proxy_from_env()["https"] == "http://u:p@p.example:3128"
+
+    monkeypatch.setenv("HEADLESS_PROXY", "http://hp.example:9999")
+    assert proxy_from_env("headless")["http"] == "http://hp.example:9999"
