@@ -88,6 +88,59 @@ class HeadlessFetcher:
         return t
 
 
+def playwright_render_fn(
+    timeout_s: float = 30.0,
+    user_agent: str | None = None,
+    wait_until: str = "load",
+    proxy_url: str | None = None,
+):
+    """Real render kernel for ``HeadlessFetcher`` backed by Playwright
+    Chromium (the reference drives real Chrome via CDP,
+    internal/headless/fetch_client.go:26-41). OPTIONAL dependency:
+    raises ImportError with install guidance where playwright is
+    absent — the fetcher's default stub and all fake-kernel tests are
+    unaffected.
+
+    The browser launches lazily on FIRST render and is reused for the
+    worker's lifetime (launch is ~1 s; per-URL cost is a tab). One
+    page per render, closed in ``finally`` — the tab budget stays
+    ``HeadlessFetcher.max_tabs``'s job."""
+    try:
+        from playwright.sync_api import sync_playwright  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "playwright is not installed; `pip install playwright && "
+            "playwright install chromium` to enable headless rendering, "
+            "or pass your own render_fn(url) -> bytes"
+        ) from e
+
+    state: dict = {}
+
+    def _render(url: str) -> bytes:  # pragma: no cover - needs browser
+        if "ctx" not in state:
+            from playwright.sync_api import sync_playwright
+
+            pw = sync_playwright().start()
+            launch_kwargs = {}
+            if proxy_url:
+                launch_kwargs["proxy"] = {"server": proxy_url}
+            browser = pw.chromium.launch(headless=True, **launch_kwargs)
+            ctx = (
+                browser.new_context(user_agent=user_agent)
+                if user_agent
+                else browser.new_context()
+            )
+            state.update(pw=pw, browser=browser, ctx=ctx)
+        page = state["ctx"].new_page()
+        try:
+            page.goto(url, timeout=timeout_s * 1000, wait_until=wait_until)
+            return page.content().encode("utf-8")
+        finally:
+            page.close()
+
+    return _render
+
+
 @dataclass
 class Step:
     name: str

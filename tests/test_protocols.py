@@ -51,3 +51,42 @@ def test_protocol_shapes():
 
     assert isinstance(ExtractStage(), BatchTransform)
     assert isinstance(SeenShardState(0), SeenSet)
+
+
+def test_playwright_render_fn_optional_dependency():
+    """Where playwright is absent, building the kernel raises a clear
+    ImportError (and nothing else breaks); where it exists, the
+    builder returns a callable without launching a browser."""
+    import pytest
+
+    from scrape_ray.protocols import playwright_render_fn
+
+    try:
+        import playwright  # noqa: F401
+        has_pw = True
+    except ImportError:
+        has_pw = False
+
+    if has_pw:
+        fn = playwright_render_fn()
+        assert callable(fn)  # browser launch is lazy — no render here
+    else:
+        with pytest.raises(ImportError, match="playwright"):
+            playwright_render_fn()
+
+
+@pytest.mark.skipif(
+    not __import__("importlib").util.find_spec("playwright"),
+    reason="playwright not installed in this environment",
+)
+def test_playwright_render_integration(ray_session):
+    """Full HeadlessFetcher round-trip over a real browser — runs only
+    where playwright + chromium exist (skipped in the sandbox)."""
+    import pyarrow as pa
+
+    from scrape_ray.protocols import HeadlessFetcher, playwright_render_fn
+
+    f = HeadlessFetcher(max_tabs=2, render_fn=playwright_render_fn())
+    out = f(pa.table({"url": pa.array(["https://example.com/"])}))
+    assert out["status_code"][0].as_py() == 200
+    assert b"<html" in out["html"][0].as_py().lower()
