@@ -853,9 +853,7 @@ def _q_pricing_summary(sf_dir: str) -> Any:
     )
 
     def _partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pa.table(
+        g = pa.table(
             {
                 "l_returnflag": t["l_returnflag"].combine_chunks(),
                 "l_linestatus": t["l_linestatus"].combine_chunks(),
@@ -873,17 +871,20 @@ def _q_pricing_summary(sf_dir: str) -> Any:
                     pa.int64(),
                 ),
             }
-        ).to_pandas()
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-            .agg(
-                sum_qty=("qty", "sum"),
-                sum_price_cents=("price_cents", "sum"),
-                count_order=("qty", "size"),
-            )
-            .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Arrow-native partial groupby (no pandas round-trip per batch)
+        res = pa.TableGroupBy(
+            g, ["l_returnflag", "l_linestatus"], use_threads=False
+        ).aggregate([("qty", "sum"), ("price_cents", "sum"), ("qty", "count")])
+        return pa.table(
+            {
+                "l_returnflag": res["l_returnflag"],
+                "l_linestatus": res["l_linestatus"],
+                "sum_qty": res["qty_sum"],
+                "sum_price_cents": res["price_cents_sum"],
+                "count_order": pc.cast(res["qty_count"], pa.int64()),
+            }
+        )
 
     partial = li.map_batches(_partial, batch_format="pyarrow", batch_size=None)
     return partial.groupby(["l_returnflag", "l_linestatus"]).aggregate(

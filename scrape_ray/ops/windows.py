@@ -53,19 +53,26 @@ def tumbling_aggregate(
             ),
             pa.int64(),
         )
-        df = pa.table(
+        g = pa.table(
             {
                 key_col: t[key_col].combine_chunks(),
                 "window_start": win,
                 "cents": cents,
             }
-        ).to_pandas()
-        g = (
-            df.groupby([key_col, "window_start"], sort=False)
-            .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
-            .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Arrow-native partial groupby — no pandas round-trip; threads
+        # off because the batch already runs inside a Ray task
+        res = pa.TableGroupBy(
+            g, [key_col, "window_start"], use_threads=False
+        ).aggregate([("cents", "count"), ("cents", "sum")])
+        return pa.table(
+            {
+                key_col: res[key_col],
+                "window_start": res["window_start"],
+                "n_events": pc.cast(res["cents_count"], pa.int64()),
+                "sum_cents": res["cents_sum"],
+            }
+        )
 
     partial = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
     final = partial.groupby([key_col, "window_start"]).aggregate(
@@ -124,19 +131,24 @@ def hopping_aggregate(
         starts = np.repeat(base, k) - np.tile(
             np.arange(k, dtype=np.int64) * hop_us, len(base)
         )
-        df = pd.DataFrame(
+        g = pa.table(
             {
-                key_col: np.repeat(keys, k),
-                "window_start": starts,
-                "cents": np.repeat(cents, k),
+                key_col: pa.array(np.repeat(keys, k)),
+                "window_start": pa.array(starts, pa.int64()),
+                "cents": pa.array(np.repeat(cents, k), pa.int64()),
             }
         )
-        g = (
-            df.groupby([key_col, "window_start"], sort=False)
-            .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
-            .reset_index()
+        res = pa.TableGroupBy(
+            g, [key_col, "window_start"], use_threads=False
+        ).aggregate([("cents", "count"), ("cents", "sum")])
+        return pa.table(
+            {
+                key_col: res[key_col],
+                "window_start": res["window_start"],
+                "n_events": pc.cast(res["cents_count"], pa.int64()),
+                "sum_cents": res["cents_sum"],
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     partial = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
     final = partial.groupby([key_col, "window_start"]).aggregate(

@@ -86,11 +86,20 @@ class CorpusFetcher:
             status_of,
         )
 
-        urls = t["url"].to_pylist()
+        import numpy as np
+
+        # doc-id extraction is ONE vectorized RE2 pass over the url
+        # column (this fetcher sits in the measured crawl loop); only
+        # the synthetic page assembly for matched rows stays per-row
+        # (string construction — real scale reads an html column).
+        ext = pc.extract_regex(
+            t["url"].combine_chunks(), r"/(?:doc|private|canonical)/(?P<doc>\d+)"
+        )
+        doc_str = pc.struct_field(ext, "doc")
+        ids = doc_str.to_numpy(zero_copy_only=False)  # None where no match
         htmls, statuses, ctypes = [], [], []
-        for u in urls:
-            m = _DOC_RE.search(u)
-            doc = self.corpus.get(int(m.group(1))) if m else None
+        for s in ids:
+            doc = self.corpus.get(int(s)) if s is not None else None
             if doc is None:
                 htmls.append(None)
                 statuses.append(404)
