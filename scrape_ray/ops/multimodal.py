@@ -1,13 +1,18 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The container has no image/audio codecs (no PIL/ffmpeg), so the codec
-kernel itself is pluggable: ``decoder="stub"`` raises
-NotImplementedError (the honest production placeholder), and
-``decoder="fake"`` runs a deterministic fake decode that exercises ALL
-of the real Ray-side plumbing — schema, batch sizing, actor
-``__init__`` cost, output layout — which is the part this engine owns.
-Swap in a real kernel by passing any callable ``bytes -> np.ndarray``.
+The codec kernel is pluggable (any ``bytes -> np.ndarray``):
+
+- REAL decoders ship for every format decodable without an external
+  library — binary PPM and uncompressed 24-bit BMP (numpy), PCM WAV
+  (stdlib ``wave``) — plus ``sniff_decode`` magic-byte dispatch;
+- compressed formats (JPEG/PNG/MP4) have no codec in this container
+  (no PIL/ffmpeg): ``decoder="stub"`` raises NotImplementedError (the
+  honest placeholder — swap in ``PIL.Image.open`` in production), and
+  ``decoder="fake"`` runs a deterministic fake decode that exercises
+  ALL of the real Ray-side plumbing — schema, batch sizing, actor
+  ``__init__`` cost, output layout — which is the part this engine
+  owns.
 
 Scale notes: payload rows are wide (MBs), so these stages default to
 small ``batch_size`` (64) and actor pools sized via ``concurrency``;
@@ -49,6 +54,101 @@ def stub_decode(payload: bytes) -> np.ndarray:
         "no image codec in this environment — pass decoder=fake_image_decode "
         "or a real bytes->ndarray kernel (e.g. PIL.Image.open)"
     )
+
+
+# ---------------------------------------------------------------- real
+# codecs for UNCOMPRESSED containers — no external library needed, so
+# these are real implementations, not fakes: PPM (P6) and 24-bit BMP
+# decode with numpy, PCM WAV with the stdlib ``wave`` module. The
+# compressed formats (JPEG/PNG/MP4/...) stay behind the honest stub —
+# decoding them without a codec library is out of scope by design.
+
+def ppm_decode(payload: bytes) -> np.ndarray:
+    """Binary PPM (magic ``P6``, maxval ≤ 255) → (h, w, 3) uint8."""
+    if not payload or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data,
+    # with '#' comments allowed between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte before the raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    need = w * h * 3
+    raster = np.frombuffer(payload, np.uint8, count=need, offset=pos)
+    return raster.reshape(h, w, 3).copy()
+
+
+def bmp_decode(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER) → (h, w, 3) uint8
+    RGB. Handles the 4-byte row padding and bottom-up row order."""
+    import struct
+
+    if not payload or not payload.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    raster = np.frombuffer(
+        payload, np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)
+    img = raster[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR -> RGB
+    if bottom_up:
+        img = img[::-1]
+    return img.copy()
+
+
+def wav_decode(payload: bytes) -> np.ndarray:
+    """PCM WAV → int16 mono waveform (stdlib ``wave``; multi-channel
+    input is averaged down to mono, 8-bit is widened)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as f:
+        n = f.getnframes()
+        width = f.getsampwidth()
+        ch = f.getnchannels()
+        raw = f.readframes(n)
+    if width == 2:
+        wavf = np.frombuffer(raw, np.int16)
+    elif width == 1:  # unsigned 8-bit -> centered int16
+        wavf = ((np.frombuffer(raw, np.uint8).astype(np.int16) - 128) << 8)
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if ch > 1:
+        wavf = wavf.reshape(-1, ch).mean(axis=1).astype(np.int16)
+    return wavf
+
+
+def sniff_decode(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch: real decode for the uncompressed formats
+    this engine can handle without a codec library (PPM/BMP images,
+    PCM WAV audio); compressed formats raise the honest stub error."""
+    p = payload or b""
+    if p.startswith(b"P6"):
+        return ppm_decode(p)
+    if p.startswith(b"BM"):
+        return bmp_decode(p)
+    if p.startswith(b"RIFF") and p[8:12] == b"WAVE":
+        return wav_decode(p)
+    return stub_decode(p)
 
 
 class ImageDecodeStage:
