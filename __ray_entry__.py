@@ -1139,19 +1139,60 @@ def _q_ivf_topk_full(sf_dir: str) -> Any:
 
 
 def _q_image_features(sf_dir: str) -> Any:
-    """Multimodal plumbing: image decode → per-channel features via an
-    actor pool (codec faked deterministically; rows-only)."""
-    from scrape_ray.ops.multimodal import decode_images, synthetic_media_dataset
+    """Multimodal image decode with a REAL codec and a FULL oracle:
+    binary-PPM payloads (closed-form raster bytes) decoded by the
+    engine's own PPM kernel inside the actor-pool stage; per-channel
+    means exploded to (media_id, channel, chan_mean) float64 rows that
+    the SQL oracle reproduces exactly (8×8 images ⇒ 64 values per
+    channel ⇒ integer sum / 2^6, exact in both float32 and float64)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    return decode_images(synthetic_media_dataset(128), concurrency=2)
+    from scrape_ray.ops.multimodal import (
+        decode_images,
+        sniff_decode,
+        synthetic_ppm_dataset,
+    )
+
+    out = decode_images(synthetic_ppm_dataset(128), decoder=sniff_decode,
+                        concurrency=2)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = np.repeat(t["media_id"].to_numpy(), 3)
+        ch = np.tile(np.arange(3, dtype=np.int64), n)
+        flat = (
+            pc.list_flatten(t["feat_mean"].combine_chunks())
+            .to_numpy()
+            .astype(np.float64)
+        )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "channel": pa.array(ch, pa.int64()),
+                "chan_mean": pa.array(flat, pa.float64()),
+                "decoded_h": pa.array(np.repeat(t["decoded_h"].to_numpy(), 3)),
+                "decoded_w": pa.array(np.repeat(t["decoded_w"].to_numpy(), 3)),
+            }
+        )
+
+    return out.map_batches(_explode, batch_format="pyarrow", batch_size=None)
 
 
 def _q_audio_features(sf_dir: str) -> Any:
-    """Multimodal plumbing: audio payload → per-25ms-frame RMS + ZCR
-    via an actor pool (codec faked deterministically; rows-only)."""
-    from scrape_ray.ops.multimodal import audio_features, synthetic_media_dataset
+    """Multimodal audio: PCM-WAV payloads decoded by the engine's REAL
+    stdlib-wave kernel → per-25ms-frame RMS + ZCR via an actor pool
+    (rows-only: RMS is a sqrt, not exactly SQL-replicable)."""
+    from scrape_ray.ops.multimodal import (
+        audio_features,
+        synthetic_wav_dataset,
+        wav_decode,
+    )
 
-    return audio_features(synthetic_media_dataset(64, kind="audio"), concurrency=2)
+    return audio_features(
+        synthetic_wav_dataset(64), decoder=wav_decode, concurrency=2
+    )
 
 
 def _q_video_frames(sf_dir: str) -> Any:
@@ -1245,6 +1286,21 @@ _ANN_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # image_features: the engine DECODES real binary-PPM payloads
+        # (scrape_ray/ops/multimodal.py ppm_decode) whose raster byte i
+        # of image m is (m*31 + i*7) % 256; channel c covers raster
+        # positions 3j+c for j in [0,64) — so the oracle rebuilds every
+        # channel mean arithmetically, no codec needed.
+        "image_features": """
+            SELECT m.range AS media_id,
+                   c.range AS channel,
+                   AVG(CAST((m.range*31 + (3*p.range + c.range)*7) % 256
+                            AS DOUBLE)) AS chan_mean,
+                   CAST(8 AS INTEGER) AS decoded_h,
+                   CAST(8 AS INTEGER) AS decoded_w
+            FROM range(128) m, range(3) c, range(64) p
+            GROUP BY 1, 2, 4, 5
+        """,
         "clean_url": f"""
             SELECT {_DIRTY} AS original_url, {_CLEAN} AS url
             FROM documents

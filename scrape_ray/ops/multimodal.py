@@ -357,6 +357,65 @@ def sample_frames(ds, every_ms: int = 1000, decoder="fake", concurrency=2,
     )
 
 
+def synthetic_ppm_dataset(n: int = 128, w: int = 8, h: int = 8):
+    """Real-codec image table: binary-PPM payloads whose raster bytes
+    follow a CLOSED FORM — byte i of image ``m`` is
+    ``(m*31 + i*7) % 256`` — so per-channel means are exactly
+    SQL-replicable (the oracle hook for the ``image_features`` query).
+    8×8 default keeps 64 values per channel: an integer sum divided by
+    a power of two, exact in float32 AND float64, so engine and oracle
+    hash identically."""
+    import ray.data
+
+    idx = np.arange(w * h * 3, dtype=np.int64) * 7
+    header = b"P6\n%d %d\n255\n" % (w, h)
+    payloads = [
+        header + ((m * 31 + idx) % 256).astype(np.uint8).tobytes()
+        for m in range(n)
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(n), pa.int64()),
+                "url": pa.array(
+                    [f"https://cdn.example.com/image/{i}.ppm" for i in range(n)]
+                ),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+
+
+def synthetic_wav_dataset(n: int = 64, sr: int = 16000):
+    """Real-codec audio table: PCM-WAV payloads (stdlib ``wave``
+    container) with closed-form samples
+    ``((media_id*13 + i*11) % 4096) - 2048``."""
+    import io
+    import wave
+
+    import ray.data
+
+    idx = np.arange(sr, dtype=np.int64) * 11
+    payloads = []
+    for m in range(n):
+        samples = (((m * 13 + idx) % 4096) - 2048).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(sr)
+            f.writeframes(samples.tobytes())
+        payloads.append(buf.getvalue())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(n), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+
+
 def synthetic_media_dataset(n: int = 64, kind: str = "image"):
     """Deterministic media table for tests (payload = seeded bytes)."""
     import ray.data
