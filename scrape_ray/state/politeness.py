@@ -321,21 +321,41 @@ def apply_politeness_salted(
         return t.append_column("__part", pa.array(part))
 
     def _local_rank(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (host, prio, salt), grp in g.groupby(
-            ["hostname_full", "__prio", "__salt"], sort=False
-        ):
-            pol = robots.policy(host)
-            grp = grp.sort_values(order_col, kind="mergesort")
-            paths = [urlsplit(u).path or "/" for u in grp["url"]]
-            allowed = np.array([pol.allowed(p) for p in paths])
-            lr = np.full(len(grp), -1, dtype=np.int64)
-            lr[allowed] = np.arange(int(allowed.sum()))
-            grp = grp.assign(robots_allowed=allowed, __local_rank=lr)
-            out.append(grp)
-        return pd.concat(out, ignore_index=True) if out else g.assign(
-            robots_allowed=pd.Series(dtype=bool), __local_rank=pd.Series(dtype="int64")
+        """One pass per partition (same treatment as PolitenessStage):
+        one lexsort groups rows by (host, prio, salt) and orders them
+        by seed_seq; local ranks come from a cumulative count of
+        allowed rows minus each segment's base — no per-group rescan."""
+        n = len(g)
+        if n == 0:
+            return g.assign(
+                robots_allowed=pd.Series(dtype=bool),
+                __local_rank=pd.Series(dtype="int64"),
+            )
+        hosts = g["hostname_full"].to_numpy()
+        prio = g["__prio"].to_numpy()
+        salt = g["__salt"].to_numpy()
+        order = g[order_col].to_numpy()
+        uniq_hosts, hid = np.unique(hosts, return_inverse=True)
+        pols = [robots.policy(h) for h in uniq_hosts]
+        paths = [urlsplit(u).path or "/" for u in g["url"]]
+        allowed = np.fromiter(
+            (pols[hid[i]].allowed(paths[i]) for i in range(n)),
+            dtype=bool,
+            count=n,
         )
+        srt = np.lexsort((order, salt, prio, hid))
+        hs, ps, ss = hid[srt], prio[srt], salt[srt]
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = (hs[1:] != hs[:-1]) | (ps[1:] != ps[:-1]) | (ss[1:] != ss[:-1])
+        adm_sorted = allowed[srt]
+        cum = np.cumsum(adm_sorted)  # allowed rows seen so far (1-based)
+        seg_id = np.cumsum(new_seg) - 1
+        seg_base = np.concatenate([[0], cum[:-1]])[new_seg]  # allowed before seg
+        local = (cum - 1) - seg_base[seg_id]
+        lr_sorted = np.where(adm_sorted, local, -1)
+        lr = np.empty(n, dtype=np.int64)
+        lr[srt] = lr_sorted
+        return g.assign(robots_allowed=allowed, __local_rank=lr)
 
     keyed = ds.map_batches(_add_keys, batch_format="pyarrow", batch_size=None)
     ranked = keyed.groupby("__part").map_groups(_local_rank, batch_format="pandas")
@@ -365,16 +385,28 @@ def apply_politeness_salted(
 
     def _finalize(t: pa.Table) -> pa.Table:
         off = ray.get(off_ref)
-        hosts = t["hostname_full"].to_pylist()
+        hosts = np.asarray(t["hostname_full"].to_pylist(), dtype=object)
         prios = t["__prio"].to_numpy()
         salts = t["__salt"].to_numpy()
         lr = t["__local_rank"].to_numpy()
         allowed = t["robots_allowed"].to_numpy(zero_copy_only=False)
-        slots = np.full(len(hosts), -1.0)
-        for i, h in enumerate(hosts):
-            if allowed[i]:
-                base = off.get((h, int(prios[i]), int(salts[i])), 0)
-                slots[i] = (base + lr[i]) * robots.policy(h).crawl_delay
+        # Python lookups (offset dict, robots policy) only per UNIQUE
+        # (host, prio, salt) triple — the row-wise math is numpy
+        trip = pd.MultiIndex.from_arrays([hosts, prios, salts])
+        codes, uniqs = pd.factorize(trip)
+        base_u = np.fromiter(
+            (off.get((h, int(p), int(s)), 0) for h, p, s in uniqs),
+            dtype=np.float64,
+            count=len(uniqs),
+        )
+        delay_u = np.fromiter(
+            (robots.policy(h).crawl_delay for h, _, _ in uniqs),
+            dtype=np.float64,
+            count=len(uniqs),
+        )
+        slots = np.where(
+            allowed, (base_u[codes] + lr) * delay_u[codes], -1.0
+        )
         admitted = allowed & (slots >= 0) & (slots < epoch_budget)
         t = t.append_column("fetch_slot", pa.array(slots, pa.float64()))
         t = t.append_column("admitted", pa.array(admitted))

@@ -135,3 +135,34 @@ def test_ten_million_keys_bounded_memory():
     # tier (only true members of _keys can return True)
     in_main = np.isin(absent, st._keys)
     assert (hits == in_main).all()
+
+
+def test_commit_token_makes_replay_idempotent(ray_session):
+    """Ray retries replay task side effects: a repeated commit with
+    the same content token must not inflate the epoch counters (the
+    manifest's 'fetched'/'seen_added'), and tokens reset on drain."""
+    import numpy as np
+
+    from scrape_ray.state.seen import drain_seen_stats, make_seen_actors
+
+    actors = make_seen_actors(2)
+    keys = np.array([11, 22, 33], dtype=np.uint64)
+    hs = np.array([0, 0, 0], dtype=np.int64)
+    tok = 12345
+    a1 = ray_session.get(actors[0].commit.remote(keys, hs, fetch_time=7, token=tok))
+    a2 = ray_session.get(actors[0].commit.remote(keys, hs, fetch_time=7, token=tok))
+    assert a1 == 3 and a2 == 0  # replay acknowledged, ignored
+    n, added, shards = drain_seen_stats(actors)
+    assert n == 3 and added == 3 and shards == [0]
+
+    # after drain the token window resets — a NEW epoch may legally
+    # reuse a token value without being swallowed
+    a3 = ray_session.get(
+        actors[0].commit.remote(
+            np.array([44], dtype=np.uint64), np.array([1], dtype=np.int64),
+            fetch_time=8, token=tok,
+        )
+    )
+    assert a3 == 1
+    n2, added2, shards2 = drain_seen_stats(actors)
+    assert n2 == 1 and added2 == 1 and shards2 == [1]
