@@ -1181,27 +1181,35 @@ def _q_image_features(sf_dir: str) -> Any:
 
 
 def _q_audio_features(sf_dir: str) -> Any:
-    """Multimodal audio: PCM-WAV payloads decoded by the engine's REAL
-    stdlib-wave kernel → per-25ms-frame RMS + ZCR via an actor pool
-    (rows-only: RMS is a sqrt, not exactly SQL-replicable)."""
+    """Multimodal audio with a REAL codec and a FULL oracle: PCM-WAV
+    payloads (closed-form samples ``((m*13 + i*11) % 4096) - 2048``)
+    decoded by the engine's stdlib-wave kernel, then EXACT integer
+    frame features — per-25ms-frame energy (sum of squared samples)
+    and zero-crossing count — via an actor pool. Integer outputs ⇒
+    bit-exact SQL replication (the float RMS/ZCR sibling
+    ``AudioFeatureStage`` stays pytest-covered)."""
     from scrape_ray.ops.multimodal import (
-        audio_features,
+        audio_energy,
         synthetic_wav_dataset,
         wav_decode,
     )
 
-    return audio_features(
+    return audio_energy(
         synthetic_wav_dataset(64), decoder=wav_decode, concurrency=2
     )
 
 
 def _q_video_frames(sf_dir: str) -> Any:
-    """Multimodal plumbing: video payload → sampled frame rows (1
-    video → k frames, every 1000 ms) via an actor pool (demuxer faked
-    deterministically; rows-only)."""
-    from scrape_ray.ops.multimodal import sample_frames, synthetic_media_dataset
+    """Multimodal video with a REAL demuxer and a FULL oracle: VID0
+    container payloads (closed-form frame bytes) demuxed once per
+    media inside the actor-pool stage, frames sampled every 1000 ms,
+    per-channel means emitted as (media_id, frame_ts_ms, channel,
+    chan_mean) rows the SQL oracle rebuilds arithmetically (8×8
+    frames ⇒ integer sum / 2^6, exact in float64). The fake-demux
+    ``FrameSampleStage`` plumbing stays pytest-covered."""
+    from scrape_ray.ops.multimodal import synthetic_vid_dataset, video_frame_means
 
-    return sample_frames(synthetic_media_dataset(64, kind="video"), concurrency=2)
+    return video_frame_means(synthetic_vid_dataset(64), concurrency=2)
 
 
 def _q_feed_expand(sf_dir: str) -> Any:
@@ -1300,6 +1308,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 AS INTEGER) AS decoded_w
             FROM range(128) m, range(3) c, range(64) p
             GROUP BY 1, 2, 4, 5
+        """,
+        # audio_features: the engine DECODES real PCM-WAV payloads
+        # (scrape_ray/ops/multimodal.py wav_decode) whose sample i of
+        # media m is ((m*13 + i*11) % 4096) - 2048; 25 ms frames at
+        # 16 kHz = 400 samples. energy = sum of squares (int64);
+        # n_zc = count of sign flips between consecutive samples
+        # WITHIN the frame — both exact integers, so the oracle
+        # rebuilds them arithmetically, no codec needed.
+        "audio_features": """
+            WITH s AS (
+                SELECT m.range AS media_id,
+                       i.range AS i,
+                       CAST(i.range // 400 AS INTEGER) AS frame_idx,
+                       ((m.range*13 + i.range*11) % 4096) - 2048 AS v
+                FROM range(64) m, range(16000) i
+            ), x AS (
+                SELECT media_id, frame_idx, v,
+                       LAG(v) OVER (PARTITION BY media_id, frame_idx
+                                    ORDER BY i) AS pv
+                FROM s
+            )
+            SELECT media_id, frame_idx,
+                   CAST(SUM(v*v) AS BIGINT) AS energy,
+                   CAST(SUM(CASE WHEN pv IS NOT NULL
+                                  AND ((v < 0) <> (pv < 0))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_zc
+            FROM x GROUP BY media_id, frame_idx
+        """,
+        # video_frames: the engine DEMUXES real VID0 containers
+        # (scrape_ray/ops/multimodal.py vid_demux) whose frame-f byte i
+        # of video m is (m*31 + f*17 + i*7) % 256; duration 4000 ms /
+        # 4 frames sampled at 1000 ms picks frame f at ts f*1000;
+        # channel c covers raster positions 3j+c for j in [0,64).
+        "video_frames": """
+            SELECT m.range AS media_id,
+                   CAST(f.range * 1000 AS INTEGER) AS frame_ts_ms,
+                   c.range AS channel,
+                   AVG(CAST((m.range*31 + f.range*17 + (3*p.range + c.range)*7)
+                            % 256 AS DOUBLE)) AS chan_mean
+            FROM range(64) m, range(4) f, range(3) c, range(64) p
+            GROUP BY 1, 2, 3
         """,
         "clean_url": f"""
             SELECT {_DIRTY} AS original_url, {_CLEAN} AS url

@@ -323,6 +323,57 @@ class AudioFeatureStage:
         )
 
 
+class AudioEnergyStage:
+    """Audio → EXACT integer frame features: ``energy`` (sum of squared
+    int16 samples per frame, int64) and ``n_zc`` (count of sign
+    changes between consecutive samples within the frame). Integer
+    outputs make the whole chain SQL-replicable bit-for-bit — the
+    oracle-checkable sibling of :class:`AudioFeatureStage` (whose
+    RMS/ZCR are floats a SQL engine reproduces only approximately).
+    Decoder pluggable; pairs with :func:`wav_decode` for real PCM
+    input."""
+
+    def __init__(self, frame_ms: int = 25, sr: int = 16000, decoder="fake") -> None:
+        self.frame = int(sr * frame_ms / 1000)
+        if decoder == "fake":
+            self.decode = lambda p: fake_audio_decode(p, sr)
+        else:
+            self.decode = decoder
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_id, out_fr, out_en, out_zc = [], [], [], []
+        for mid, p in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            wav = self.decode(p).astype(np.int64)
+            n = len(wav) // self.frame
+            frames = wav[: n * self.frame].reshape(n, self.frame)
+            energy = (frames * frames).sum(axis=1)
+            zc = (np.diff(frames < 0, axis=1) != 0).sum(axis=1)
+            out_id.append(np.full(n, mid, np.int64))
+            out_fr.append(np.arange(n, dtype=np.int32))
+            out_en.append(energy)
+            out_zc.append(zc.astype(np.int64))
+        cat = np.concatenate
+        return pa.table(
+            {
+                "media_id": pa.array(cat(out_id) if out_id else [], pa.int64()),
+                "frame_idx": pa.array(cat(out_fr) if out_fr else [], pa.int32()),
+                "energy": pa.array(cat(out_en) if out_en else [], pa.int64()),
+                "n_zc": pa.array(cat(out_zc) if out_zc else [], pa.int64()),
+            }
+        )
+
+
+def audio_energy(ds, frame_ms=25, decoder="fake", concurrency=2,
+                 batch_size: int = 32):
+    return ds.map_batches(
+        AudioEnergyStage,
+        fn_constructor_kwargs={"frame_ms": frame_ms, "decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def audio_features(ds, frame_ms=25, decoder="fake", concurrency=2,
                    batch_size: int = 32):
     return ds.map_batches(
@@ -354,6 +405,118 @@ def sample_frames(ds, every_ms: int = 1000, decoder="fake", concurrency=2,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+VID_MAGIC = b"VID0"
+
+
+def vid_demux(payload: bytes) -> np.ndarray:
+    """Demux the engine's raw-video container: ``VID0`` magic, then
+    ``<HHH`` little-endian (width, height, nframes), then ``nframes``
+    raw RGB24 rasters back-to-back → (nframes, h, w, 3) uint8. A
+    real (if minimal) demuxer: it parses a binary container, validates
+    lengths, and slices frames — the same work an MP4 demuxer does,
+    minus entropy coding (which needs ffmpeg; that path stays behind
+    ``stub_decode``)."""
+    import struct
+
+    if not payload or not payload.startswith(VID_MAGIC):
+        raise ValueError("not a VID0 payload")
+    w, h, nframes = struct.unpack_from("<HHH", payload, 4)
+    frame_bytes = w * h * 3
+    need = 10 + nframes * frame_bytes
+    if len(payload) < need:
+        raise ValueError("truncated VID0 payload")
+    raster = np.frombuffer(payload, np.uint8, count=nframes * frame_bytes,
+                           offset=10)
+    return raster.reshape(nframes, h, w, 3).copy()
+
+
+class VideoFrameMeanStage:
+    """Real video sampling: demux the payload ONCE per media, pick the
+    frame covering each sampled timestamp (frames are evenly spaced
+    over ``duration_ms``: ts → ``min(ts * nframes // dur, nframes-1)``),
+    and emit per-channel means as (media_id, frame_ts_ms, channel,
+    chan_mean) rows. Channel means are integer sums over h*w pixels —
+    exact in float64 when h*w is a power of two, which the synthetic
+    oracle table guarantees."""
+
+    def __init__(self, every_ms: int = 1000, demux=vid_demux) -> None:
+        self.every_ms = every_ms
+        self.demux = demux
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        o_id, o_ts, o_ch, o_mean = [], [], [], []
+        for mid, payload, dur in zip(
+            t["media_id"].to_pylist(),
+            t["payload"].to_pylist(),
+            t["duration_ms"].to_pylist(),
+        ):
+            dur = dur or 0
+            if dur <= 0:
+                continue
+            frames = self.demux(payload)
+            nf, h, w, nch = frames.shape
+            ts = np.arange(0, dur, self.every_ms, dtype=np.int64)
+            idx = np.minimum(ts * nf // dur, nf - 1)
+            picked = frames[idx].astype(np.int64)  # (k, h, w, 3)
+            sums = picked.reshape(len(ts), h * w, nch).sum(axis=1)
+            means = sums.astype(np.float64) / float(h * w)
+            k = len(ts)
+            o_id.append(np.full(k * nch, mid, np.int64))
+            o_ts.append(np.repeat(ts, nch).astype(np.int32))
+            o_ch.append(np.tile(np.arange(nch, dtype=np.int64), k))
+            o_mean.append(means.reshape(-1))
+        cat = np.concatenate
+        return pa.table(
+            {
+                "media_id": pa.array(cat(o_id) if o_id else [], pa.int64()),
+                "frame_ts_ms": pa.array(cat(o_ts) if o_ts else [], pa.int32()),
+                "channel": pa.array(cat(o_ch) if o_ch else [], pa.int64()),
+                "chan_mean": pa.array(cat(o_mean) if o_mean else [], pa.float64()),
+            }
+        )
+
+
+def video_frame_means(ds, every_ms: int = 1000, concurrency=2,
+                      batch_size: int = 16):
+    return ds.map_batches(
+        VideoFrameMeanStage,
+        fn_constructor_kwargs={"every_ms": every_ms},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synthetic_vid_dataset(n: int = 64, w: int = 8, h: int = 8,
+                          nframes: int = 4):
+    """Real-container video table: VID0 payloads whose frame bytes
+    follow a CLOSED FORM — byte ``i`` of frame ``f`` of video ``m`` is
+    ``(m*31 + f*17 + i*7) % 256`` — so sampled-frame channel means are
+    exactly SQL-replicable (the oracle hook for the ``video_frames``
+    query). ``duration_ms = nframes * 1000`` so 1000-ms sampling picks
+    each frame exactly once."""
+    import struct
+
+    import ray.data
+
+    idx = np.arange(w * h * 3, dtype=np.int64) * 7
+    header = VID_MAGIC + struct.pack("<HHH", w, h, nframes)
+    payloads = []
+    for m in range(n):
+        frames = [((m * 31 + f * 17 + idx) % 256).astype(np.uint8).tobytes()
+                  for f in range(nframes)]
+        payloads.append(header + b"".join(frames))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(range(n), pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+                "duration_ms": pa.array([nframes * 1000] * n, pa.int32()),
+            }
+        )
     )
 
 

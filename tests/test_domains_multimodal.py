@@ -284,3 +284,75 @@ def test_audio_stage_with_real_wav_codec(ray_session):
     frames = wavf[: 40 * 400].reshape(40, 400).astype(np.float32)
     exp_rms = np.sqrt((frames**2).mean(axis=1))
     assert np.allclose(out["rms"].to_numpy(), exp_rms, rtol=1e-5)
+
+
+def test_audio_energy_stage_exact_integers(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.multimodal import audio_energy, wav_decode
+
+    rng = np.random.RandomState(11)
+    wavf = (rng.standard_normal(16000) * 2000).astype(np.int16)
+    t = pa.table(
+        {
+            "media_id": pa.array([7], pa.int64()),
+            "payload": pa.array([_make_wav(wavf)], pa.binary()),
+        }
+    )
+    out = (
+        audio_energy(ray.data.from_arrow(t), decoder=wav_decode, concurrency=1)
+        .to_pandas()
+        .sort_values("frame_idx")
+    )
+    assert len(out) == 40
+    frames = wavf[: 40 * 400].astype(np.int64).reshape(40, 400)
+    exp_energy = (frames * frames).sum(axis=1)
+    exp_zc = (np.diff(frames < 0, axis=1) != 0).sum(axis=1)
+    assert (out["energy"].to_numpy() == exp_energy).all()
+    assert (out["n_zc"].to_numpy() == exp_zc).all()
+    assert (out["media_id"] == 7).all()
+
+
+def test_vid_demux_roundtrip_and_errors():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from scrape_ray.ops.multimodal import VID_MAGIC, vid_demux
+
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 256, size=(5, 4, 6, 3), dtype=np.uint8)
+    payload = VID_MAGIC + struct.pack("<HHH", 6, 4, 5) + frames.tobytes()
+    got = vid_demux(payload)
+    assert got.shape == (5, 4, 6, 3)
+    assert (got == frames).all()
+    with pytest.raises(ValueError):
+        vid_demux(b"nope")
+    with pytest.raises(ValueError):
+        vid_demux(payload[:-1])  # truncated raster
+
+
+def test_video_frame_means_closed_form(ray_session):
+    import numpy as np
+
+    from scrape_ray.ops.multimodal import (
+        synthetic_vid_dataset,
+        video_frame_means,
+    )
+
+    out = (
+        video_frame_means(synthetic_vid_dataset(4), concurrency=1)
+        .to_pandas()
+        .sort_values(["media_id", "frame_ts_ms", "channel"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4 * 4 * 3  # media x frames x channels
+    j = np.arange(64, dtype=np.int64)
+    for _, row in out.iterrows():
+        m, ts, c = int(row.media_id), int(row.frame_ts_ms), int(row.channel)
+        f = ts // 1000
+        exp = (((m * 31 + f * 17 + (3 * j + c) * 7) % 256).sum()) / 64.0
+        assert row.chan_mean == exp  # exact: integer sum / 2^6
