@@ -557,6 +557,44 @@ def _q_pack_offsets(sf_dir: str) -> Any:
     return out.select_columns(["doc_id", "n_tok", "start_offset", "bin"])
 
 
+def _q_chunk_docs(sf_dir: str) -> Any:
+    """Long-document stride chunking (HF ``return_overflowing_tokens``
+    layout): whitespace-token windows of 64 starting every 48 tokens
+    (overlap 16), one output row per window with its text — the step
+    before sequence packing when documents exceed the context length.
+    Stateless vectorized flat map (ragged-arange take + binary_join);
+    oracle rebuilds every window with str_split_regex + list slicing +
+    lateral range()."""
+    import ray.data
+
+    from scrape_ray.ops.packing import chunk_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+def _q_stratified_sample(sf_dir: str) -> Any:
+    """Deterministic corpus mixing: per-language hash-threshold rates
+    (keep iff FNV1a64(doc_id) % 1000 < rate[lang]) — en 500‰, de/fr
+    250‰, es/zh 125‰. Same row set on any cluster layout / batch
+    split; shares the FNV fold with hash_split so the oracle's
+    HUGEINT byte fold verifies assignments bit-exactly."""
+    import ray.data
+
+    from scrape_ray.ops.sampling import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(
+        docs, "lang", "doc_id",
+        {"en": 500, "de": 250, "fr": 250, "es": 125, "zh": 125},
+        default_permille=0,
+    )
+
+
 def _q_boilerplate_strip(sf_dir: str) -> Any:
     """Site-level boilerplate removal: lines present in > 50% of a
     host's documents (planted NAV on every doc, FOOTER on evens) are
@@ -1245,6 +1283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "boilerplate_strip": _q_boilerplate_strip,
         "pack_offsets": _q_pack_offsets,
+        "chunk_docs": _q_chunk_docs,
+        "stratified_sample": _q_stratified_sample,
         "freq_sketch": _q_freq_sketch,
         "curate": _q_curate,
         "decontaminate": _q_decontaminate,
@@ -1582,6 +1622,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT url,
                    CASE WHEN hv % 1000 < 100 THEN 'holdout' ELSE 'train' END AS split
             FROM h
+        """,
+        # Stride chunking replica: same whitespace tokenization as
+        # token_stats' oracle, windows of 64 every 48 tokens via a
+        # lateral range(), window text via 1-based inclusive list
+        # slicing + array_to_string.
+        "chunk_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                            ELSE str_split_regex(trim(text), '\s+') END AS tk
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0
+            )
+            SELECT doc_id,
+                   CAST(u.g // 48 AS BIGINT) AS chunk_id,
+                   CAST(u.g AS BIGINT) AS tok_start,
+                   CAST(LEAST(u.g + 64, n) - u.g AS BIGINT) AS n_tokens,
+                   array_to_string(tk[u.g + 1 : LEAST(u.g + 64, n)], ' ')
+                       AS chunk_text
+            FROM base, UNNEST(range(0, n, 48)) AS u(g)
+        """,
+        # Stratified sampling: hash_split's HUGEINT FNV fold over the
+        # doc_id rendered as text, thresholded per language.
+        "stratified_sample": r"""
+            WITH h AS (
+                SELECT doc_id, lang, list_reduce(
+                    list_prepend(14695981039346656037::HUGEINT,
+                        list_transform(
+                            range(0, octet_length(encode(CAST(doc_id AS VARCHAR)))),
+                            i -> ('0x' || substr(hex(encode(CAST(doc_id AS VARCHAR))),
+                                                 2*i+1, 2))
+                                 ::UBIGINT::HUGEINT)),
+                    (h, x) -> (xor(h::UBIGINT, x::UBIGINT)::HUGEINT
+                               * 1099511628211::HUGEINT)
+                              % 18446744073709551616::HUGEINT
+                )::UBIGINT AS hv
+                FROM documents
+            )
+            SELECT doc_id, lang FROM h
+            WHERE hv % 1000 < CASE lang
+                WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'fr' THEN 250
+                WHEN 'es' THEN 125 WHEN 'zh' THEN 125 ELSE 0 END
         """,
         # Full SimHash replica in SQL: FNV-1a-64 per word-3-gram
         # shingle (multiset voting, ops/dedup.py:simhash64_batch),

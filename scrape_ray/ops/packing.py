@@ -85,3 +85,92 @@ def pack_offsets(ds, order_col: str, size_col: str, chunk: int):
     return sorted_ds.map_batches(
         _finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
+                    chunk_tokens: int = 128, overlap: int = 32,
+                    batch_size: int | None = 2048):
+    """HF-style stride chunking: each document's whitespace-token
+    stream is sliced into windows of ``chunk_tokens`` starting every
+    ``stride = chunk_tokens - overlap`` tokens (the standard
+    ``return_overflowing_tokens`` layout for long-document training
+    prep — the step BEFORE :func:`pack_offsets` when documents exceed
+    the sequence length). Emits one row per window: ``(id, chunk_id,
+    tok_start, n_tokens, chunk_text)``; whitespace-only documents emit
+    no rows. Tokenization matches Python ``str.split()`` (runs of
+    whitespace, no empty tokens).
+
+    Stateless per-batch flat map — no shuffle, streams at any scale.
+    Fully vectorized ragged-window machinery: Arrow splits the batch's
+    texts into one flat token array, numpy builds the overlapping
+    take-indices as ragged aranges, and a single ``take`` +
+    ``binary_join`` materializes every window's text — no Python loop
+    over rows or windows. Output is ~``chunk/stride``× the input token
+    volume (the inherent cost of overlap), so size ``batch_size`` for
+    the amplified output when overlap is large.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    stride = chunk_tokens - overlap
+
+    import pyarrow.compute as pc
+
+    def _empty() -> pa.Table:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "chunk_id": pa.array([], pa.int64()),
+            "tok_start": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        })
+
+    def _f(t: pa.Table) -> pa.Table:
+        nrows = t.num_rows
+        if nrows == 0:
+            return _empty()
+        texts = pc.coalesce(t[text_col], pa.scalar("", pa.string()))
+        split = pc.utf8_split_whitespace(texts)
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        # Arrow's split emits empty tokens at string edges; drop them
+        # (keeps parity with str.split()) while preserving order.
+        parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(split)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        flat = flat.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        n = np.bincount(parent, minlength=nrows).astype(np.int64)
+
+        n_chunks = -(-n // stride)  # ceil; 0 tokens -> 0 chunks
+        total_ch = int(n_chunks.sum())
+        if total_ch == 0:
+            return _empty()
+        doc_idx = np.repeat(np.arange(nrows, dtype=np.int64), n_chunks)
+        ch_excl = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+        chunk_id = np.arange(total_ch, dtype=np.int64) - np.repeat(ch_excl, n_chunks)
+        tok_start = chunk_id * stride
+        n_rep = n[doc_idx]
+        lens = np.minimum(tok_start + chunk_tokens, n_rep) - tok_start
+
+        doc_off = np.concatenate(([0], np.cumsum(n)))
+        flat_start = doc_off[doc_idx] + tok_start
+        total_tok = int(lens.sum())
+        lens_excl = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        idx = np.repeat(flat_start - lens_excl, lens) + np.arange(total_tok, dtype=np.int64)
+        taken = flat.take(pa.array(idx, pa.int64()))
+        offs = pa.array(np.concatenate(([0], np.cumsum(lens))), pa.int64())
+        windows = pa.LargeListArray.from_arrays(offs, taken)
+        chunk_text = pc.binary_join(windows, " ")
+        return pa.table({
+            id_col: t[id_col].take(pa.array(doc_idx, pa.int64())),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "tok_start": pa.array(tok_start, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "chunk_text": chunk_text.cast(pa.string()),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,90 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+Corpus curation needs samples that are (a) reproducible across runs,
+nodes and engines, (b) leakage-safe (a row's fate depends only on its
+own key, never on batch layout or visit order), and (c) free of
+coordination — no shuffle, no global state, no RNG stream to
+synchronize. Hash-threshold sampling gives all three: keep a row iff
+``FNV1a64(key) mod 1000 < permille``. :func:`stratified_sample`
+extends it with a per-stratum rate (e.g. downsample English, keep all
+low-resource languages — the standard data-mixing move), still as a
+pure per-batch map.
+
+The reference has no sampling surface (it stops at extraction); this
+is part of the engine's training-data extension suite, sharing the
+FNV fold (``functions/keys.py``) with :func:`~scrape_ray.ops.dedup.
+hash_split` so DuckDB oracles verify assignments bit-exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _key_hashes(t: pa.Table, key_col: str) -> np.ndarray:
+    from scrape_ray.functions.keys import fnv1a64
+
+    vals = t[key_col].to_pylist()
+    return fnv1a64(
+        [("" if v is None else str(v)).encode("utf-8") for v in vals]
+    )
+
+
+def deterministic_sample(ds, key_col: str, permille: int,
+                         batch_size: int | None = None):
+    """Uniform hash-threshold sample: keep iff
+    ``FNV1a64(str(key)) % 1000 < permille``. Stateless map — no
+    shuffle, reproducible anywhere, and composable with
+    :func:`~scrape_ray.ops.dedup.hash_split` (independent fates only
+    if the keys differ; same key ⇒ same hash by design)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        hv = _key_hashes(t, key_col)
+        keep = (hv % np.uint64(1000)) < np.uint64(permille)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def stratified_sample(ds, strata_col: str, key_col: str,
+                      permille: dict[str, int],
+                      default_permille: int = 0,
+                      batch_size: int | None = None):
+    """Per-stratum hash-threshold sample: keep a row iff
+    ``FNV1a64(str(key)) % 1000 < permille[stratum]`` (missing strata
+    fall back to ``default_permille``). The standard corpus-mixing
+    primitive: set language / source / domain rates once and every
+    run, on any cluster layout, selects the identical row set.
+
+    Scale shape: the rate table is a plain dict captured in the task
+    closure (a handful of strata — language codes, source names — not
+    data-sized); the per-batch threshold lookup is vectorized through
+    Arrow ``dictionary_encode`` so the Python dict is consulted once
+    per distinct stratum per batch, not per row. No shuffle, no
+    coordination, streams at any scale."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        hv = _key_hashes(t, key_col)
+        enc = pc.dictionary_encode(t[strata_col])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        lut = np.array(
+            [
+                int(permille.get(u, default_permille))
+                for u in enc.dictionary.to_pylist()
+            ]
+            + [int(default_permille)],  # slot for null strata
+            dtype=np.uint64,
+        )
+        idx = (
+            pc.fill_null(enc.indices, len(lut) - 1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        thr = lut[idx]
+        keep = (hv % np.uint64(1000)) < thr
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)

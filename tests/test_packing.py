@@ -51,3 +51,69 @@ def test_pack_offsets_unsorted_input(ray_session):
     # order is doc_id: sizes 5,2,7,10 -> starts 0,5,7,14
     assert out["start_offset"].tolist() == [0, 5, 7, 14]
     assert out["bin"].tolist() == [0, 0, 0, 1]
+
+
+def _py_chunks(doc_id, text, chunk, overlap):
+    toks = text.split()
+    stride = chunk - overlap
+    return [
+        (doc_id, ci, st, len(toks[st:st + chunk]), " ".join(toks[st:st + chunk]))
+        for ci, st in enumerate(range(0, len(toks), stride))
+    ]
+
+
+def test_chunk_documents_matches_python_reference(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.packing import chunk_documents
+
+    docs = [
+        (1, "  a b c d e f g h i j  "),       # edge whitespace
+        (2, ""),                               # empty -> no chunks
+        (3, "one two"),                        # shorter than chunk
+        (4, "\t \n"),                          # whitespace-only -> none
+        (5, " ".join(f"w{i}" for i in range(13))),  # partial tail window
+        (6, " ".join(f"x{i}" for i in range(8))),   # exact multiple
+    ]
+    want = []
+    for d, t in docs:
+        want += _py_chunks(d, t, chunk=4, overlap=2)
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in docs]
+    ).repartition(5)  # chunks must not depend on block layout
+    got = (
+        chunk_documents(ds, chunk_tokens=4, overlap=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_chunk_documents_rejects_bad_overlap(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from scrape_ray.ops.packing import chunk_documents
+
+    ds = ray.data.from_items([{"doc_id": 1, "text": "a"}])
+    with _pytest.raises(ValueError):
+        chunk_documents(ds, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_empty_blocks_keep_schema(ray_session):
+    """Blocks whose docs are all whitespace-only must still emit the
+    output schema (the round-2 empty-block passthrough hazard)."""
+    import ray.data
+
+    from scrape_ray.ops.packing import chunk_documents
+    from scrape_ray.util import dataset_to_table
+
+    rows = [{"doc_id": i, "text": "" if i % 2 else "alpha beta gamma"}
+            for i in range(64)]
+    ds = ray.data.from_items(rows).repartition(32)
+    t = dataset_to_table(chunk_documents(ds, chunk_tokens=2, overlap=1))
+    assert set(t.column_names) == {
+        "doc_id", "chunk_id", "tok_start", "n_tokens", "chunk_text"
+    }
+    assert t.num_rows == 32 * 3  # 3 tokens, stride 1 -> windows at 0,1,2

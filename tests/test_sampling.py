@@ -1,0 +1,78 @@
+"""Deterministic hash-threshold sampling: reproducibility across
+block layouts, per-stratum rates, null-stratum fallback."""
+
+import numpy as np
+
+from scrape_ray.functions.keys import fnv1a64
+
+
+def _expected(rows, rates, default):
+    keep = set()
+    for r in rows:
+        hv = int(fnv1a64([str(r["doc_id"]).encode()])[0])
+        if hv % 1000 < rates.get(r["lang"], default):
+            keep.add(r["doc_id"])
+    return keep
+
+
+def test_stratified_sample_matches_reference(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.sampling import stratified_sample
+
+    rows = [
+        {"doc_id": i, "lang": ["en", "de", "fr", None][i % 4]}
+        for i in range(2000)
+    ]
+    rates = {"en": 500, "de": 250, "fr": 125}
+    want = _expected(rows, rates, default=50)
+    got = (
+        stratified_sample(
+            ray.data.from_items(rows).repartition(17),
+            "lang", "doc_id", rates, default_permille=50,
+        )
+        .to_pandas()
+    )
+    assert set(got["doc_id"]) == want
+    # rates actually differ per stratum (en keeps ~4x fr)
+    by_lang = got.groupby("lang")["doc_id"].count()
+    assert by_lang["en"] > by_lang["de"] > by_lang["fr"]
+
+
+def test_stratified_sample_layout_independent(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.sampling import stratified_sample
+
+    rows = [{"doc_id": i, "lang": "en" if i % 3 else "de"} for i in range(500)]
+    rates = {"en": 300, "de": 700}
+    picks = []
+    for parts in (1, 7, 31):
+        out = stratified_sample(
+            ray.data.from_items(rows).repartition(parts),
+            "lang", "doc_id", rates,
+        ).to_pandas()
+        picks.append(frozenset(out["doc_id"]))
+    assert picks[0] == picks[1] == picks[2]
+
+
+def test_deterministic_sample_rate_and_agreement_with_split(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.dedup import hash_split
+    from scrape_ray.ops.sampling import deterministic_sample
+
+    rows = [{"doc_id": i} for i in range(3000)]
+    ds = ray.data.from_items(rows)
+    got = deterministic_sample(ds, "doc_id", 100).to_pandas()
+    # the 100-permille sample IS hash_split's holdout set (same fold)
+    split = hash_split(
+        ray.data.from_items(
+            [{"url": str(i), "doc_id": i} for i in range(3000)]
+        ),
+        "url", holdout_permille=100,
+    ).to_pandas()
+    hold = set(split[split["split"] == "holdout"]["doc_id"])
+    assert set(got["doc_id"]) == hold
+    assert abs(len(got) / 3000 - 0.1) < 0.03  # ~10% rate
+    assert np.all(np.diff(sorted(got["doc_id"])) > 0)
