@@ -595,6 +595,44 @@ def _q_stratified_sample(sf_dir: str) -> Any:
     )
 
 
+def _q_term_freq(sf_dir: str) -> Any:
+    """Corpus term statistics: top-50 tokens by total frequency with
+    (tf, df) — vocabulary building / IDF / stopword discovery. The
+    wide op is pre-aggregated: per-batch dictionary-encoded partial
+    counts (one row per batch-distinct token), ONE groupby exchange
+    over the Zipf-bounded vocabulary, sort+limit on the aggregated
+    table only. Ties broken by token text so the top-k boundary is
+    deterministic."""
+    import ray.data
+
+    from scrape_ray.ops.textstats import top_vocabulary
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return top_vocabulary(docs, k=50)
+
+
+def _q_vocab_coverage(sf_dir: str) -> Any:
+    """Vocabulary-coverage quality signal: per-doc token count and
+    OOV count vs the corpus's own top-500 vocabulary (the LM-pipeline
+    junk-text proxy). Two stages sharing one lineage: aggregate the
+    vocabulary (pre-aggregated groupby), broadcast it once via
+    ray.put, then a streaming pc.is_in membership map — the corpus
+    never shuffles."""
+    import ray.data
+
+    from scrape_ray.ops.textstats import top_vocabulary, vocab_coverage
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    vocab = top_vocabulary(docs, k=500)
+    return vocab_coverage(docs, vocab).select_columns(
+        ["doc_id", "n_tokens", "n_oov"]
+    )
+
+
 def _q_boilerplate_strip(sf_dir: str) -> Any:
     """Site-level boilerplate removal: lines present in > 50% of a
     host's documents (planted NAV on every doc, FOOTER on evens) are
@@ -1285,6 +1323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_offsets": _q_pack_offsets,
         "chunk_docs": _q_chunk_docs,
         "stratified_sample": _q_stratified_sample,
+        "term_freq": _q_term_freq,
+        "vocab_coverage": _q_vocab_coverage,
         "freq_sketch": _q_freq_sketch,
         "curate": _q_curate,
         "decontaminate": _q_decontaminate,
@@ -1644,6 +1684,50 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(tk[u.g + 1 : LEAST(u.g + 64, n)], ' ')
                        AS chunk_text
             FROM base, UNNEST(range(0, n, 48)) AS u(g)
+        """,
+        # Corpus term statistics: same whitespace tokenization, plain
+        # GROUP BY with the engine's deterministic (tf DESC, token)
+        # tie-break at the top-k boundary.
+        "term_freq": r"""
+            WITH toks AS (
+                SELECT doc_id, u.tok
+                FROM (SELECT doc_id,
+                             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                  ELSE str_split_regex(trim(text), '\s+')
+                             END AS tk
+                      FROM documents), UNNEST(tk) AS u(tok)
+            )
+            SELECT tok AS token,
+                   count(*)::BIGINT AS tf,
+                   count(DISTINCT doc_id)::BIGINT AS df
+            FROM toks
+            GROUP BY tok
+            ORDER BY tf DESC, token
+            LIMIT 50
+        """,
+        # Vocabulary coverage: top-500 corpus vocabulary (same
+        # tie-break), then per-doc total/OOV token counts; zero-token
+        # docs keep a row via the LEFT JOIN.
+        "vocab_coverage": r"""
+            WITH toks AS (
+                SELECT doc_id, u.tok
+                FROM (SELECT doc_id,
+                             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                  ELSE str_split_regex(trim(text), '\s+')
+                             END AS tk
+                      FROM documents), UNNEST(tk) AS u(tok)
+            ),
+            vocab AS (
+                SELECT tok FROM toks GROUP BY tok
+                ORDER BY count(*) DESC, tok LIMIT 500
+            )
+            SELECT d.doc_id,
+                   count(t.tok)::BIGINT AS n_tokens,
+                   (count(*) FILTER (WHERE t.tok IS NOT NULL
+                        AND t.tok NOT IN (SELECT tok FROM vocab)))::BIGINT
+                       AS n_oov
+            FROM documents d LEFT JOIN toks t USING (doc_id)
+            GROUP BY d.doc_id
         """,
         # Stratified sampling: hash_split's HUGEINT FNV fold over the
         # doc_id rendered as text, thresholded per language.

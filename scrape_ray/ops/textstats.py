@@ -188,3 +188,108 @@ def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint",
         return t.append_column(out_col, pa.array(vals, pa.uint64()))
 
     return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def _ws_tokens_flat(t: pa.Table, text_col: str):
+    """Batch texts → (flat token array, per-token parent row index),
+    matching Python ``str.split()`` (no empty tokens). Vectorized:
+    Arrow whitespace split, edge-empty filter, no Python per row."""
+    texts = pc.coalesce(t[text_col], pa.scalar("", pa.string()))
+    split = pc.utf8_split_whitespace(texts)
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    parent = pc.list_parent_indices(split).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(split)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    flat = flat.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    return flat, parent[keep.to_numpy(zero_copy_only=False)]
+
+
+def term_frequencies(ds, text_col: str = "text", batch_size: int = 4096):
+    """Global (token, tf, df) table: ``tf`` = total occurrences across
+    the corpus, ``df`` = number of distinct documents containing the
+    token — the statistics behind vocabulary building, IDF weighting
+    and stopword discovery.
+
+    Scale shape: the classic pre-aggregated wide op. Each task
+    dictionary-encodes its batch's tokens and emits PARTIAL (token,
+    tf, df) counts — one row per distinct token per batch, not per
+    occurrence — so the single ``groupby("token")`` exchange moves
+    the batch-distinct vocabulary (Zipf-bounded), never the token
+    stream. No driver state."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat, parent = _ws_tokens_flat(t, text_col)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64())})
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_vocab = len(enc.dictionary)
+        tf = np.bincount(codes, minlength=n_vocab)
+        # df partial: distinct (doc, token) pairs in this batch
+        pair = np.unique(parent.astype(np.int64) * np.int64(n_vocab) + codes)
+        df = np.bincount((pair % n_vocab).astype(np.int64), minlength=n_vocab)
+        return pa.table({"token": enc.dictionary,
+                         "tf": pa.array(tf, pa.int64()),
+                         "df": pa.array(df, pa.int64())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow",
+                           batch_size=batch_size)
+    agg = parts.groupby("token").sum(["tf", "df"])
+    return agg.rename_columns({"sum(tf)": "tf", "sum(df)": "df"})
+
+
+def top_vocabulary(ds, text_col: str = "text", k: int = 1000) -> pa.Table:
+    """The corpus's top-``k`` tokens by total frequency (ties broken
+    by token text, so the vocabulary is deterministic across layouts
+    and engines). Returns a DRIVER-side Arrow table — k rows, the
+    broadcastable side of :func:`vocab_coverage`. The sort runs on the
+    already-aggregated term table (distinct tokens, Zipf-small), not
+    the corpus."""
+    from scrape_ray.util import dataset_to_table
+
+    tdf = term_frequencies(ds, text_col)
+    t = dataset_to_table(
+        tdf.sort(["tf", "token"], descending=[True, False]).limit(k)
+    )
+    return t.select(["token", "tf", "df"])
+
+
+def vocab_coverage(ds, vocab: pa.Table | list[str],
+                   text_col: str = "text", batch_size: int = 4096):
+    """Vocabulary-coverage quality signal: per document, total token
+    count and how many tokens fall OUTSIDE the given vocabulary
+    (``n_oov``) — the standard LM-pipeline proxy for junk/ non-target-
+    language/ boilerplate-encoded text (high OOV rate ⇒ drop).
+
+    The vocabulary (small: top-k tokens) is broadcast once via
+    ``ray.put``; each batch counts membership with a vectorized
+    ``pc.is_in`` + bincount. Streaming map — no shuffle."""
+    import ray
+
+    words = vocab["token"] if isinstance(vocab, pa.Table) else pa.array(
+        list(vocab), pa.string())
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    vocab_ref = ray.put(words)
+
+    def _f(t: pa.Table) -> pa.Table:
+        nrows = t.num_rows
+        flat, parent = _ws_tokens_flat(t, text_col)
+        n_tok = np.bincount(parent, minlength=nrows).astype(np.int64)
+        if len(flat):
+            oov_mask = pc.invert(
+                pc.is_in(flat, value_set=ray.get(vocab_ref))
+            ).to_numpy(zero_copy_only=False)
+            n_oov = np.bincount(
+                parent[oov_mask], minlength=nrows).astype(np.int64)
+        else:
+            n_oov = np.zeros(nrows, np.int64)
+        t = t.append_column("n_tokens", pa.array(n_tok, pa.int64()))
+        return t.append_column("n_oov", pa.array(n_oov, pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)

@@ -106,3 +106,55 @@ def test_dedup_lines_semantics(ray_session):
     # Gopher top-word ratio: integer permille of most frequent token
     assert out["top_word_frac_x1000"].tolist()[4] == 4 * 1000 // 5
     assert out["top_word_frac_x1000"].tolist()[2] == 0
+
+
+def test_term_frequencies_matches_counter(ray_session):
+    from collections import Counter
+
+    import ray.data
+
+    from scrape_ray.ops.textstats import term_frequencies
+
+    docs = [{"doc_id": i, "text": t} for i, t in enumerate(
+        ["a b b c", "b c d", "", "  a  a  ", "e", "\t\n"])]
+    tf, df = Counter(), Counter()
+    for d in docs:
+        toks = d["text"].split()
+        tf.update(toks)
+        df.update(set(toks))
+    got = (
+        term_frequencies(ray.data.from_items(docs).repartition(4))
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    )
+    assert got["token"].tolist() == sorted(tf)
+    assert got["tf"].tolist() == [tf[k] for k in sorted(tf)]
+    assert got["df"].tolist() == [df[k] for k in sorted(df)]
+
+
+def test_top_vocabulary_deterministic_tiebreak(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.textstats import top_vocabulary
+
+    # b and a tie on tf; 'a' must win the boundary slot alphabetically
+    docs = [{"doc_id": 0, "text": "b a c c"}, {"doc_id": 1, "text": "a b c"}]
+    v = top_vocabulary(ray.data.from_items(docs), k=2)
+    assert v["token"].to_pylist() == ["c", "a"]
+
+
+def test_vocab_coverage_counts_oov(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.textstats import vocab_coverage
+
+    docs = [
+        {"doc_id": 0, "text": "in in out"},
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "out out"},
+    ]
+    got = (
+        vocab_coverage(ray.data.from_items(docs).repartition(3), ["in"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["n_tokens"].tolist() == [3, 0, 2]
+    assert got["n_oov"].tolist() == [1, 0, 2]
