@@ -633,6 +633,31 @@ def _q_vocab_coverage(sf_dir: str) -> Any:
     )
 
 
+def _q_asof_join(sf_dir: str) -> Any:
+    """Backward as-of join (an operator Ray Data lacks): every
+    purchase event picks up the same user's most recent prior-or-equal
+    click (ts_click, value_click). ONE hash exchange on user_id
+    co-locates both sides; per-group merge is a right-side sort +
+    vectorized searchsorted. Oracle = DuckDB's native ASOF LEFT
+    JOIN."""
+    import ray.data
+
+    from scrape_ray.ops.joins import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value", "event_type"],
+    )
+    left = ev.filter(expr="event_type == 'purchase'").drop_columns(
+        ["event_type"])
+    right = ev.filter(expr="event_type == 'click'").drop_columns(
+        ["event_type", "event_id"])
+    return asof_join(
+        left, right, by="user_id", on="ts",
+        right_cols=["ts", "value"], suffix="_click",
+    )
+
+
 def _q_boilerplate_strip(sf_dir: str) -> Any:
     """Site-level boilerplate removal: lines present in > 50% of a
     host's documents (planted NAV on every doc, FOOTER on evens) are
@@ -1325,6 +1350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "term_freq": _q_term_freq,
         "vocab_coverage": _q_vocab_coverage,
+        "asof_join": _q_asof_join,
         "freq_sketch": _q_freq_sketch,
         "curate": _q_curate,
         "decontaminate": _q_decontaminate,
@@ -1684,6 +1710,22 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(tk[u.g + 1 : LEAST(u.g + 64, n)], ' ')
                        AS chunk_text
             FROM base, UNNEST(range(0, n, 48)) AS u(g)
+        """,
+        # Backward as-of join: DuckDB's native ASOF LEFT JOIN is the
+        # oracle for the engine's groupby+searchsorted implementation.
+        "asof_join": r"""
+            WITH l AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ),
+            r AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.ts AS ts_click, r.value AS value_click
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         # Corpus term statistics: same whitespace tokenization, plain
         # GROUP BY with the engine's deterministic (tf DESC, token)

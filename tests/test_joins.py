@@ -1,0 +1,72 @@
+"""Backward as-of join: match semantics, no-match nulls, ties,
+layout independence."""
+
+import numpy as np
+import pandas as pd
+
+
+def _mk(ray, rows):
+    import ray.data
+
+    return ray.data.from_items(rows)
+
+
+def test_asof_join_basic_semantics(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.joins import asof_join
+
+    left = ray.data.from_items([
+        {"eid": 1, "k": 1, "t": 10},
+        {"eid": 2, "k": 1, "t": 5},
+        {"eid": 3, "k": 2, "t": 7},   # k=2 has no right rows
+        {"eid": 4, "k": 1, "t": 4},   # before every right row
+    ]).repartition(3)
+    right = ray.data.from_items([
+        {"k": 1, "t": 5, "v": 50},    # equal ts matches (<=)
+        {"k": 1, "t": 9, "v": 90},
+        {"k": 3, "t": 1, "v": 10},    # right-only key: no output row
+    ]).repartition(2)
+    got = (
+        asof_join(left, right, by="k", on="t", right_cols=["t", "v"])
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    assert got["eid"].tolist() == [1, 2, 3, 4]
+    assert got["eid"].dtype == np.int64
+    assert got["t_r"].tolist()[:2] == [9, 5]
+    assert got["v_r"].tolist()[:2] == [90, 50]
+    assert pd.isna(got["t_r"][2]) and pd.isna(got["t_r"][3])
+
+
+def test_asof_join_matches_duckdb_asof(ray_session):
+    import duckdb
+    import ray.data
+
+    from scrape_ray.ops.joins import asof_join
+
+    sf = "/root/testdata/sf0.001"
+    ev = ray.data.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value", "event_type"],
+    )
+    lds = ev.filter(expr="event_type == 'purchase'").drop_columns(
+        ["event_type"])
+    rds = ev.filter(expr="event_type == 'click'").drop_columns(
+        ["event_type", "event_id"])
+    got = asof_join(
+        lds, rds, by="user_id", on="ts",
+        right_cols=["ts", "value"], suffix="_click",
+    ).to_pandas()
+    want = duckdb.sql(f"""
+        WITH l AS (SELECT event_id, user_id, ts, value
+                   FROM '{sf}/events.parquet' WHERE event_type='purchase'),
+             r AS (SELECT user_id, ts, value
+                   FROM '{sf}/events.parquet' WHERE event_type='click')
+        SELECT l.*, r.ts AS ts_click, r.value AS value_click
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """).df()
+    for df in (got, want):
+        df.sort_values("event_id", inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
