@@ -658,6 +658,34 @@ def _q_asof_join(sf_dir: str) -> Any:
     )
 
 
+def _q_session_join(sf_dir: str) -> Any:
+    """Range join (operator Ray Data lacks): every raw event is
+    assigned its containing session window — ``sessionize`` builds
+    the per-user non-overlapping [session_start, session_end]
+    intervals, ``interval_join`` attaches them with one user_id hash
+    exchange + per-group searchsorted. Oracle = the sessionize window
+    SQL followed by a BETWEEN join."""
+    import ray.data
+
+    from scrape_ray.ops.joins import interval_join
+    from scrape_ray.ops.windows import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    sess = sessionize(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+        ),
+        gap_s=1800,
+    ).drop_columns(["n_events"])
+    return interval_join(
+        ev, sess, by="user_id", on="ts",
+        lo="session_start", hi="session_end",
+        right_cols=["session_start", "session_end"], suffix="",
+    )
+
+
 def _q_boilerplate_strip(sf_dir: str) -> Any:
     """Site-level boilerplate removal: lines present in > 50% of a
     host's documents (planted NAV on every doc, FOOTER on evens) are
@@ -1351,6 +1379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_freq": _q_term_freq,
         "vocab_coverage": _q_vocab_coverage,
         "asof_join": _q_asof_join,
+        "session_join": _q_session_join,
         "freq_sketch": _q_freq_sketch,
         "curate": _q_curate,
         "decontaminate": _q_decontaminate,
@@ -1726,6 +1755,33 @@ def oracle_sql() -> dict[str, str]:
                    r.ts AS ts_click, r.value AS value_click
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # Range join: sessionize's window SQL builds the intervals,
+        # then an inclusive BETWEEN join assigns every event — the
+        # engine's interval_join must produce the identical rows.
+        "session_join": """
+            WITH o AS (
+                SELECT user_id, ts,
+                    CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts,
+                    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            ), sess AS (
+                SELECT user_id, MIN(ts) AS session_start,
+                       MAX(ts) AS session_end
+                FROM s GROUP BY user_id, sid
+            )
+            SELECT e.event_id, e.user_id, e.ts,
+                   sess.session_start, sess.session_end
+            FROM events e JOIN sess
+              ON e.user_id = sess.user_id
+             AND e.ts BETWEEN sess.session_start AND sess.session_end
         """,
         # Corpus term statistics: same whitespace tokenization, plain
         # GROUP BY with the engine's deterministic (tf DESC, token)

@@ -70,3 +70,54 @@ def test_asof_join_matches_duckdb_asof(ray_session):
         df.sort_values("event_id", inplace=True)
         df.reset_index(drop=True, inplace=True)
     pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_interval_join_semantics(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.joins import interval_join
+
+    left = ray.data.from_items([
+        {"eid": 1, "k": 1, "t": 10},   # inside [5,12]
+        {"eid": 2, "k": 1, "t": 12},   # hi bound inclusive
+        {"eid": 3, "k": 1, "t": 20},   # lo bound inclusive
+        {"eid": 4, "k": 1, "t": 15},   # in the gap -> null
+        {"eid": 5, "k": 2, "t": 7},    # key with no intervals -> null
+    ]).repartition(3)
+    right = ray.data.from_items([
+        {"k": 1, "s": 5, "e": 12, "sid": 100},
+        {"k": 1, "s": 20, "e": 30, "sid": 200},
+    ]).repartition(2)
+    got = (
+        interval_join(left, right, by="k", on="t", lo="s", hi="e",
+                      right_cols=["sid"])
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    assert got["sid_r"].tolist()[:3] == [100, 100, 200]
+    assert pd.isna(got["sid_r"][3]) and pd.isna(got["sid_r"][4])
+    assert got["eid"].dtype == np.int64
+
+
+def test_interval_join_assigns_every_event_to_its_session(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.joins import interval_join
+    from scrape_ray.ops.windows import sessionize
+
+    sf = "/root/testdata/sf0.001"
+    ev = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"])
+    sess = sessionize(
+        ray.data.read_parquet(
+            f"{sf}/events.parquet", columns=["ts", "user_id"]),
+        gap_s=1800,
+    ).drop_columns(["n_events"])
+    got = interval_join(
+        ev, sess, by="user_id", on="ts",
+        lo="session_start", hi="session_end",
+        right_cols=["session_start", "session_end"], suffix="",
+    ).to_pandas()
+    assert len(got) == ev.count()
+    assert got["session_start"].notna().all()
+    assert (got["ts"] >= got["session_start"]).all()
+    assert (got["ts"] <= got["session_end"]).all()
