@@ -613,6 +613,22 @@ def _q_term_freq(sf_dir: str) -> Any:
     return top_vocabulary(docs, k=50)
 
 
+def _q_bigram_freq(sf_dir: str) -> Any:
+    """LM n-gram count table: top-50 word bigrams by corpus frequency
+    (tf + document frequency). Same pre-aggregated shape as
+    `term_freq` — grams are built vectorized from shifted views of
+    the batch's flat token array (no Python per gram), partial counts
+    exchange once over the distinct-gram table."""
+    import ray.data
+
+    from scrape_ray.ops.textstats import top_vocabulary
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return top_vocabulary(docs, k=50, n=2)
+
+
 def _q_vocab_coverage(sf_dir: str) -> Any:
     """Vocabulary-coverage quality signal: per-doc token count and
     OOV count vs the corpus's own top-500 vocabulary (the LM-pipeline
@@ -1377,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "stratified_sample": _q_stratified_sample,
         "term_freq": _q_term_freq,
+        "bigram_freq": _q_bigram_freq,
         "vocab_coverage": _q_vocab_coverage,
         "asof_join": _q_asof_join,
         "session_join": _q_session_join,
@@ -1800,6 +1817,31 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id)::BIGINT AS df
             FROM toks
             GROUP BY tok
+            ORDER BY tf DESC, token
+            LIMIT 50
+        """,
+        # Bigram LM counts: 1-based list indexing over a lateral
+        # range builds every adjacent pair, then the same tie-broken
+        # top-k as term_freq.
+        "bigram_freq": r"""
+            WITH toks AS (
+                SELECT doc_id, tk, len(tk) AS n
+                FROM (SELECT doc_id,
+                             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                  ELSE str_split_regex(trim(text), '\s+')
+                             END AS tk
+                      FROM documents)
+            ),
+            grams AS (
+                SELECT doc_id, tk[u.i] || ' ' || tk[u.i + 1] AS token
+                FROM toks, UNNEST(range(1, n)) AS u(i)
+                WHERE n >= 2
+            )
+            SELECT token,
+                   count(*)::BIGINT AS tf,
+                   count(DISTINCT doc_id)::BIGINT AS df
+            FROM grams
+            GROUP BY token
             ORDER BY tf DESC, token
             LIMIT 50
         """,

@@ -207,11 +207,13 @@ def _ws_tokens_flat(t: pa.Table, text_col: str):
     return flat, parent[keep.to_numpy(zero_copy_only=False)]
 
 
-def term_frequencies(ds, text_col: str = "text", batch_size: int = 4096):
+def term_frequencies(ds, text_col: str = "text", batch_size: int = 4096,
+                     n: int = 1):
     """Global (token, tf, df) table: ``tf`` = total occurrences across
     the corpus, ``df`` = number of distinct documents containing the
     token — the statistics behind vocabulary building, IDF weighting
-    and stopword discovery.
+    and stopword discovery. With ``n > 1`` the unit is the
+    space-joined word n-gram (bigram/trigram LM count tables).
 
     Scale shape: the classic pre-aggregated wide op. Each task
     dictionary-encodes its batch's tokens and emits PARTIAL (token,
@@ -219,9 +221,28 @@ def term_frequencies(ds, text_col: str = "text", batch_size: int = 4096):
     occurrence — so the single ``groupby("token")`` exchange moves
     the batch-distinct vocabulary (Zipf-bounded), never the token
     stream. No driver state."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
 
     def _partial(t: pa.Table) -> pa.Table:
         flat, parent = _ws_tokens_flat(t, text_col)
+        if n > 1 and len(flat):
+            # n-grams: join n shifted views; valid where all n tokens
+            # share the parent doc (vectorized, no Python per gram)
+            m = len(flat) - (n - 1)
+            if m <= 0:
+                flat = flat.slice(0, 0)
+                parent = parent[:0]
+            else:
+                views = [flat.slice(i, m) for i in range(n)]
+                grams = views[0]
+                for v in views[1:]:
+                    grams = pc.binary_join_element_wise(grams, v, " ")
+                valid = parent[: m] == parent[n - 1:]
+                flat = grams.filter(pa.array(valid))
+                if isinstance(flat, pa.ChunkedArray):
+                    flat = flat.combine_chunks()
+                parent = parent[:m][valid]
         if len(flat) == 0:
             return pa.table({"token": pa.array([], pa.string()),
                              "tf": pa.array([], pa.int64()),
@@ -243,7 +264,8 @@ def term_frequencies(ds, text_col: str = "text", batch_size: int = 4096):
     return agg.rename_columns({"sum(tf)": "tf", "sum(df)": "df"})
 
 
-def top_vocabulary(ds, text_col: str = "text", k: int = 1000) -> pa.Table:
+def top_vocabulary(ds, text_col: str = "text", k: int = 1000,
+                   n: int = 1) -> pa.Table:
     """The corpus's top-``k`` tokens by total frequency (ties broken
     by token text, so the vocabulary is deterministic across layouts
     and engines). Returns a DRIVER-side Arrow table — k rows, the
@@ -252,7 +274,7 @@ def top_vocabulary(ds, text_col: str = "text", k: int = 1000) -> pa.Table:
     the corpus."""
     from scrape_ray.util import dataset_to_table
 
-    tdf = term_frequencies(ds, text_col)
+    tdf = term_frequencies(ds, text_col, n=n)
     t = dataset_to_table(
         tdf.sort(["tf", "token"], descending=[True, False]).limit(k)
     )

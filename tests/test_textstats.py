@@ -158,3 +158,30 @@ def test_vocab_coverage_counts_oov(ray_session):
     )
     assert got["n_tokens"].tolist() == [3, 0, 2]
     assert got["n_oov"].tolist() == [1, 0, 2]
+
+
+def test_ngram_frequencies_match_counter(ray_session):
+    from collections import Counter
+
+    import ray.data
+
+    from scrape_ray.ops.textstats import term_frequencies
+
+    docs = [{"doc_id": i, "text": t} for i, t in enumerate(
+        ["a b c a b", "b c", "x", "", "a"])]
+    for n in (2, 3):
+        tf, df = Counter(), Counter()
+        for d in docs:
+            toks = d["text"].split()
+            grams = [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+            tf.update(grams)
+            df.update(set(grams))
+        got = (
+            term_frequencies(
+                ray.data.from_items(docs).repartition(3), n=n)
+            .to_pandas().sort_values("token").reset_index(drop=True)
+        )
+        assert got["token"].tolist() == sorted(tf)
+        assert got["tf"].tolist() == [tf[k] for k in sorted(tf)]
+        assert got["df"].tolist() == [df[k] for k in sorted(df)]
