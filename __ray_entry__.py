@@ -629,6 +629,29 @@ def _q_bigram_freq(sf_dir: str) -> Any:
     return top_vocabulary(docs, k=50, n=2)
 
 
+def _q_length_quantiles(sf_dir: str) -> Any:
+    """Exact distributed quantiles of the document-length column via
+    a mergeable value-histogram AggregateFn — one streaming pass, no
+    shuffle, O(domain) task state; the 100 TB replacement for a
+    global sort when only rank statistics are needed. Semantics match
+    SQL quantile_disc (sorted index max(ceil(q*n)-1, 0)), verified
+    cell-exact."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.sketch import quantile_sketch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    vals = quantile_sketch(docs, "n_chars", qs, max_value=4096)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "v": pa.array(vals, pa.int64()),
+    })
+
+
 def _q_vocab_coverage(sf_dir: str) -> Any:
     """Vocabulary-coverage quality signal: per-doc token count and
     OOV count vs the corpus's own top-500 vocabulary (the LM-pipeline
@@ -1395,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_freq": _q_term_freq,
         "bigram_freq": _q_bigram_freq,
         "vocab_coverage": _q_vocab_coverage,
+        "length_quantiles": _q_length_quantiles,
         "asof_join": _q_asof_join,
         "session_join": _q_session_join,
         "freq_sketch": _q_freq_sketch,
@@ -1819,6 +1843,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tok
             ORDER BY tf DESC, token
             LIMIT 50
+        """,
+        # Exact histogram quantiles: quantile_disc per constant q
+        # (DuckDB requires constant quantile parameters).
+        "length_quantiles": """
+            SELECT 0.00 AS q, quantile_disc(n_chars, 0.00)::BIGINT AS v FROM documents
+            UNION ALL
+            SELECT 0.25, quantile_disc(n_chars, 0.25)::BIGINT FROM documents
+            UNION ALL
+            SELECT 0.50, quantile_disc(n_chars, 0.50)::BIGINT FROM documents
+            UNION ALL
+            SELECT 0.90, quantile_disc(n_chars, 0.90)::BIGINT FROM documents
+            UNION ALL
+            SELECT 0.99, quantile_disc(n_chars, 0.99)::BIGINT FROM documents
+            UNION ALL
+            SELECT 1.00, quantile_disc(n_chars, 1.00)::BIGINT FROM documents
         """,
         # Bigram LM counts: 1-based list indexing over a lateral
         # range builds every adjacent pair, then the same tie-broken

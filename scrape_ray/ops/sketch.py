@@ -168,3 +168,65 @@ def kmv_table(ds, col: str, k: int = 64, hashed: bool = False) -> pa.Table:
             "hash_value": pa.array(mins, pa.uint64()),
         }
     )
+
+
+# ----------------------------------------------------------- Histogram
+def histogram_aggregate(col: str, max_value: int = 1 << 16):
+    """Ray Data AggregateFn building an EXACT value histogram of a
+    bounded-domain non-negative integer column (lengths, counts,
+    scores in [0, max_value)): an int64 count vector where slot v
+    accumulates occurrences of v. Sums are order- and merge-tree-
+    independent, so the merged histogram is deterministic and any
+    rank statistic derived from it (median, p90, p99) is EXACT — the
+    100 TB replacement for a global sort when all you need is
+    quantiles of an integer metric. One streaming pass, no shuffle,
+    O(max_value) state per task (512 KB at the 2^16 default).
+
+    Values outside [0, max_value) raise: silent clamping would
+    corrupt the quantiles."""
+    from ray.data.aggregate import AggregateFn
+
+    def _acc(state: np.ndarray, block) -> np.ndarray:
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        if t.num_rows == 0:
+            return state
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and (v.min() < 0 or v.max() >= max_value):
+            raise ValueError(
+                f"histogram_aggregate({col!r}): value outside "
+                f"[0, {max_value})")
+        return state + np.bincount(v, minlength=max_value)
+
+    return AggregateFn(
+        init=lambda _: np.zeros(max_value, dtype=np.int64),
+        accumulate_block=_acc,
+        merge=lambda a, b: a + b,
+        finalize=lambda s: s,
+        name=f"hist_{col}",
+    )
+
+
+def histogram_quantiles(hist: np.ndarray, qs: list[float]) -> list[int]:
+    """Exact discrete quantiles from a value histogram, matching SQL
+    ``quantile_disc``: the element at 0-based sorted index
+    ``max(ceil(q*n) - 1, 0)`` — i.e. the smallest value whose
+    cumulative count reaches ``max(ceil(q*n), 1)``."""
+    import math
+
+    n = int(hist.sum())
+    if n == 0:
+        raise ValueError("empty histogram")
+    cum = np.cumsum(hist)
+    out = []
+    for q in qs:
+        rank = max(math.ceil(q * n), 1)
+        out.append(int(np.searchsorted(cum, rank, side="left")))
+    return out
+
+
+def quantile_sketch(ds, col: str, qs: list[float],
+                    max_value: int = 1 << 16) -> list[int]:
+    """One-pass exact distributed quantiles of an integer column."""
+    out = ds.aggregate(histogram_aggregate(col, max_value=max_value))
+    return histogram_quantiles(
+        np.asarray(out[f"hist_{col}"], dtype=np.int64), qs)

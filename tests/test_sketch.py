@@ -94,3 +94,33 @@ def test_count_min(ray_session):
     est_warm = cm_estimate(m, "warm")
     assert 50 <= est_warm <= 50 + 3 * len(vals) // 128 + 1
     assert cm_estimate(m, "never-seen") <= 3 * len(vals) // 128 + 1
+
+
+def test_histogram_quantiles_match_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from scrape_ray.ops.sketch import quantile_sketch
+
+    vals = [int(x) for x in
+            np.random.default_rng(11).integers(0, 3000, 2501)]
+    ds = ray.data.from_items([{"x": v} for v in vals]).repartition(17)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    got = quantile_sketch(ds, "x", qs, max_value=4096)
+    want = duckdb.sql(
+        "SELECT " + ", ".join(f"quantile_disc(x, {q})" for q in qs)
+        + " FROM (SELECT UNNEST(?::BIGINT[]) AS x)", params=[vals]
+    ).fetchone()
+    assert got == list(want)
+
+
+def test_histogram_rejects_out_of_domain(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from scrape_ray.ops.sketch import quantile_sketch
+
+    ds = ray.data.from_items([{"x": 10}, {"x": 99}])
+    with _pytest.raises(Exception):
+        quantile_sketch(ds, "x", [0.5], max_value=50)
