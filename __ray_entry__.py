@@ -652,6 +652,39 @@ def _q_length_quantiles(sf_dir: str) -> Any:
     })
 
 
+def _q_length_quantiles_by_lang(sf_dir: str) -> Any:
+    """Grouped exact quantiles: the same mergeable value-histogram
+    rides Ray Data's ``groupby(lang).aggregate`` — per-language
+    median/p90/p99 of document length from one exchange of
+    O(#langs × domain) histogram state, never the rows. The driver
+    collect is #langs rows (output-sized)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.sketch import histogram_aggregate, histogram_quantiles
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    agg = docs.groupby("lang").aggregate(
+        histogram_aggregate("n_chars", max_value=4096)
+    ).to_pandas()  # #langs rows — output-sized driver collect
+    qs = [0.5, 0.9, 0.99]
+    langs, qcol, vcol = [], [], []
+    for _, r in agg.iterrows():
+        vs = histogram_quantiles(
+            np.asarray(r["hist_n_chars"], dtype=np.int64), qs)
+        langs += [r["lang"]] * len(qs)
+        qcol += qs
+        vcol += vs
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "q": pa.array(qcol, pa.float64()),
+        "v": pa.array(vcol, pa.int64()),
+    })
+
+
 def _q_vocab_coverage(sf_dir: str) -> Any:
     """Vocabulary-coverage quality signal: per-doc token count and
     OOV count vs the corpus's own top-500 vocabulary (the LM-pipeline
@@ -1419,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_freq": _q_bigram_freq,
         "vocab_coverage": _q_vocab_coverage,
         "length_quantiles": _q_length_quantiles,
+        "length_quantiles_by_lang": _q_length_quantiles_by_lang,
         "asof_join": _q_asof_join,
         "session_join": _q_session_join,
         "freq_sketch": _q_freq_sketch,
@@ -1858,6 +1892,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.99, quantile_disc(n_chars, 0.99)::BIGINT FROM documents
             UNION ALL
             SELECT 1.00, quantile_disc(n_chars, 1.00)::BIGINT FROM documents
+        """,
+        # Grouped exact quantiles: per-language quantile_disc.
+        "length_quantiles_by_lang": """
+            SELECT lang, 0.50 AS q,
+                   quantile_disc(n_chars, 0.50)::BIGINT AS v
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.90, quantile_disc(n_chars, 0.90)::BIGINT
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.99, quantile_disc(n_chars, 0.99)::BIGINT
+            FROM documents GROUP BY lang
         """,
         # Bigram LM counts: 1-based list indexing over a lateral
         # range builds every adjacent pair, then the same tie-broken

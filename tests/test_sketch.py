@@ -124,3 +124,30 @@ def test_histogram_rejects_out_of_domain(ray_session):
     ds = ray.data.from_items([{"x": 10}, {"x": 99}])
     with _pytest.raises(Exception):
         quantile_sketch(ds, "x", [0.5], max_value=50)
+
+
+def test_grouped_histogram_quantiles_match_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data
+
+    from scrape_ray.ops.sketch import histogram_aggregate, histogram_quantiles
+
+    rng = np.random.default_rng(5)
+    rows = [{"g": ["a", "b", "c"][i % 3], "x": int(v)}
+            for i, v in enumerate(rng.integers(0, 500, 900))]
+    agg = (
+        ray.data.from_items(rows).repartition(9)
+        .groupby("g")
+        .aggregate(histogram_aggregate("x", max_value=512))
+        .to_pandas()
+    )
+    for _, r in agg.iterrows():
+        vals = [row["x"] for row in rows if row["g"] == r["g"]]
+        want = duckdb.sql(
+            "SELECT quantile_disc(x, 0.5), quantile_disc(x, 0.9) "
+            "FROM (SELECT UNNEST(?::BIGINT[]) AS x)", params=[vals]
+        ).fetchone()
+        got = histogram_quantiles(
+            np.asarray(r["hist_x"], dtype=np.int64), [0.5, 0.9])
+        assert got == list(want), r["g"]
