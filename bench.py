@@ -209,6 +209,12 @@ def _scaling() -> None:
             # best-of is already provided by the interleaved rounds
             # here; keep each subprocess to ONE timed run
             env.setdefault("BENCH_BEST_OF", "1")
+            # 1-min load BEFORE the leg launches: external load starves
+            # the HI leg (needs SCALE_HI free cores) far more than the
+            # LO leg, so a depressed efficiency with a pre-loaded HI
+            # leg is the host, not the pipeline (round-3 measured
+            # 0.62-1.00 tracking exactly this)
+            load_before = round(os.getloadavg()[0], 2)
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env,
@@ -220,6 +226,7 @@ def _scaling() -> None:
                 l for l in proc.stdout.strip().splitlines() if l.startswith("{")
             ][-1]
             r = json.loads(line)
+            r["load_1min"] = load_before
             best = results.get(cpus)
             if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
                 results[cpus] = r
@@ -236,6 +243,8 @@ def _scaling() -> None:
                 f"throughput_{SCALE_HI}cpu": thr_hi,
                 f"sec_{SCALE_LO}cpu": results[SCALE_LO]["sec"],
                 f"sec_{SCALE_HI}cpu": results[SCALE_HI]["sec"],
+                f"load_before_{SCALE_LO}cpu": results[SCALE_LO]["load_1min"],
+                f"load_before_{SCALE_HI}cpu": results[SCALE_HI]["load_1min"],
                 "sf": _sf_label(SF_DIR),
             }
         )
