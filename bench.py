@@ -76,7 +76,7 @@ def run_headline(sf_dir: str) -> tuple[float, int]:
     # between identical runs (documented in BASELINE.md); the best run
     # is the one least perturbed by external load, i.e. the honest
     # estimate of the pipeline's own speed (same policy as --scaling)
-    best_sec, n = None, 0
+    best_sec, best_n, run_secs = None, 0, []
     for _ in range(max(1, int(os.environ.get("BENCH_BEST_OF", "2")))):
         t0 = time.perf_counter()
         out = fetch_extract(
@@ -87,9 +87,10 @@ def run_headline(sf_dir: str) -> tuple[float, int]:
         )
         n = _consume(out)
         sec = time.perf_counter() - t0
+        run_secs.append(round(sec, 3))
         if best_sec is None or sec < best_sec:
-            best_sec = sec
-    return best_sec, n
+            best_sec, best_n = sec, n
+    return best_sec, best_n, run_secs
 
 
 def run_crawl(sf_dir: str) -> tuple[float, int]:
@@ -127,7 +128,7 @@ def run_all(sf_dir: str) -> dict:
     import __ray_entry__ as e
 
     timings: dict[str, float] = {}
-    headline_sec, headline_rows = run_headline(sf_dir)
+    headline_sec, headline_rows, headline_runs = run_headline(sf_dir)
     timings["fetch_extract"] = round(headline_sec, 3)
     crawl_sec, crawl_rows = run_crawl(sf_dir)
     timings["crawl_epoch"] = round(crawl_sec, 3)
@@ -153,6 +154,12 @@ def run_all(sf_dir: str) -> dict:
         "num_cpus": NUM_CPUS,
         "rows": headline_rows,
         "urls_per_sec": round(headline_rows / headline_sec, 1),
+        # honesty labels for cross-round comparison: the headline value is
+        # best-of-N (default 2) and every per-run time is recorded, so a
+        # single-run baseline can be compared against headline_run_secs
+        # rather than the filtered best
+        "headline_policy": f"best_of_{len(headline_runs)}",
+        "headline_run_secs": headline_runs,
         "crawl_rows": crawl_rows,
         "crawl_urls_per_sec": round(crawl_rows / crawl_sec, 1),
     }
@@ -168,11 +175,11 @@ def _headline_only() -> None:
             include_dashboard=False,
             logging_level="ERROR",
         )
-    sec, rows = run_headline(SF_DIR)
+    sec, rows, run_secs = run_headline(SF_DIR)
     print(
         json.dumps(
             {"sec": round(sec, 3), "rows": rows, "num_cpus": NUM_CPUS,
-             "urls_per_sec": round(rows / sec, 1)}
+             "urls_per_sec": round(rows / sec, 1), "run_secs": run_secs}
         )
     )
     ray.shutdown()

@@ -95,10 +95,14 @@ def boilerplate_strip(ds, host_col: str = "domain", text_col: str = "text",
         if n == 0:
             g = g.append_column("n_boiler_lines", pa.array([], pa.int64()))
             return g
+        # large_string end-to-end: a hot host partition can exceed 2 GB of
+        # text bytes / 2^31 lines, which 32-bit string/list offsets can't
+        # index (ArrowInvalid) — so every intermediate here is 64-bit.
         texts = pc.coalesce(
-            g[text_col].combine_chunks(), pa.scalar("", pa.string())
+            g[text_col].cast(pa.large_string()).combine_chunks(),
+            pa.scalar("", pa.large_string()),
         )
-        lines = pc.split_pattern(texts, "\n")  # list<string>, one row/doc
+        lines = pc.split_pattern(texts, "\n")  # large_list<large_string>
         flat = pc.list_flatten(lines)
         parent = pc.list_parent_indices(lines).to_numpy()  # doc idx per line
         enc = flat.dictionary_encode()
@@ -124,10 +128,10 @@ def boilerplate_strip(ds, host_col: str = "domain", text_col: str = "text",
         keep = ~drop
         kept_per_doc = np.bincount(parent[keep], minlength=n)
         total_per_doc = np.bincount(parent, minlength=n)
-        offsets = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int32)
+        offsets = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int64)
         kept_vals = flat.take(pa.array(np.nonzero(keep)[0], pa.int64()))
-        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_vals)
-        joined = pc.binary_join(la, "\n")
+        la = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), kept_vals)
+        joined = pc.binary_join(la, pa.scalar("\n", pa.large_string()))
         g = g.set_column(g.column_names.index(text_col), text_col, joined)
         return g.append_column(
             "n_boiler_lines",

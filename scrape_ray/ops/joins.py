@@ -1,33 +1,195 @@
-"""Key-partitioned temporal joins Ray Data does not ship.
+"""Skew-safe temporal joins Ray Data does not ship.
 
 ``asof_join`` implements the classic backward as-of join: for every
 left row, attach the latest right row whose ``on`` value is <= the
 left row's, within the same ``by`` group (events → most recent prior
 click, trade → last quote, request → active config version).
+``interval_join`` attaches the same-key right interval containing
+each left row's ``on`` (events → session windows, ts → validity
+ranges; intervals within a key must be non-overlapping).
 
-Ray-Data-first shape (no raw tasks): both sides are lifted to one
-common schema with a side tag and ``union``-ed, so a SINGLE
-``groupby(by)`` hash exchange co-locates each key's rows; the
-per-group merge is one sort of the right side plus a vectorized
-``np.searchsorted`` — O((L+R) log R) per group, no Python loop over
-rows. Partitioning assumption: one ``by`` group fits in a task (the
-same assumption every keyed groupby op in this repo documents); salt
-hot keys upstream if a single entity's history exceeds a block.
+Skew-safe range-partitioned shape (no per-key group tasks):
 
-Tie semantics: ``right.on == left.on`` rows DO match (<=), and among
-equal ``on`` values the right row sorted last wins — callers needing
-stronger determinism should dedup the right side per (by, on) first.
+1. lift both sides to one common schema with a side tag and a shared
+   ``__pos`` sort column (left: ``on``, right: ``on``/``lo``), union;
+2. ONE global ``sort([by, __pos, __side])`` — Ray Data's sort SAMPLES
+   key tuples for its range boundaries, so a hot key (one user with
+   10^8 events at 100 TB) is split across many balanced blocks
+   instead of landing in a single ``groupby(by)`` task;
+3. boundary handoff: per sorted block, a tiny summary task extracts
+   the last right row of the block's LAST key (O(1) per block); a
+   driver scan over the #blocks summaries threads a one-row carry
+   from each block into the next block of the same key — the same
+   O(#blocks)-driver-state two-phase-scan pattern as
+   ``packing.pack_offsets``, never O(rows);
+4. per-block merge, fully Arrow/numpy-vectorized: because rows are
+   sorted by (key, pos, side) with rights (side=0) before lefts
+   (side=1) at equal pos, each left row's match is simply the LAST
+   right row at a smaller index within its key — one
+   ``np.maximum.accumulate`` plus gathers, no Python loop, no pandas
+   (integer ``on`` columns never round-trip through float64).
+
+The cross-block handoff is the one place the Dataset API genuinely
+cannot express the semantics (a map over blocks with a per-boundary
+value), so steps 3-4 run as raw Ray tasks over the sorted dataset's
+block refs (zero-copy object-store reads) and are re-wrapped with
+``ray.data.from_arrow_refs``.
+
+Partitioning assumptions: ``by`` and the position columns are
+non-null; within a key, right intervals are non-overlapping (with
+overlap only the latest-starting match is returned). Tie semantics:
+``right.on == left.on`` rows DO match (<=), and among equal ``on``
+values an arbitrary right row wins (a distributed sort gives no
+stable order among fully-equal keys) — callers needing determinism
+should dedup the right side per (by, on) first.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _block_summary(tbl: pa.Table, by: str, payload_cols: list[str]):
+    """O(1)-output per-block summary for the boundary handoff:
+    (rows, first key, last key, last right row of the last key as a
+    payload dict or None). Runs as a raw Ray task per sorted block."""
+    n = tbl.num_rows
+    if n == 0:
+        return {"n": 0}
+    first_by = tbl[by][0].as_py()
+    last_by = tbl[by][n - 1].as_py()
+    side = tbl["__side"].to_numpy(zero_copy_only=False)
+    keys = tbl[by]
+    # the block is key-sorted, so the block's LAST right row is the
+    # last right row of the last key IFF its key == last_by; otherwise
+    # the last key has no right rows in this block — O(1) either way
+    r_idx = np.flatnonzero(side == 0)
+    payload = None
+    if len(r_idx):
+        i = int(r_idx[-1])
+        if keys[i].as_py() == last_by:
+            payload = {c: tbl[c][i].as_py() for c in payload_cols}
+    return {"n": n, "first_by": first_by, "last_by": last_by,
+            "payload": payload}
+
+
+def _thread_carries(summaries: list[dict]) -> list:
+    """Driver-side O(#blocks) scan: carry the last right row of each
+    key across block boundaries. Returns per-block carry-in payloads
+    (dict or None); a carry applies to a block only when the block's
+    FIRST key continues the carried key."""
+    carry_key, carry_payload = None, None
+    carry_in: list = []
+    for s in summaries:
+        if s["n"] == 0:
+            carry_in.append(None)
+            continue
+        if carry_payload is not None and s["first_by"] == carry_key:
+            carry_in.append(carry_payload)
+        else:
+            carry_in.append(None)
+        if s["payload"] is not None:
+            carry_key, carry_payload = s["last_by"], s["payload"]
+        elif carry_key == s["last_by"]:
+            pass  # key continues with no new right rows: carry holds
+        else:
+            carry_key, carry_payload = s["last_by"], None
+    return carry_in
+
+
+def _one_row(schema: pa.Schema, values: dict) -> pa.Table:
+    return pa.table(
+        {f.name: pa.array([values.get(f.name)], type=f.type)
+         for f in schema}
+    )
+
+
+def _merge_block(tbl: pa.Table, carry: dict | None, by: str, on: str,
+                 left_cols: list[str], out_right: list[str],
+                 check_hi: bool) -> pa.Table:
+    """Vectorized in-block merge over the sorted (by, __pos, __side)
+    rows: each left row's candidate is the last right row at a smaller
+    index; validity = same key (+ ``on <= __hi`` for intervals). The
+    carry (last right row of the first key from earlier blocks) is
+    prepended as a virtual right row at index 0."""
+    if carry is not None and tbl.num_rows:
+        vals = dict(carry)
+        vals[by] = tbl[by][0].as_py()
+        vals["__side"] = 0
+        tbl = pa.concat_tables([_one_row(tbl.schema, vals), tbl])
+    n = tbl.num_rows
+    out_schema_cols = left_cols + out_right
+    if n == 0:
+        return pa.table(
+            {c: tbl[c].combine_chunks() for c in out_schema_cols}
+        )
+    side = tbl["__side"].to_numpy(zero_copy_only=False)
+    karr = tbl[by]
+    if isinstance(karr, pa.ChunkedArray):
+        karr = karr.combine_chunks()
+    kcodes = karr.dictionary_encode().indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    last_right = np.maximum.accumulate(np.where(side == 0, idx, -1))
+    left_pos = np.flatnonzero(side == 1)
+    cand = last_right[left_pos]
+    cand_safe = np.maximum(cand, 0)
+    valid = (cand >= 0) & (kcodes[cand_safe] == kcodes[left_pos])
+    lp = pa.array(left_pos, pa.int64())
+    if check_hi:
+        hi_at = tbl["__hi"].take(pa.array(cand_safe, pa.int64()))
+        on_l = tbl[on].take(lp)
+        in_range = pc.fill_null(pc.less_equal(on_l, hi_at), False)
+        valid &= in_range.to_numpy(zero_copy_only=False)
+    gather = pa.array(cand_safe, pa.int64(), mask=~valid)
+    cols = {c: tbl[c].take(lp) for c in left_cols}
+    for oc in out_right:
+        cols[oc] = tbl[oc].take(gather)
+    return pa.table(cols)
+
+
+def _sorted_boundary_join(u, by: str, on: str, left_cols: list[str],
+                          out_right: list[str], check_hi: bool,
+                          num_partitions: int | None,
+                          stats: dict | None):
+    """Shared engine for both joins: sort → summaries → carry scan →
+    per-block merge. ``stats`` (optional) receives ``block_rows`` so
+    tests can assert the per-task bound under planted key skew."""
+    import ray
+    import ray.data
+
+    if num_partitions:
+        u = u.repartition(num_partitions)
+    su = u.sort([by, "__pos", "__side"]).materialize()
+    refs = su.to_arrow_refs()
+    payload_cols = out_right + (["__hi"] if check_hi else [])
+
+    summ_fn = ray.remote(num_cpus=0.5)(_block_summary)
+    summaries = ray.get(
+        [summ_fn.remote(r, by, payload_cols) for r in refs]
+    )
+    if stats is not None:
+        stats["block_rows"] = [s["n"] for s in summaries]
+    carries = _thread_carries(summaries)
+
+    merge_fn = ray.remote(num_cpus=1)(_merge_block)
+    out_refs = [
+        merge_fn.remote(r, c, by, on, left_cols, out_right, check_hi)
+        for r, c in zip(refs, carries)
+    ]
+    if not out_refs:
+        return ray.data.from_arrow(
+            pa.table({c: pa.array([]) for c in left_cols + out_right})
+        )
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def asof_join(left, right, by: str, on: str,
-              right_cols: list[str], suffix: str = "_r"):
+              right_cols: list[str], suffix: str = "_r",
+              num_partitions: int | None = None,
+              stats: dict | None = None):
     """Backward as-of join; returns the left dataset's columns plus
     ``<col><suffix>`` for each of ``right_cols`` (null when the group
     has no right row at or before the left row's ``on``)."""
@@ -42,6 +204,7 @@ def asof_join(left, right, by: str, on: str,
     out_right = [c + suffix for c in right_cols]
 
     def _lift_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("__pos", t[on])
         t = t.append_column("__side", pa.array(
             np.ones(t.num_rows, np.int8)))
         for c, oc in zip(right_cols, out_right):
@@ -50,7 +213,7 @@ def asof_join(left, right, by: str, on: str,
 
     def _lift_right(t: pa.Table) -> pa.Table:
         cols: dict[str, pa.Array | pa.ChunkedArray] = {
-            by: t[by], on: t[on],
+            by: t[by], on: t[on], "__pos": t[on],
             "__side": pa.array(np.zeros(t.num_rows, np.int8)),
         }
         for c in left_cols:
@@ -60,66 +223,29 @@ def asof_join(left, right, by: str, on: str,
             cols[oc] = t[c]
         return pa.table(cols)
 
-    lifted_l = left.map_batches(
-        _lift_left, batch_format="pyarrow", batch_size=None)
-    lifted_r = right.map_batches(
-        _lift_right, batch_format="pyarrow", batch_size=None)
-    # align column order (union requires identical schemas)
-    order = left_cols + ["__side"] + out_right
-    u = lifted_l.select_columns(order).union(
-        lifted_r.select_columns(order))
-
-    out_cols = left_cols + out_right
-    # the union carries null left-payloads on right rows, so pandas
-    # group frames floatify integer left columns; cast them back (left
-    # rows are never null in their own columns)
-    import pyarrow.types as pat
-
-    int_casts = {
-        c: l_fields[c].to_pandas_dtype()
-        for c in left_cols
-        if pat.is_integer(l_fields[c])
-    }
-
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        is_left = g["__side"].to_numpy() == 1
-        lg = g[is_left]
-        rg = g[~is_left].sort_values(on, kind="mergesort")
-        out = lg[left_cols].reset_index(drop=True)
-        for c, dt in int_casts.items():
-            out[c] = out[c].astype(dt)
-        if len(rg):
-            pos = np.searchsorted(
-                rg[on].to_numpy(), lg[on].to_numpy(), side="right") - 1
-            safe = np.clip(pos, 0, len(rg) - 1)
-            hit = pd.Series(pos >= 0)
-            for c, oc in zip(right_cols, out_right):
-                out[oc] = (
-                    rg[oc].iloc[safe].reset_index(drop=True).where(hit)
-                )
-        else:
-            for c, oc in zip(right_cols, out_right):
-                out[oc] = pd.Series(
-                    index=range(len(lg)), dtype=g[oc].dtype)
-        return out[out_cols]
-
-    return u.groupby(by).map_groups(_merge, batch_format="pandas")
+    order = left_cols + ["__pos", "__side"] + out_right
+    u = left.map_batches(
+        _lift_left, batch_format="pyarrow", batch_size=None
+    ).select_columns(order).union(
+        right.map_batches(
+            _lift_right, batch_format="pyarrow", batch_size=None
+        ).select_columns(order)
+    )
+    return _sorted_boundary_join(
+        u, by, on, left_cols, out_right, check_hi=False,
+        num_partitions=num_partitions, stats=stats,
+    )
 
 
 def interval_join(left, right, by: str, on: str, lo: str, hi: str,
-                  right_cols: list[str], suffix: str = "_r"):
+                  right_cols: list[str], suffix: str = "_r",
+                  num_partitions: int | None = None,
+                  stats: dict | None = None):
     """Range join: attach to each left row the same-key right interval
-    containing its ``on`` value (``lo <= on <= hi``) — events into
-    session windows, timestamps into config-validity ranges.
-
-    Same Ray-Data-first shape as :func:`asof_join` (lift + union →
-    ONE ``groupby(by)`` exchange → per-group vectorized merge).
-    Partitioning assumption: within a key the intervals are
-    NON-OVERLAPPING (sessions, validity ranges) — the merge sorts
-    intervals by ``lo`` and binary-searches each left ``on``; with
-    overlapping intervals only the latest-starting match is returned.
-    Left rows covered by no interval get nulls.
-    """
+    containing its ``on`` value (``lo <= on <= hi``). Left rows
+    covered by no interval get nulls. Intervals within a key must be
+    non-overlapping (sessions, validity ranges); with overlap only the
+    latest-starting match is returned."""
     l_schema = left.schema()
     r_schema = right.schema()
     l_fields = {n: t for n, t in zip(l_schema.names, l_schema.types)}
@@ -133,8 +259,8 @@ def interval_join(left, right, by: str, on: str, lo: str, hi: str,
     out_right = [c + suffix for c in right_cols]
 
     def _lift_left(t: pa.Table) -> pa.Table:
+        t = t.append_column("__pos", t[on].cast(r_fields[lo]))
         t = t.append_column("__side", pa.array(np.ones(t.num_rows, np.int8)))
-        t = t.append_column("__lo", pa.nulls(t.num_rows, r_fields[lo]))
         t = t.append_column("__hi", pa.nulls(t.num_rows, r_fields[hi]))
         for c, oc in zip(right_cols, out_right):
             t = t.append_column(oc, pa.nulls(t.num_rows, r_fields[c]))
@@ -142,9 +268,9 @@ def interval_join(left, right, by: str, on: str, lo: str, hi: str,
 
     def _lift_right(t: pa.Table) -> pa.Table:
         cols: dict = {
-            by: t[by],
+            by: t[by], "__pos": t[lo],
             "__side": pa.array(np.zeros(t.num_rows, np.int8)),
-            "__lo": t[lo], "__hi": t[hi],
+            "__hi": t[hi],
         }
         for c in left_cols:
             if c != by:
@@ -153,43 +279,15 @@ def interval_join(left, right, by: str, on: str, lo: str, hi: str,
             cols[oc] = t[c]
         return pa.table(cols)
 
-    order = left_cols + ["__side", "__lo", "__hi"] + out_right
-    u = left.map_batches(_lift_left, batch_format="pyarrow",
-                         batch_size=None).select_columns(order).union(
-        right.map_batches(_lift_right, batch_format="pyarrow",
-                          batch_size=None).select_columns(order))
-
-    out_cols = left_cols + out_right
-    import pyarrow.types as pat
-
-    int_casts = {
-        c: l_fields[c].to_pandas_dtype()
-        for c in left_cols if pat.is_integer(l_fields[c])
-    }
-
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        is_left = g["__side"].to_numpy() == 1
-        lg = g[is_left]
-        rg = g[~is_left].sort_values("__lo", kind="mergesort")
-        out = lg[left_cols].reset_index(drop=True)
-        for c, dt in int_casts.items():
-            out[c] = out[c].astype(dt)
-        if len(rg):
-            on_v = lg[on].to_numpy()
-            pos = np.searchsorted(rg["__lo"].to_numpy(), on_v,
-                                  side="right") - 1
-            safe = np.clip(pos, 0, len(rg) - 1)
-            hit = pd.Series(
-                (pos >= 0)
-                & (on_v <= rg["__hi"].to_numpy()[safe])
-            )
-            for c, oc in zip(right_cols, out_right):
-                out[oc] = (
-                    rg[oc].iloc[safe].reset_index(drop=True).where(hit)
-                )
-        else:
-            for c, oc in zip(right_cols, out_right):
-                out[oc] = pd.Series(index=range(len(lg)), dtype=g[oc].dtype)
-        return out[out_cols]
-
-    return u.groupby(by).map_groups(_merge, batch_format="pandas")
+    order = left_cols + ["__pos", "__side", "__hi"] + out_right
+    u = left.map_batches(
+        _lift_left, batch_format="pyarrow", batch_size=None
+    ).select_columns(order).union(
+        right.map_batches(
+            _lift_right, batch_format="pyarrow", batch_size=None
+        ).select_columns(order)
+    )
+    return _sorted_boundary_join(
+        u, by, on, left_cols, out_right, check_hi=True,
+        num_partitions=num_partitions, stats=stats,
+    )

@@ -59,8 +59,13 @@ def build_proxies(proxy_url: str | None, username: str | None = None,
         cred = quote(username, safe="")
         if password:
             cred += ":" + quote(password, safe="")
-        netloc = f"{cred}@{p.hostname}" + (f":{p.port}" if p.port else "")
-        proxy_url = urlunsplit((p.scheme, netloc, p.path, p.query, p.fragment))
+        # Splice credentials in front of the ORIGINAL host part so IPv6
+        # brackets ([::1]) and any pre-existing port survive; explicit
+        # username/password args win over userinfo already in the URL.
+        hostpart = p.netloc.rsplit("@", 1)[-1]
+        proxy_url = urlunsplit(
+            (p.scheme, f"{cred}@{hostpart}", p.path, p.query, p.fragment)
+        )
     return {"http": proxy_url, "https": proxy_url}
 
 
@@ -79,7 +84,11 @@ def proxy_from_env(name: str = "") -> dict | None:
     url = os.environ.get(f"{prefix}PROXY", "")
     if not url:
         return None
-    if enabled in ("0", "false", "no"):
+    # Opt-in gate, matching the reference: proxies stay OFF unless
+    # PROXY_ENABLED is explicitly truthy (internal/cmd/proxy.go defaults
+    # Enabled to false). A bare PROXY var in the environment must never
+    # silently reroute traffic.
+    if enabled not in ("1", "true", "yes", "on"):
         return None
     return build_proxies(
         url,

@@ -407,8 +407,10 @@ def test_proxy_credentials_send_basic_auth(server, proxy_server):
 
 def test_proxy_from_env_contract(monkeypatch):
     """PROXY/PROXY_USERNAME/PROXY_PASSWORD/PROXY_ENABLED env semantics
-    mirror internal/cmd/proxy.go: unset -> None, disabled -> None,
-    named proxies use the {NAME}_ prefix."""
+    mirror internal/cmd/proxy.go: proxies are OPT-IN — unset or
+    non-truthy PROXY_ENABLED -> None even when PROXY is set (the
+    reference defaults Enabled to false); named proxies use the
+    {NAME}_ prefix."""
     from scrape_ray.stages.fetch_http import proxy_from_env
 
     for v in ("PROXY", "PROXY_USERNAME", "PROXY_PASSWORD", "PROXY_ENABLED",
@@ -416,17 +418,37 @@ def test_proxy_from_env_contract(monkeypatch):
         monkeypatch.delenv(v, raising=False)
     assert proxy_from_env() is None
 
+    # a bare PROXY var must NOT activate the proxy (opt-in gate)
     monkeypatch.setenv("PROXY", "http://p.example:3128")
+    assert proxy_from_env() is None
+    monkeypatch.setenv("PROXY_ENABLED", "false")
+    assert proxy_from_env() is None
+    monkeypatch.setenv("PROXY_ENABLED", "1")
     assert proxy_from_env() == {
         "http": "http://p.example:3128",
         "https": "http://p.example:3128",
     }
-    monkeypatch.setenv("PROXY_ENABLED", "false")
-    assert proxy_from_env() is None
     monkeypatch.setenv("PROXY_ENABLED", "true")
     monkeypatch.setenv("PROXY_USERNAME", "u")
     monkeypatch.setenv("PROXY_PASSWORD", "p")
     assert proxy_from_env()["https"] == "http://u:p@p.example:3128"
 
     monkeypatch.setenv("HEADLESS_PROXY", "http://hp.example:9999")
+    assert proxy_from_env("headless") is None  # named gate also opt-in
+    monkeypatch.setenv("HEADLESS_PROXY_ENABLED", "yes")
     assert proxy_from_env("headless")["http"] == "http://hp.example:9999"
+
+
+def test_build_proxies_ipv6_and_userinfo():
+    """Credential splicing preserves IPv6 brackets and replaces any
+    userinfo already present in the URL (explicit args win)."""
+    from scrape_ray.stages.fetch_http import build_proxies
+
+    assert build_proxies("http://[::1]:8080", "u", "p")["http"] == (
+        "http://u:p@[::1]:8080"
+    )
+    assert build_proxies("http://old:x@h.example:3128", "u", "p")["http"] == (
+        "http://u:p@h.example:3128"
+    )
+    # no credentials -> URL passes through untouched
+    assert build_proxies("http://[::1]:8080")["https"] == "http://[::1]:8080"

@@ -121,3 +121,122 @@ def test_interval_join_assigns_every_event_to_its_session(ray_session):
     assert got["session_start"].notna().all()
     assert (got["ts"] >= got["session_start"]).all()
     assert (got["ts"] <= got["session_end"]).all()
+
+
+def test_asof_join_hot_key_spreads_across_blocks(ray_session):
+    """Planted skew: ONE key holds >= 50% of all rows. The sort-based
+    range partitioning must spread that key over many blocks (bounded
+    per-task size — no whole-key group task), and the boundary-handoff
+    carry must keep the join exact across the cuts."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from scrape_ray.ops.joins import asof_join
+
+    rng = np.random.default_rng(7)
+    hot_l = pd.DataFrame({
+        "eid": np.arange(20_000, dtype=np.int64),
+        "k": np.int64(7),
+        "t": rng.choice(np.arange(1, 400_000, dtype=np.int64), 20_000,
+                        replace=False),
+    })
+    cold_l = pd.DataFrame({
+        "eid": np.arange(20_000, 30_000, dtype=np.int64),
+        "k": np.arange(10_000, dtype=np.int64) % 997 + 100,
+        "t": rng.integers(1, 400_000, 10_000).astype(np.int64),
+    })
+    left_df = pd.concat([hot_l, cold_l], ignore_index=True)
+    hot_r = pd.DataFrame({
+        "k": np.int64(7),
+        "t": rng.choice(np.arange(1, 400_000, dtype=np.int64), 10_000,
+                        replace=False),
+        "v": np.arange(10_000, dtype=np.int64),
+    })
+    cold_r = pd.DataFrame({
+        "k": np.arange(5_000, dtype=np.int64) % 997 + 100,
+        "t": rng.choice(np.arange(1, 400_000, dtype=np.int64), 5_000,
+                        replace=False),
+        "v": np.arange(10_000, 15_000, dtype=np.int64),
+    })
+    right_df = pd.concat([hot_r, cold_r], ignore_index=True)
+    # dedup right per (k, t) so the match is deterministic
+    right_df = right_df.drop_duplicates(["k", "t"], keep="last")
+
+    stats: dict = {}
+    got = asof_join(
+        ray.data.from_pandas(left_df).repartition(16),
+        ray.data.from_pandas(right_df).repartition(16),
+        by="k", on="t", right_cols=["t", "v"],
+        num_partitions=32, stats=stats,
+    ).to_pandas()
+
+    hot_rows = 30_000  # hot-key rows in the union (left + right)
+    blocks = [b for b in stats["block_rows"] if b]
+    assert len(blocks) >= 8, blocks
+    # the bound the old groupby(by) shape could NOT give: no single
+    # task saw more than a small fraction of the hot key
+    assert max(blocks) < hot_rows // 4, (max(blocks), blocks)
+
+    want = duckdb.sql("""
+        SELECT l.eid, l.k, l.t, r.t AS t_r, r.v AS v_r
+        FROM left_df l ASOF LEFT JOIN right_df r
+          ON l.k = r.k AND l.t >= r.t
+    """).df()
+    for df in (got, want):
+        df.sort_values("eid", inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    pd.testing.assert_frame_equal(
+        got[["eid", "k", "t", "t_r", "v_r"]], want, check_dtype=False)
+
+
+def test_interval_join_hot_key_spreads_across_blocks(ray_session):
+    """Same planted-skew bound for the range join: a hot key's events
+    and sessions split across blocks; carry revalidates via __hi so
+    cut-spanning intervals still match (and gaps still miss)."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from scrape_ray.ops.joins import interval_join
+
+    rng = np.random.default_rng(11)
+    n_iv = 2_000
+    starts = np.sort(rng.choice(
+        np.arange(0, 2_000_000, 100, dtype=np.int64), n_iv, replace=False))
+    right_df = pd.DataFrame({
+        "k": np.int64(3),
+        "s": starts,
+        "e": starts + 40,  # gaps between intervals -> some misses
+        "sid": np.arange(n_iv, dtype=np.int64),
+    })
+    left_df = pd.DataFrame({
+        "eid": np.arange(30_000, dtype=np.int64),
+        "k": np.int64(3),
+        "t": rng.integers(0, 2_000_100, 30_000).astype(np.int64),
+    })
+
+    stats: dict = {}
+    got = interval_join(
+        ray.data.from_pandas(left_df).repartition(16),
+        ray.data.from_pandas(right_df).repartition(4),
+        by="k", on="t", lo="s", hi="e", right_cols=["sid"],
+        num_partitions=32, stats=stats,
+    ).to_pandas()
+
+    blocks = [b for b in stats["block_rows"] if b]
+    assert len(blocks) >= 8, blocks
+    assert max(blocks) < 32_000 // 4, (max(blocks), blocks)
+
+    want = duckdb.sql("""
+        SELECT l.eid, r.sid AS sid_r
+        FROM left_df l LEFT JOIN right_df r
+          ON l.k = r.k AND l.t BETWEEN r.s AND r.e
+    """).df()
+    for df in (got, want):
+        df.sort_values("eid", inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert got["sid_r"].notna().sum() > 0
+    assert got["sid_r"].isna().sum() > 0
+    pd.testing.assert_frame_equal(
+        got[["eid", "sid_r"]], want[["eid", "sid_r"]], check_dtype=False)
