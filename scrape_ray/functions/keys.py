@@ -29,15 +29,13 @@ FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 FNV_PRIME = np.uint64(0x100000001B3)
 
 
-def _bytes_matrix(values: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
-    """Pack variable-length byte strings into an (N, maxlen) uint8 matrix
-    plus a length vector, without a per-row Python copy loop."""
-    n = len(values)
-    lens = np.fromiter((len(v) for v in values), dtype=np.int64, count=n)
+def _matrix_from_flat(flat: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a pre-concatenated byte stream (row i owns the next
+    ``lens[i]`` bytes) into an (N, maxlen) uint8 matrix."""
+    n = len(lens)
     maxlen = int(lens.max()) if n else 0
     if maxlen == 0:
         return np.zeros((n, 0), dtype=np.uint8), lens
-    flat = np.frombuffer(b"".join(values), dtype=np.uint8)
     # boolean scatter: row-major masked positions are exactly the
     # concatenation order — one bool temp instead of three int64
     # index/clip/where temporaries (large temps page-fault heavily)
@@ -47,9 +45,16 @@ def _bytes_matrix(values: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     return buf, lens
 
 
-def fnv1a64(values: list[bytes]) -> np.ndarray:
-    """Vectorized FNV-1a 64 over a batch of byte strings → uint64[N]."""
-    buf, lens = _bytes_matrix(values)
+def _bytes_matrix(values: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Pack variable-length byte strings into an (N, maxlen) uint8 matrix
+    plus a length vector, without a per-row Python copy loop."""
+    n = len(values)
+    lens = np.fromiter((len(v) for v in values), dtype=np.int64, count=n)
+    flat = np.frombuffer(b"".join(values), dtype=np.uint8)
+    return _matrix_from_flat(flat, lens)
+
+
+def _fnv_from_matrix(buf: np.ndarray, lens: np.ndarray) -> np.ndarray:
     n, maxlen = buf.shape
     h = np.full(n, FNV_OFFSET, dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -58,6 +63,33 @@ def fnv1a64(values: list[bytes]) -> np.ndarray:
             nh = (h ^ buf[:, j].astype(np.uint64)) * FNV_PRIME
             h = np.where(active, nh, h)
     return h
+
+
+def fnv1a64(values: list[bytes]) -> np.ndarray:
+    """Vectorized FNV-1a 64 over a batch of byte strings → uint64[N]."""
+    return _fnv_from_matrix(*_bytes_matrix(values))
+
+
+def fnv1a64_arrow(arr: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """FNV-1a 64 over an Arrow string/binary array, reading the flat
+    value buffer zero-copy — no per-row Python bytes objects (null or
+    empty rows hash to the FNV offset basis, same as ``b\"\"``)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    a = arr.cast(pa.large_binary())
+    if len(a) == 0 or a.buffers()[1] is None:
+        return np.full(len(a), FNV_OFFSET, dtype=np.uint64)
+    off = np.frombuffer(a.buffers()[1], np.int64)[
+        a.offset : a.offset + len(a) + 1
+    ]
+    data = (
+        np.frombuffer(a.buffers()[2], np.uint8)
+        if a.buffers()[2] is not None
+        else np.zeros(0, np.uint8)
+    )
+    lens = np.diff(off)
+    flat = data[off[0] : off[-1]]
+    return _fnv_from_matrix(*_matrix_from_flat(flat, lens))
 
 
 def host_checksum(hosts: list[str]) -> np.ndarray:

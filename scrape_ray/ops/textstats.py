@@ -38,14 +38,18 @@ EN_STOPWORDS = LANG_MARKERS["en"]
 
 def token_stats(ds, text_col: str = "text", batch_size: int = 4096):
     """Adds ``n_ws_tokens`` (whitespace tokens), ``n_bpe_tokens``
-    (regex pre-tokenizer runs) and ``n_chars`` columns."""
+    (regex pre-tokenizer runs) and ``n_chars`` columns. Fully
+    vectorized: whitespace counts come from the flat token array
+    (:func:`_ws_tokens_flat` + bincount), BPE-run counts from one RE2
+    ``count_substring_regex`` kernel — no Python per row."""
 
     def _f(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        ws = [len((x or "").split()) for x in texts]
-        bpe = [len(TOKEN_RE.findall(x or "")) for x in texts]
+        texts = pc.coalesce(t[text_col], pa.scalar("", pa.string()))
+        _, parent = _ws_tokens_flat(t, text_col)
+        ws = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        bpe = pc.count_substring_regex(texts, TOKEN_RE_SQL).cast(pa.int64())
         t = t.append_column("n_ws_tokens", pa.array(ws, pa.int64()))
-        t = t.append_column("n_bpe_tokens", pa.array(bpe, pa.int64()))
+        t = t.append_column("n_bpe_tokens", bpe)
         return t.append_column(
             "n_chars", pc.coalesce(pc.utf8_length(t[text_col]), pa.scalar(0, pa.int32())).cast(pa.int64())
         )
@@ -61,20 +65,28 @@ def quality_stats(ds, text_col: str = "text", batch_size: int = 4096):
     - ``n_stop_en``: English stopword occurrences (whitespace tokens,
       casefolded, exact match)
     - ``mean_word_len_x100``: (n_chars_in_words*100) // n_ws_tokens
-    """
-    stop = frozenset(EN_STOPWORDS)
+
+    Vectorized on the flat token array: stopword membership is one
+    ``pc.is_in`` + bincount, word-char sums a weighted bincount,
+    punctuation one RE2 count kernel — zero Python per document."""
+    stop_arr = pa.array(list(EN_STOPWORDS), pa.string())
 
     def _f(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        n_punct, n_stop, mwl = [], [], []
-        for x in texts:
-            x = x or ""
-            words = x.split()
-            n_punct.append(len(_PUNCT_RE.findall(x)))
-            n_stop.append(sum(1 for w in words if w.lower() in stop))
-            wchars = sum(len(w) for w in words)
-            mwl.append((wchars * 100) // len(words) if words else 0)
-        t = t.append_column("n_punct", pa.array(n_punct, pa.int64()))
+        nrows = t.num_rows
+        texts = pc.coalesce(t[text_col], pa.scalar("", pa.string()))
+        flat, parent = _ws_tokens_flat(t, text_col)
+        n_punct = pc.count_substring_regex(texts, r"[^\w\s]").cast(pa.int64())
+        low = pc.utf8_lower(flat)
+        stop_mask = pc.is_in(low, value_set=stop_arr).to_numpy(
+            zero_copy_only=False)
+        n_stop = np.bincount(parent[stop_mask], minlength=nrows).astype(np.int64)
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        # float64 weighted bincount is exact below 2^53 total chars/doc
+        wchars = np.bincount(
+            parent, weights=tok_len, minlength=nrows).astype(np.int64)
+        nw = np.bincount(parent, minlength=nrows).astype(np.int64)
+        mwl = np.where(nw > 0, (wchars * 100) // np.maximum(nw, 1), 0)
+        t = t.append_column("n_punct", n_punct)
         t = t.append_column("n_stop_en", pa.array(n_stop, pa.int64()))
         return t.append_column("mean_word_len_x100", pa.array(mwl, pa.int64()))
 
@@ -101,9 +113,29 @@ def langid_vote(text: str) -> str:
 
 def add_langid(ds, text_col: str = "text", out_col: str = "lang_pred",
                batch_size: int = 4096):
+    """Dataset form of :func:`langid_vote`, vectorized: per language
+    one ``pc.is_in`` membership over the batch's flat lowercased
+    tokens + bincount; the argmax over the (lang, doc) count matrix
+    reproduces the scalar first-max tie-break."""
+    langs = list(LANG_MARKERS)
+    marker_arrays = [
+        pa.array(list(LANG_MARKERS[lg]), pa.string()) for lg in langs
+    ]
+    choices = pa.array(langs + ["und"], pa.string())
+
     def _f(t: pa.Table) -> pa.Table:
-        vals = [langid_vote(x) for x in t[text_col].to_pylist()]
-        return t.append_column(out_col, pa.array(vals, pa.string()))
+        nrows = t.num_rows
+        flat, parent = _ws_tokens_flat(t, text_col)
+        low = pc.utf8_lower(flat)
+        counts = np.zeros((len(langs), nrows), np.int64)
+        for i, markers in enumerate(marker_arrays):
+            m = pc.is_in(low, value_set=markers).to_numpy(
+                zero_copy_only=False)
+            counts[i] = np.bincount(parent[m], minlength=nrows)
+        best = counts.argmax(axis=0)  # first max wins, like the scalar
+        idx = np.where(counts.max(axis=0) == 0, len(langs), best)
+        return t.append_column(
+            out_col, choices.take(pa.array(idx, pa.int64())))
 
     return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
 
@@ -181,11 +213,82 @@ def winnow_fingerprint(text: str, k: int = 5, window: int = 4) -> int:
     return out
 
 
+def _winnow_batch(flat: pa.Array, parent: np.ndarray, nrows: int,
+                  k: int, window: int) -> np.ndarray:
+    """Whole-batch winnowing (same semantics as the scalar
+    :func:`winnow_fingerprint`, verified row-for-row in tests) with no
+    Python per document or per gram: ragged-arange ``take`` +
+    ``binary_join`` builds every doc's k-gram strings at once, ONE
+    zero-copy FNV sweep hashes them all, a single global sliding-window
+    min (validity-masked at doc boundaries) picks the winnowed minima,
+    and a per-doc ``bitwise_xor.reduceat`` folds them."""
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    out = np.zeros(nrows, np.uint64)
+    n_tok = np.bincount(parent, minlength=nrows).astype(np.int64)
+    has = n_tok > 0
+    if not has.any():
+        return out
+    # docs with n_w tokens form max(1, n_w - k + 1) grams; short docs
+    # (< k tokens) form ONE truncated gram — the scalar slice semantics
+    n_g = np.where(has, np.maximum(1, n_tok - k + 1), 0)
+    total_g = int(n_g.sum())
+    doc_of_gram = np.repeat(np.arange(nrows, dtype=np.int64), n_g)
+    g_excl = np.concatenate(([0], np.cumsum(n_g)))[:-1]
+    gram_id = np.arange(total_g, dtype=np.int64) - np.repeat(g_excl, n_g)
+    glen = np.minimum(k, n_tok[doc_of_gram] - gram_id)
+    tok_off = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+    flat_start = tok_off[doc_of_gram] + gram_id
+    total_tok = int(glen.sum())
+    lens_excl = np.concatenate(([0], np.cumsum(glen)))[:-1]
+    idx = np.repeat(flat_start - lens_excl, glen) + np.arange(
+        total_tok, dtype=np.int64)
+    taken = flat.take(pa.array(idx, pa.int64()))
+    if isinstance(taken, pa.ChunkedArray):
+        taken = taken.combine_chunks()
+    offs = pa.array(np.concatenate(([0], np.cumsum(glen))), pa.int64())
+    grams = pc.binary_join(pa.LargeListArray.from_arrays(offs, taken), " ")
+    from scrape_ray.functions.keys import fnv1a64_arrow
+
+    hv = fnv1a64_arrow(grams)
+
+    # short docs (n_g <= window): every gram is a min, duplicates kept
+    # (they XOR out pairwise, matching the scalar no-unique branch)
+    short_doc = n_g <= window
+    short_g = short_doc[doc_of_gram]
+    sel_docs = [doc_of_gram[short_g]]
+    sel_vals = [hv[short_g]]
+    if total_g >= window:
+        sw = np.lib.stride_tricks.sliding_window_view(hv, window).min(axis=1)
+        vstart = doc_of_gram[: total_g - window + 1]
+        vend = doc_of_gram[window - 1:]
+        valid = (vstart == vend) & ~short_doc[vstart]
+        md, mv = vstart[valid], sw[valid]
+        # per-doc unique of the window minima (the scalar np.unique)
+        order = np.lexsort((mv, md))
+        md, mv = md[order], mv[order]
+        keep = np.ones(len(md), bool)
+        keep[1:] = (md[1:] != md[:-1]) | (mv[1:] != mv[:-1])
+        sel_docs.append(md[keep])
+        sel_vals.append(mv[keep])
+    docs_all = np.concatenate(sel_docs)
+    vals_all = np.concatenate(sel_vals)
+    with np.errstate(over="ignore"):
+        z = vals_all * GOLD
+    order = np.argsort(docs_all, kind="stable")
+    docs_s, z_s = docs_all[order], z[order]
+    if len(docs_s):
+        starts = np.flatnonzero(
+            np.concatenate(([True], docs_s[1:] != docs_s[:-1])))
+        out[docs_s[starts]] = np.bitwise_xor.reduceat(z_s, starts)
+    return out
+
+
 def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint",
                     k: int = 5, window: int = 4, batch_size: int = 4096):
     def _f(t: pa.Table) -> pa.Table:
-        vals = [winnow_fingerprint(x, k, window) for x in t[text_col].to_pylist()]
-        return t.append_column(out_col, pa.array(vals, pa.uint64()))
+        flat, parent = _ws_tokens_flat(t, text_col)
+        fp = _winnow_batch(flat, parent, t.num_rows, k, window)
+        return t.append_column(out_col, pa.array(fp, pa.uint64()))
 
     return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
 
