@@ -595,6 +595,38 @@ def _q_stratified_sample(sf_dir: str) -> Any:
     )
 
 
+def _q_tfidf_topk(sf_dir: str) -> Any:
+    """Per-document top-3 TF-IDF terms, integer permille-per-million
+    scaled so every score is engine-exact: score_ppm =
+    (tf * 1e6 * N_docs) // (n_tok_doc * df). Per-doc tf and the top-k
+    selection run inside the batch map; the only exchange is the
+    pre-aggregated vocabulary groupby, whose (token, df) table is
+    broadcast back via ray.put."""
+    import ray.data
+
+    from scrape_ray.ops.textstats import tfidf_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_topk(docs, k=3)
+
+
+def _q_reservoir_sample(sf_dir: str) -> Any:
+    """Grouped reservoir: exactly 20 documents per language (fewer if
+    the stratum is smaller), chosen as the 20 smallest FNV1a64(doc_id)
+    ranks — uniform, deterministic across layouts, one coarse
+    exchange (per_key_topk) after a stateless rank-stamping map."""
+    import ray.data
+
+    from scrape_ray.ops.sampling import reservoir_per_stratum
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return reservoir_per_stratum(docs, "lang", "doc_id", k=20)
+
+
 def _q_term_freq(sf_dir: str) -> Any:
     """Corpus term statistics: top-50 tokens by total frequency with
     (tf, df) — vocabulary building / IDF / stopword discovery. The
@@ -1435,6 +1467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "ivf_topk": _q_ivf_topk,
+        "tfidf_topk": _q_tfidf_topk,
+        "reservoir_sample": _q_reservoir_sample,
         "clean_url": _q_clean_url,
         "extract": _q_extract,
         "cache_roundtrip": _q_cache_roundtrip,
@@ -1460,10 +1494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "stratified_sample": _q_stratified_sample,
         "term_freq": _q_term_freq,
-        "bigram_freq": _q_bigram_freq,
         "vocab_coverage": _q_vocab_coverage,
         "length_quantiles": _q_length_quantiles,
-        "length_quantiles_by_lang": _q_length_quantiles_by_lang,
         "asof_join": _q_asof_join,
         "session_join": _q_session_join,
         "freq_sketch": _q_freq_sketch,
@@ -1483,6 +1515,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_epoch": _q_crawl_epoch,
         "link_discovery": _q_link_discovery,
         "simhash_dups": _q_simhash_dups,
+        # tail = least marginal evidence if a row cap persists: the two
+        # TPC-H demos map to no §2 operator, and bigram_freq /
+        # length_quantiles_by_lang are parameter variants of term_freq /
+        # length_quantiles whose base queries sit earlier in the dict
+        "bigram_freq": _q_bigram_freq,
+        "length_quantiles_by_lang": _q_length_quantiles_by_lang,
         "pricing_summary": _q_pricing_summary,
         "top_orders": _q_top_orders,
     }
@@ -1867,6 +1905,73 @@ def oracle_sql() -> dict[str, str]:
         # Corpus term statistics: same whitespace tokenization, plain
         # GROUP BY with the engine's deterministic (tf DESC, token)
         # tie-break at the top-k boundary.
+        # Integer-scaled TF-IDF: same whitespace tokenization, then
+        # score_ppm = (tf * 1e6 * N_docs) // (n_tok_doc * df) in pure
+        # BIGINT arithmetic (// is DuckDB integer division) — no float
+        # anywhere, so the value hash is bit-exact. rank by
+        # (score desc, token asc), top 3 per document.
+        "tfidf_topk": r"""
+            WITH toks AS (
+                SELECT doc_id, u.tok
+                FROM (SELECT doc_id,
+                             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                  ELSE str_split_regex(trim(text), '\s+')
+                             END AS tk
+                      FROM documents), UNNEST(tk) AS u(tok)
+            ),
+            pair AS (
+                SELECT doc_id, tok AS token, count(*)::BIGINT AS tf
+                FROM toks GROUP BY doc_id, tok
+            ),
+            nd AS (
+                SELECT doc_id, count(*)::BIGINT AS n_tok
+                FROM toks GROUP BY doc_id
+            ),
+            dfreq AS (
+                SELECT token, count(*)::BIGINT AS df FROM pair GROUP BY token
+            ),
+            scored AS (
+                SELECT p.doc_id, p.token,
+                       (p.tf * 1000000 * (SELECT count(*) FROM documents))
+                           // (nd.n_tok * dfreq.df) AS score_ppm
+                FROM pair p
+                JOIN nd USING (doc_id)
+                JOIN dfreq USING (token)
+            ),
+            ranked AS (
+                SELECT doc_id, token, score_ppm::BIGINT AS score_ppm,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score_ppm DESC, token
+                       )::BIGINT AS rank
+                FROM scored
+            )
+            SELECT doc_id, token, score_ppm, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        # Grouped reservoir: hash_split's HUGEINT FNV fold over
+        # str(doc_id) as the rank; 20 smallest ranks per language
+        # (doc_id tie-break is vacuous for distinct 64-bit hashes but
+        # keeps the SQL total order well-defined).
+        "reservoir_sample": r"""
+            WITH h AS (
+                SELECT doc_id, lang, list_reduce(
+                    list_prepend(14695981039346656037::HUGEINT,
+                        list_transform(
+                            range(0, octet_length(encode(CAST(doc_id AS VARCHAR)))),
+                            i -> ('0x' || substr(hex(encode(CAST(doc_id AS VARCHAR))),
+                                                 2*i+1, 2))
+                                 ::UBIGINT::HUGEINT)),
+                    (h, x) -> (xor(h::UBIGINT, x::UBIGINT)::HUGEINT
+                               * 1099511628211::HUGEINT)
+                              % 18446744073709551616::HUGEINT
+                )::UBIGINT AS hv
+                FROM documents
+            )
+            SELECT doc_id, lang FROM h
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY hv, doc_id) <= 20
+        """,
         "term_freq": r"""
             WITH toks AS (
                 SELECT doc_id, u.tok

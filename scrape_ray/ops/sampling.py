@@ -24,12 +24,12 @@ import pyarrow.compute as pc
 
 
 def _key_hashes(t: pa.Table, key_col: str) -> np.ndarray:
-    from scrape_ray.functions.keys import fnv1a64
+    from scrape_ray.functions.keys import fnv1a64_arrow
 
-    vals = t[key_col].to_pylist()
-    return fnv1a64(
-        [("" if v is None else str(v)).encode("utf-8") for v in vals]
+    s = pc.coalesce(
+        pc.cast(t[key_col], pa.string()), pa.scalar("", pa.string())
     )
+    return fnv1a64_arrow(s)
 
 
 def deterministic_sample(ds, key_col: str, permille: int,
@@ -88,3 +88,29 @@ def stratified_sample(ds, strata_col: str, key_col: str,
         return t.filter(pa.array(keep))
 
     return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def reservoir_per_stratum(ds, strata_col: str, key_col: str, k: int,
+                          num_parts: int = 64):
+    """Exact-``k``-per-stratum sample ("grouped reservoir"): keep the
+    ``k`` rows with the smallest ``FNV1a64(str(key))`` in each stratum
+    — uniform (the hash is uniform over keys), deterministic across
+    runs/layouts/engines, and distributed: rank stamping is a
+    stateless per-batch map, selection composes
+    :func:`~scrape_ray.ops.dedup.per_key_topk` (ONE coarse exchange on
+    the stratum, vectorized group-head inside the partition task).
+    Strata with fewer than ``k`` rows keep everything. Hash ties would
+    make the boundary row layout-dependent; with distinct keys a
+    64-bit collision is negligible (callers needing absolute
+    determinism should dedup keys first)."""
+    from scrape_ray.ops.dedup import per_key_topk
+
+    def _rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__rk", pa.array(_key_hashes(t, key_col), pa.uint64())
+        )
+
+    ranked = ds.map_batches(_rank, batch_format="pyarrow", batch_size=None)
+    out = per_key_topk(ranked, strata_col, "__rk", k=k, keep="first",
+                       num_parts=num_parts)
+    return out.drop_columns(["__rk"])

@@ -384,6 +384,90 @@ def top_vocabulary(ds, text_col: str = "text", k: int = 1000,
     return t.select(["token", "tf", "df"])
 
 
+def tfidf_topk(ds, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 3, scale: int = 1_000_000,
+               batch_size: int = 4096):
+    """Per-document top-``k`` TF-IDF terms, integer-scaled so the
+    result is engine-exact (no float aggregate; the DuckDB oracle
+    reproduces every value bit-for-bit):
+
+    ``score_ppm = (tf * scale * N_docs) // (n_tok_doc * df)``
+
+    — tf/n_tok normalized term frequency × the reciprocal document
+    frequency N/df (the log-free IDF variant), floor-divided in int64.
+    Output: one row per (doc, top-term): ``(id, token, score_ppm,
+    rank)`` with rank 1..k by (score desc, token asc); zero-token docs
+    emit nothing.
+
+    Scale shape: per-(doc, token) tf, n_tok and the top-k selection
+    all happen INSIDE the batch map (a document's tokens never leave
+    their batch) — no per-doc shuffle. The only exchange is
+    :func:`term_frequencies`' pre-aggregated vocabulary groupby; the
+    (token, df) table is then driver-collected and broadcast once via
+    ``ray.put`` (Zipf-bounded — for an open web-scale vocabulary swap
+    the broadcast for a hash join on token). int64 bound: tf * scale *
+    N_docs must stay < 2^63 — lower ``scale`` for trillion-doc corpora.
+    """
+    import ray
+
+    from scrape_ray.util import dataset_to_table
+
+    n_docs = ds.count()
+    dft = dataset_to_table(
+        term_frequencies(ds, text_col).select_columns(["token", "df"])
+    )
+    df_ref = ray.put(dft)
+
+    def _empty(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col].slice(0, 0),
+            "token": pa.array([], pa.string()),
+            "score_ppm": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        })
+
+    def _f(t: pa.Table) -> pa.Table:
+        nrows = t.num_rows
+        flat, parent = _ws_tokens_flat(t, text_col)
+        if len(flat) == 0:
+            return _empty(t)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = len(enc.dictionary)
+        n_tok = np.bincount(parent, minlength=nrows).astype(np.int64)
+        pair, tf = np.unique(
+            parent.astype(np.int64) * v + codes, return_counts=True)
+        p_doc, p_code = pair // v, pair % v
+        dft_local = ray.get(df_ref)
+        pos = pc.index_in(enc.dictionary, value_set=dft_local["token"])
+        df_per_code = dft_local["df"].take(pos).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        score = (tf.astype(np.int64) * scale * n_docs) // (
+            n_tok[p_doc] * df_per_code[p_code])
+        # deterministic order: (doc, score desc, token asc) — token
+        # order via the sort rank of the batch dictionary
+        dict_order = pc.sort_indices(enc.dictionary).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tok_rank = np.empty(v, np.int64)
+        tok_rank[dict_order] = np.arange(v)
+        order = np.lexsort((tok_rank[p_code], -score, p_doc))
+        d_s = p_doc[order]
+        firsts = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+        start_idx = np.flatnonzero(firsts)
+        seg_len = np.diff(np.concatenate((start_idx, [len(d_s)])))
+        within = np.arange(len(d_s)) - np.repeat(start_idx, seg_len)
+        keep = within < k
+        sel = order[keep]
+        return pa.table({
+            id_col: t[id_col].take(pa.array(p_doc[sel], pa.int64())),
+            "token": enc.dictionary.take(pa.array(p_code[sel], pa.int64())),
+            "score_ppm": pa.array(score[sel], pa.int64()),
+            "rank": pa.array(within[keep] + 1, pa.int64()),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
+
+
 def vocab_coverage(ds, vocab: pa.Table | list[str],
                    text_col: str = "text", batch_size: int = 4096):
     """Vocabulary-coverage quality signal: per document, total token

@@ -76,3 +76,25 @@ def test_deterministic_sample_rate_and_agreement_with_split(ray_session):
     assert set(got["doc_id"]) == hold
     assert abs(len(got) / 3000 - 0.1) < 0.03  # ~10% rate
     assert np.all(np.diff(sorted(got["doc_id"])) > 0)
+
+
+def test_reservoir_per_stratum_exact_k_and_determinism(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.sampling import reservoir_per_stratum
+
+    rows = [
+        {"doc_id": i, "lang": ["en", "de", "fr"][i % 3]} for i in range(300)
+    ] + [{"doc_id": 1000 + i, "lang": "zh"} for i in range(3)]
+    k = 10
+    a = reservoir_per_stratum(
+        ray.data.from_items(rows).repartition(3), "lang", "doc_id", k=k
+    ).to_pandas()
+    b = reservoir_per_stratum(
+        ray.data.from_items(rows).repartition(17), "lang", "doc_id", k=k
+    ).to_pandas()
+    counts = a["lang"].value_counts().to_dict()
+    assert counts == {"en": k, "de": k, "fr": k, "zh": 3}  # small stratum kept whole
+    sa = a.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    sb = b.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    assert sa.equals(sb)  # layout-independent selection

@@ -185,3 +185,99 @@ def test_ngram_frequencies_match_counter(ray_session):
         assert got["token"].tolist() == sorted(tf)
         assert got["tf"].tolist() == [tf[k] for k in sorted(tf)]
         assert got["df"].tolist() == [df[k] for k in sorted(df)]
+
+
+def test_winnow_batch_matches_scalar_across_shapes():
+    """The vectorized whole-batch winnowing must equal the scalar
+    reference row-for-row, across k/window shapes incl. window=1
+    (the fingerprint_dups query's setting), docs shorter than k,
+    duplicate grams and empty docs."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from scrape_ray.ops.textstats import (
+        _winnow_batch,
+        _ws_tokens_flat,
+        winnow_fingerprint,
+    )
+
+    random.seed(42)
+    vocab = ["the", "cat", "dog", "und", "der", "le", "a", "b", "zz"]
+    texts = ["", "one", "the the the the the the", "  pad  ed  "]
+    for _ in range(300):
+        n = random.randint(0, 25)
+        texts.append(" ".join(random.choice(vocab) for _ in range(n)))
+    t = pa.table({"text": pa.array(texts)})
+    for k, w in [(5, 4), (5, 1), (2, 3), (1, 1), (3, 10)]:
+        flat, parent = _ws_tokens_flat(t, "text")
+        got = _winnow_batch(flat, parent, t.num_rows, k, w)
+        want = np.array(
+            [winnow_fingerprint(x, k, w) for x in texts], np.uint64)
+        assert np.array_equal(got, want), (k, w)
+
+
+def test_langid_dataset_matches_scalar(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.textstats import add_langid, langid_vote
+
+    texts = [
+        "the cat and the dog is in that house with it",
+        "der hund und die katze ist nicht ein tier",
+        "le chat et la maison est dans les champs",
+        "el perro es una casa en que los gatos",
+        "", "zzz qqq www",
+        "the der le el il",  # 1-way tie everywhere -> first lang (en)
+    ]
+    got = add_langid(
+        ray.data.from_items([{"text": x} for x in texts])
+    ).to_pandas()["lang_pred"].tolist()
+    assert got == [langid_vote(x) for x in texts]
+
+
+def test_tfidf_topk_hand_computed(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.textstats import tfidf_topk
+
+    docs = [
+        {"doc_id": 0, "text": "apple apple banana"},
+        {"doc_id": 1, "text": "banana cherry"},
+        {"doc_id": 2, "text": ""},  # no tokens -> no rows
+        {"doc_id": 3, "text": "cherry cherry cherry"},
+    ]
+    got = (
+        tfidf_topk(ray.data.from_items(docs), k=2, scale=1000)
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    )
+    # N=4 docs; df: apple 1, banana 2, cherry 2
+    # doc0: apple tf2/3 df1 -> 2*1000*4//(3*1)=2666; banana 1*4000//(3*2)=666
+    # doc1: banana 1*4000//(2*2)=1000; cherry 1*4000//(2*2)=1000 (tie->banana)
+    # doc3: cherry 3*4000//(3*2)=2000
+    assert got["doc_id"].tolist() == [0, 0, 1, 1, 3]
+    assert got["token"].tolist() == [
+        "apple", "banana", "banana", "cherry", "cherry"]
+    assert got["score_ppm"].tolist() == [2666, 666, 1000, 1000, 2000]
+    assert got["rank"].tolist() == [1, 2, 1, 2, 1]
+
+
+def test_tfidf_topk_layout_independent(ray_session):
+    """The same corpus split into different block layouts must give
+    identical top-k rows (per-doc work never crosses batches)."""
+    import ray.data
+
+    from scrape_ray.ops.textstats import tfidf_topk
+
+    docs = [
+        {"doc_id": i, "text": " ".join(
+            ["tok%d" % (j % 7) for j in range(i % 11)])}
+        for i in range(60)
+    ]
+    a = tfidf_topk(ray.data.from_items(docs).repartition(2)).to_pandas()
+    b = tfidf_topk(ray.data.from_items(docs).repartition(13)).to_pandas()
+    key = ["doc_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
