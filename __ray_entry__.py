@@ -737,6 +737,18 @@ def _q_vocab_coverage(sf_dir: str) -> Any:
     )
 
 
+def _join_parts() -> int:
+    """Sort-partition count for the temporal-join queries at BENCH
+    scale: the lifted union here is a few hundred thousand narrow rows,
+    so one block per ~2 cores keeps the range-sort's task count small
+    (128 auto blocks cost 3-5x in pure scheduling at this size). At
+    real scale leave num_partitions=None — input blocks are already
+    byte-sized and the sort inherits them."""
+    import ray
+
+    return max(8, int(ray.cluster_resources().get("CPU", 32)) // 2)
+
+
 def _q_asof_join(sf_dir: str) -> Any:
     """Backward as-of join (an operator Ray Data lacks): every
     purchase event picks up the same user's most recent prior-or-equal
@@ -759,6 +771,7 @@ def _q_asof_join(sf_dir: str) -> Any:
     return asof_join(
         left, right, by="user_id", on="ts",
         right_cols=["ts", "value"], suffix="_click",
+        num_partitions=_join_parts(),
     )
 
 
@@ -766,9 +779,17 @@ def _q_session_join(sf_dir: str) -> Any:
     """Range join (operator Ray Data lacks): every raw event is
     assigned its containing session window — ``sessionize`` builds
     the per-user non-overlapping [session_start, session_end]
-    intervals, ``interval_join`` attaches them with one user_id hash
-    exchange + per-group searchsorted. Oracle = the sessionize window
-    SQL followed by a BETWEEN join."""
+    intervals, ``interval_join`` attaches them via skew-safe sorted
+    range partitioning. ONE parquet scan: the pruned events read is
+    materialized and feeds both the session build and the join's left
+    side (at 100 TB, persist the projection to scratch parquet
+    instead of the object store). Oracle = the sessionize window SQL
+    followed by a BETWEEN join.
+
+    Note ``sessionize(..., assign=True)`` is the FUSED form of this
+    whole query (one exchange total) — used when only the assignment
+    is needed; this query keeps the explicit join so the general
+    interval_join operator is driver-verified."""
     import ray.data
 
     from scrape_ray.ops.joins import interval_join
@@ -776,17 +797,14 @@ def _q_session_join(sf_dir: str) -> Any:
 
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
-    )
-    sess = sessionize(
-        ray.data.read_parquet(
-            f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
-        ),
-        gap_s=1800,
-    ).drop_columns(["n_events"])
+    ).materialize()
+    sess = sessionize(ev.select_columns(["ts", "user_id"]), gap_s=1800
+                      ).drop_columns(["n_events"])
     return interval_join(
         ev, sess, by="user_id", on="ts",
         lo="session_start", hi="session_end",
         right_cols=["session_start", "session_end"], suffix="",
+        num_partitions=_join_parts(),
     )
 
 

@@ -171,10 +171,23 @@ def sessionize(
     key_col: str = "user_id",
     gap_s: int = 1800,
     num_parts: int = 64,
+    assign: bool = False,
 ):
     """Gap-based sessions: a new session starts when a user's
-    inter-event gap exceeds ``gap_s``. Output: one row per session
-    (key, session_start, session_end, n_events)."""
+    inter-event gap exceeds ``gap_s``.
+
+    ``assign=False`` (default): one row per session
+    (key, session_start, session_end, n_events).
+
+    ``assign=True``: the FUSED sessionize-and-join — one row per input
+    EVENT with its containing session's bounds appended. This is the
+    efficient form of ``interval_join(events, sessionize(events))``:
+    the per-user co-location the gap split already needs is reused for
+    the assignment, so the whole job is ONE read + ONE exchange
+    instead of two scans and two exchanges.
+
+    Arrow-native group task: sort indices + int64 timestamp math +
+    reduceat — no pandas conversion, no per-user Python."""
 
     def _part(t: pa.Table) -> pa.Table:
         part = pc.cast(
@@ -186,31 +199,54 @@ def sessionize(
         return t.append_column("__part", part)
 
     gap_us = gap_s * 1_000_000
+    ts_us = pa.timestamp("us")
 
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, ts_col], kind="mergesort")
-        ts = g[ts_col].astype("int64").to_numpy()
-        keys = g[key_col].to_numpy()
-        new_key = np.ones(len(g), dtype=bool)
-        new_key[1:] = keys[1:] != keys[:-1]
-        gap = np.ones(len(g), dtype=bool)
-        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
-        new_session = new_key | gap
-        sid = np.cumsum(new_session)
-        out = (
-            pd.DataFrame({key_col: keys, "__sid": sid, "ts": ts})
-            .groupby([key_col, "__sid"], sort=False)
-            .agg(session_start=("ts", "min"), session_end=("ts", "max"),
-                 n_events=("ts", "size"))
-            .reset_index()
-            .drop(columns="__sid")
+    def _sessions(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            if assign:
+                g = g.append_column("session_start", pa.array([], ts_us))
+                return g.append_column("session_end", pa.array([], ts_us))
+            return pa.table({
+                key_col: g[key_col].combine_chunks(),
+                "session_start": pa.array([], ts_us),
+                "session_end": pa.array([], ts_us),
+                "n_events": pa.array([], pa.int64()),
+            })
+        idx = pc.sort_indices(
+            g, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
         )
-        out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
-        out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
-        return out
+        gs = g.take(idx)
+        tcol = gs[ts_col]
+        if pa.types.is_timestamp(tcol.type):
+            tcol = tcol.cast(ts_us)
+        ts = tcol.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        karr = gs[key_col].combine_chunks()
+        kcodes = karr.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new_session = np.ones(n, dtype=bool)
+        new_session[1:] = (kcodes[1:] != kcodes[:-1]) | (
+            (ts[1:] - ts[:-1]) > gap_us)
+        starts = np.flatnonzero(new_session)
+        ends = np.concatenate((starts[1:], [n])) - 1
+        sid = np.cumsum(new_session) - 1  # session index per sorted row
+        s_start, s_end = ts[starts], ts[ends]
+        if assign:
+            gs = gs.append_column(
+                "session_start",
+                pa.array(s_start[sid], pa.int64()).cast(ts_us))
+            return gs.append_column(
+                "session_end", pa.array(s_end[sid], pa.int64()).cast(ts_us))
+        return pa.table({
+            key_col: karr.take(pa.array(starts, pa.int64())),
+            "session_start": pa.array(s_start, pa.int64()).cast(ts_us),
+            "session_end": pa.array(s_end, pa.int64()).cast(ts_us),
+            "n_events": pa.array(ends - starts + 1, pa.int64()),
+        })
 
     parted = ds.map_batches(_part, batch_format="pyarrow", batch_size=None)
-    return parted.groupby("__part").map_groups(_sessions, batch_format="pandas")
+    out = parted.groupby("__part").map_groups(_sessions, batch_format="pyarrow")
+    return out.drop_columns(["__part"]) if assign else out
 
 
 def extract_json_prop(ds, props_col: str = "props", key: str = "k",

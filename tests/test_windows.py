@@ -116,3 +116,30 @@ def test_hopping_aggregate(ray_session):
 
     with pytest.raises(ValueError):
         hopping_aggregate(ds, width_s=600, hop_s=400)
+
+
+def test_sessionize_assign_equals_interval_join(ray_session):
+    """assign=True is the fused form of interval_join(events,
+    sessionize(events)) — same rows, one read + one exchange."""
+    import ray.data
+
+    from scrape_ray.ops.joins import interval_join
+    from scrape_ray.ops.windows import sessionize
+
+    sf = "/root/testdata/sf0.001"
+    ev = ray.data.read_parquet(
+        f"{sf}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).materialize()
+    fused = sessionize(ev, gap_s=1800, assign=True).to_pandas()
+    sess = sessionize(ev.select_columns(["ts", "user_id"]), gap_s=1800
+                      ).drop_columns(["n_events"])
+    joined = interval_join(
+        ev, sess, by="user_id", on="ts",
+        lo="session_start", hi="session_end",
+        right_cols=["session_start", "session_end"], suffix="",
+    ).to_pandas()
+    cols = ["event_id", "user_id", "ts", "session_start", "session_end"]
+    a = fused[cols].sort_values("event_id").reset_index(drop=True)
+    b = joined[cols].sort_values("event_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
