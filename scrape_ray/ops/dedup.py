@@ -27,13 +27,12 @@ def add_hash_column(
 ):
     """Vectorized FNV-1a-64 content hash column (reuses the engine's key
     kernel)."""
-    from scrape_ray.functions.keys import fnv1a64
+    from scrape_ray.functions.keys import fnv1a64_arrow
 
     def _h(t: pa.Table) -> pa.Table:
-        vals = [
-            (v or "").encode("utf-8") for v in t[text_col].to_pylist()
-        ]
-        return t.append_column(out_col, pa.array(fnv1a64(vals), pa.uint64()))
+        s = pc.coalesce(t[text_col], pa.scalar("", pa.string()))
+        return t.append_column(
+            out_col, pa.array(fnv1a64_arrow(s), pa.uint64()))
 
     return ds.map_batches(_h, batch_format="pyarrow", batch_size=batch_size)
 
@@ -47,18 +46,30 @@ def dedup_exact(ds, key_col: str, order_col: str, keep: str = "first",
     vectorized sort + drop_duplicates keeps the min/max-order row per
     key. At scale pre-partitioning by host_shard keeps the exchange
     local per shard."""
-    import pandas as pd
-
     asc = keep == "first"
+
+    def _dedup(g: pa.Table) -> pa.Table:
+        return _group_head_arrow(g, key_col, order_col, asc, 1)
+
+    parted = ds.map_batches(
+        _hash_part(key_col, num_parts), batch_format="pyarrow",
+        batch_size=None)
+    out = parted.groupby("__part").map_groups(_dedup, batch_format="pyarrow")
+    return out.drop_columns(["__part"])
+
+
+def _hash_part(key_col: str, num_parts: int):
+    """Coarse-partition stamping map shared by the keyed-group ops:
+    FNV over the Arrow buffer for string keys (zero-copy), masked int
+    for numeric keys."""
 
     def _part(t: pa.Table) -> pa.Table:
         k = t[key_col]
         if pa.types.is_string(k.type) or pa.types.is_large_string(k.type):
-            import numpy as np
+            from scrape_ray.functions.keys import fnv1a64_arrow
 
-            from scrape_ray.functions.keys import fnv1a64
-
-            h = fnv1a64([(v or "").encode() for v in k.to_pylist()])
+            h = fnv1a64_arrow(
+                pc.coalesce(k, pa.scalar("", pa.string())))
             part = pa.array((h % num_parts).astype(np.int32))
         else:
             part = pc.cast(
@@ -70,14 +81,38 @@ def dedup_exact(ds, key_col: str, order_col: str, keep: str = "first",
             )
         return t.append_column("__part", part)
 
-    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, order_col], ascending=[True, asc],
-                          kind="mergesort")
-        return g.drop_duplicates(subset=[key_col], keep="first")
+    return _part
 
-    parted = ds.map_batches(_part, batch_format="pyarrow", batch_size=None)
-    out = parted.groupby("__part").map_groups(_dedup, batch_format="pandas")
-    return out.drop_columns(["__part"])
+
+def _group_head_arrow(g: pa.Table, key_col: str, order_col: str,
+                      asc: bool, k: int) -> pa.Table:
+    """Arrow-native per-key head-k inside a coarse partition: one
+    stable sort of the group block, adjacent-key segmentation over
+    dictionary codes, boolean filter — no pandas conversion (pandas
+    floatifies int columns when other rows carry nulls and copies
+    every string)."""
+    if g.num_rows == 0:
+        return g
+    idx = pc.sort_indices(
+        g,
+        sort_keys=[(key_col, "ascending"),
+                   (order_col, "ascending" if asc else "descending")],
+    )
+    gs = g.take(idx)
+    karr = gs[key_col]
+    if isinstance(karr, pa.ChunkedArray):
+        karr = karr.combine_chunks()
+    # fill_null(-1): all-null keys form ONE group, matching pandas
+    # drop_duplicates/groupby semantics
+    kc = pc.fill_null(karr.dictionary_encode().indices, -1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    firsts = np.concatenate(([True], kc[1:] != kc[:-1]))
+    if k == 1:
+        return gs.filter(pa.array(firsts))
+    starts = np.flatnonzero(firsts)
+    seg = np.diff(np.concatenate((starts, [len(kc)])))
+    within = np.arange(len(kc)) - np.repeat(starts, seg)
+    return gs.filter(pa.array(within < k))
 
 
 def per_key_topk(ds, key_col: str, order_col: str, k: int = 1,
@@ -88,36 +123,17 @@ def per_key_topk(ds, key_col: str, order_col: str, k: int = 1,
     curation (cap documents per host so one domain can't dominate the
     training set) and the general group-top-k. Same ONE
     coarse-partition exchange as ``dedup_exact`` (its k=1 case):
-    vectorized sort + ``groupby().head(k)`` per partition, so the
+    Arrow-native sort + per-key head inside the partition task, so the
     per-group UDF runs ``num_parts`` times, not once per key."""
-    import pandas as pd
-
     asc = keep == "first"
 
-    def _part(t: pa.Table) -> pa.Table:
-        key = t[key_col]
-        if pa.types.is_string(key.type) or pa.types.is_large_string(key.type):
-            from scrape_ray.functions.keys import fnv1a64
+    def _topk(g: pa.Table) -> pa.Table:
+        return _group_head_arrow(g, key_col, order_col, asc, k)
 
-            h = fnv1a64([(v or "").encode() for v in key.to_pylist()])
-            part = pa.array((h % num_parts).astype(np.int32))
-        else:
-            part = pc.cast(
-                pc.bit_wise_and(
-                    pc.cast(key, pa.int64(), safe=False),
-                    pa.scalar(num_parts - 1, pa.int64()),
-                ),
-                pa.int32(),
-            )
-        return t.append_column("__part", part)
-
-    def _topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, order_col], ascending=[True, asc],
-                          kind="mergesort")
-        return g.groupby(key_col, sort=False).head(k)
-
-    parted = ds.map_batches(_part, batch_format="pyarrow", batch_size=None)
-    out = parted.groupby("__part").map_groups(_topk, batch_format="pandas")
+    parted = ds.map_batches(
+        _hash_part(key_col, num_parts), batch_format="pyarrow",
+        batch_size=None)
+    out = parted.groupby("__part").map_groups(_topk, batch_format="pyarrow")
     return out.drop_columns(["__part"])
 
 

@@ -27,19 +27,32 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-class TopKState:
-    """Per-query running top-k merge (scores desc, id asc tiebreak)."""
+def _merge_topk(local, k: int):
+    """Distributed final merge of the per-block top-k partials: ONE
+    ``groupby("query_id")`` exchange over the tiny (#blocks × q × k)
+    partials table, Arrow-native head-k inside the group task — no
+    #blocks-sized driver frame (the tree-merge the per-block partials
+    make possible; driver state is zero). Sort order (score desc,
+    vec_id asc) matches the oracle's ROW_NUMBER tie-break."""
+    import pyarrow.compute as pc
 
-    @staticmethod
-    def merge(parts: list[pa.Table], k: int) -> pa.Table:
-        import pandas as pd
-
-        df = pa.concat_tables(parts).to_pandas()
-        df = df.sort_values(
-            ["query_id", "score", "vec_id"], ascending=[True, False, True]
+    def _head(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("query_id", "ascending"), ("score", "descending"),
+                       ("vec_id", "ascending")],
         )
-        df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        gs = g.take(idx)
+        qid = gs["query_id"].to_numpy(zero_copy_only=False)
+        firsts = np.concatenate(([True], qid[1:] != qid[:-1]))
+        starts = np.flatnonzero(firsts)
+        seg = np.diff(np.concatenate((starts, [len(qid)])))
+        within = np.arange(len(qid)) - np.repeat(starts, seg)
+        return gs.filter(pa.array(within < k))
+
+    return local.groupby("query_id").map_groups(_head, batch_format="pyarrow")
 
 
 def brute_force_topk(
@@ -86,22 +99,7 @@ def brute_force_topk(
         )
 
     local = ds.map_batches(_local_topk, batch_format="pyarrow", batch_size=batch_size)
-    # final merge: tiny (blocks × q × k rows) — driver-side is fine,
-    # but keep it a Dataset for composability
-    parts = [
-        b for b in local.iter_batches(batch_format="pyarrow", batch_size=65536)
-    ]
-    if not parts:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
-        )
-    return ray.data.from_arrow(TopKState.merge(parts, k))
+    return _merge_topk(local, k)
 
 
 def _bottom_k_sample(ds, id_col: str, vec_col: str, k: int):
@@ -285,18 +283,7 @@ def ivf_topk_indexed(
         )
 
     local = ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
-    parts = [b for b in local.iter_batches(batch_format="pyarrow", batch_size=65536)]
-    if not parts:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
-        )
-    return ray.data.from_arrow(TopKState.merge(parts, k))
+    return _merge_topk(local, k)
 
 
 def ivf_topk(
@@ -355,15 +342,4 @@ def ivf_topk(
         )
 
     local = ds.map_batches(_probe_topk, batch_format="pyarrow", batch_size=batch_size)
-    parts = [b for b in local.iter_batches(batch_format="pyarrow", batch_size=65536)]
-    if not parts:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "vec_id": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
-        )
-    return ray.data.from_arrow(TopKState.merge(parts, k))
+    return _merge_topk(local, k)
