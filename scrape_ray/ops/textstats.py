@@ -152,37 +152,64 @@ def dedup_lines(ds, text_col: str = "text", batch_size: int = 4096):
       whitespace token × 1000 // n_words (Gopher's top-word repetition
       signal; 0 for empty text). Integer so the oracle is bit-exact.
 
-    Pure per-batch map, no shuffle; per-row work is O(len(text))."""
-    from collections import Counter
+    Pure per-batch map, no shuffle — and fully vectorized: line
+    identity via ``dictionary_encode`` over the batch's flat line
+    array, first-occurrence keep via one ``np.unique`` over (doc,
+    line-code) pairs, top-word counts via a second unique over (doc,
+    token-code) pairs + ``maximum.reduceat``. No Python per document."""
 
     def _f(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        clean, n_lines, n_dups, topfrac = [], [], [], []
-        for x in texts:
-            x = x or ""
-            lines = x.split("\n")
-            seen: set[str] = set()
-            kept = []
-            for ln in lines:
-                if ln in seen:
-                    continue
-                seen.add(ln)
-                kept.append(ln)
-            clean.append("\n".join(kept))
-            n_lines.append(len(lines))
-            n_dups.append(len(lines) - len(kept))
-            words = x.split()
-            topfrac.append(
-                Counter(words).most_common(1)[0][1] * 1000 // len(words)
-                if words
-                else 0
-            )
-        t = t.append_column("clean_text", pa.array(clean, pa.string()))
+        nrows = t.num_rows
+        if nrows == 0:
+            for c, ty in (("clean_text", pa.string()),
+                          ("n_lines", pa.int64()),
+                          ("n_dup_lines", pa.int64()),
+                          ("top_word_frac_x1000", pa.int64())):
+                t = t.append_column(c, pa.array([], ty))
+            return t
+        texts = pc.coalesce(t[text_col], pa.scalar("", pa.string()))
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lines = pc.split_pattern(texts, "\n")  # "" -> [""], like str.split("\n")
+        flat = pc.list_flatten(lines)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        n_lines = np.bincount(parent, minlength=nrows).astype(np.int64)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = max(len(enc.dictionary), 1)
+        # first occurrence of each (doc, line) pair, original order kept
+        _, first_idx = np.unique(parent * n_codes + codes, return_index=True)
+        keep = np.zeros(len(parent), bool)
+        keep[first_idx] = True
+        kept_per_doc = np.bincount(parent[keep], minlength=nrows).astype(np.int64)
+        kept_vals = flat.take(pa.array(np.flatnonzero(keep), pa.int64()))
+        offs = pa.array(
+            np.concatenate(([0], np.cumsum(kept_per_doc))), pa.int64())
+        clean = pc.binary_join(
+            pa.LargeListArray.from_arrays(offs, kept_vals), "\n")
+        # Gopher top-word signal: max occurrence count of any token
+        tflat, tparent = _ws_tokens_flat(t, text_col)
+        n_words = np.bincount(tparent, minlength=nrows).astype(np.int64)
+        topfrac = np.zeros(nrows, np.int64)
+        if len(tflat):
+            tenc = tflat.dictionary_encode()
+            tcodes = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            tv = max(len(tenc.dictionary), 1)
+            pair, cnt = np.unique(
+                tparent.astype(np.int64) * tv + tcodes, return_counts=True)
+            d_of = pair // tv  # sorted ascending (pair is doc-major)
+            starts = np.flatnonzero(
+                np.concatenate(([True], d_of[1:] != d_of[:-1])))
+            mx = np.maximum.reduceat(cnt, starts)
+            topfrac[d_of[starts]] = mx * 1000 // n_words[d_of[starts]]
+        t = t.append_column("clean_text", clean.cast(pa.string()))
         t = t.append_column("n_lines", pa.array(n_lines, pa.int64()))
-        t = t.append_column("n_dup_lines", pa.array(n_dups, pa.int64()))
+        t = t.append_column(
+            "n_dup_lines", pa.array(n_lines - kept_per_doc, pa.int64()))
         return t.append_column(
-            "top_word_frac_x1000", pa.array(topfrac, pa.int64())
-        )
+            "top_word_frac_x1000", pa.array(topfrac, pa.int64()))
 
     return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
 

@@ -281,3 +281,36 @@ def test_tfidf_topk_layout_independent(ray_session):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_dedup_lines_matches_scalar_reference(ray_session):
+    """Vectorized line dedup vs a straightforward scalar replica,
+    incl. empty text, newline-only text, all-duplicate docs."""
+    from collections import Counter
+
+    import ray.data
+
+    from scrape_ray.ops.textstats import dedup_lines
+
+    texts = [
+        "", "\n", "\n\n", "a\na\na", "a\nb\na\nb", "x",
+        "the the the\nthe the the", "one two\none two\nthree",
+        "  \n  \npad", "tail\n",
+    ]
+    got = dedup_lines(
+        ray.data.from_items([{"text": x} for x in texts])
+    ).to_pandas().sort_index()
+    for x, (_, row) in zip(texts, got.iterrows()):
+        lines = x.split("\n")
+        seen, kept = set(), []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        words = x.split()
+        assert row["clean_text"] == "\n".join(kept), x
+        assert row["n_lines"] == len(lines), x
+        assert row["n_dup_lines"] == len(lines) - len(kept), x
+        want_tf = (Counter(words).most_common(1)[0][1] * 1000 // len(words)
+                   if words else 0)
+        assert row["top_word_frac_x1000"] == want_tf, x
