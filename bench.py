@@ -50,9 +50,11 @@ def _consume(result) -> int:
 REPEAT = int(os.environ.get("BENCH_REPEAT", "400"))
 
 
-def run_headline(sf_dir: str) -> tuple[float, int]:
+def run_headline(sf_dir: str) -> tuple[float, int, list[float]]:
     """The flagship fetch+extract spine: frontier → normalize →
-    extract → count. Returns (seconds, rows).
+    extract → count. Returns (best seconds, rows of the best run,
+    every run's seconds — recorded so best-of-N stays comparable to
+    single-run baselines).
 
     The frontier is deterministically amplified ×REPEAT (distinct
     URLs) so the run is long enough to measure parallel throughput;

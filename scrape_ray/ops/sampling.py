@@ -24,6 +24,10 @@ import pyarrow.compute as pc
 
 
 def _key_hashes(t: pa.Table, key_col: str) -> np.ndarray:
+    """FNV1a64 of the key rendered as text — zero-copy through the
+    Arrow cast kernel (ints/strings render identically to Python
+    ``str()`` and SQL ``CAST(... AS VARCHAR)``; float keys are not a
+    supported sampling key — their text forms differ per engine)."""
     from scrape_ray.functions.keys import fnv1a64_arrow
 
     s = pc.coalesce(
