@@ -228,7 +228,79 @@ def test_sniff_decode_dispatch_and_stub():
     wavf = np.zeros(160, np.int16)
     assert len(sniff_decode(_make_wav(wavf))) == 160
     with pytest.raises(NotImplementedError):
-        sniff_decode(b"\xff\xd8\xff\xe0JFIF")  # JPEG stays stubbed
+        sniff_decode(b"\x00unknown-container")  # unrecognized -> stub
+
+
+def test_compressed_image_routes_to_pil_seam():
+    """JPEG/PNG magic bytes route to the optional Pillow path: absent
+    Pillow (this sandbox) the error names the missing capability;
+    present Pillow a real decode round-trips."""
+    import numpy as np
+    import pytest
+
+    from scrape_ray.ops.multimodal import pil_decode, sniff_decode
+
+    try:
+        from PIL import Image  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if not has_pil:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            sniff_decode(b"\xff\xd8\xff\xe0JFIF")
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            sniff_decode(b"\x89PNG\r\n\x1a\n....")
+        return
+    import io
+
+    img = Image.fromarray(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    out = pil_decode(buf.getvalue())
+    assert out.shape == (4, 4, 3)
+    assert (out == np.arange(48, dtype=np.uint8).reshape(4, 4, 3)).all()
+    assert sniff_decode(buf.getvalue()).shape == (4, 4, 3)
+
+
+def test_compressed_video_routes_to_ffmpeg_seam():
+    """Non-VID0 video payloads route to the optional ffmpeg path:
+    absent ffmpeg (this sandbox) the error names the capability;
+    present ffmpeg the demux yields (nframes, h, w, 3)."""
+    import shutil
+
+    import pytest
+
+    from scrape_ray.ops.multimodal import ffmpeg_demux, sniff_demux, vid_demux
+
+    # VID0 demuxes natively regardless of ffmpeg presence
+    import struct
+
+    vid = b"VID0" + struct.pack("<HHH", 2, 2, 1) + bytes(12)
+    assert sniff_demux(vid).shape == (1, 2, 2, 3)
+    assert vid_demux(vid).shape == (1, 2, 2, 3)
+
+    if shutil.which("ffmpeg") is None or shutil.which("ffprobe") is None:
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            sniff_demux(b"\x00\x00\x00\x18ftypmp42....")
+        return
+    # with ffmpeg present, exercise it on a tiny synthesized container:
+    # encode one VID0 raster to rawvideo-in-avi via ffmpeg, then demux.
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    frames = np.arange(2 * 8 * 8 * 3, dtype=np.uint8).reshape(2, 8, 8, 3)
+    with tempfile.NamedTemporaryFile(suffix=".avi") as f:
+        subprocess.run(
+            ["ffmpeg", "-v", "error", "-f", "rawvideo", "-pix_fmt", "rgb24",
+             "-s", "8x8", "-r", "4", "-i", "pipe:0", "-c:v", "rawvideo",
+             "-pix_fmt", "rgb24", "-y", f.name],
+            input=frames.tobytes(), check=True,
+        )
+        out = ffmpeg_demux(open(f.name, "rb").read())
+    assert out.shape[1:] == (8, 8, 3)
 
 
 def test_image_stage_with_real_ppm_codec(ray_session):
