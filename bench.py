@@ -191,6 +191,60 @@ SCALE_LO = int(os.environ.get("BENCH_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("BENCH_SCALE_HI", "8"))
 
 
+def _probe_worker() -> None:
+    """One fixed-work probe process: elementwise numpy over a ~256 KB
+    cache-resident working set (no BLAS threading, no coordination, no
+    main-memory traffic) — so the probe's N-vs-4N envelope isolates
+    per-core CLOCK behavior (turbo on few-core jobs) and deliberately
+    excludes memory-bandwidth saturation, keeping the normalization
+    conservative for a memory-touching pipeline. Prints its wall time;
+    the parent aggregates."""
+    import numpy as np
+
+    n = 32_768
+    reps = int(os.environ.get("BENCH_PROBE_REPS", "15000"))
+    a = np.ones(n)
+    b = np.full(n, 0.5)
+    c = np.empty(n)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.multiply(a, 1.0000001, out=c)
+        np.add(c, b, out=a)
+        np.subtract(a, b, out=a)
+    print(json.dumps({"probe_sec": round(time.perf_counter() - t0, 4)}))
+
+
+def _probe(nproc: int) -> float:
+    """Machine-envelope probe: `nproc` concurrent fixed-work processes
+    with ZERO coordination — any deviation from perfect scaling here
+    is the host (turbo clocks on few-core jobs, shared caches, memory
+    bandwidth), not a pipeline property. Returns aggregate work units
+    per second (slowest process bounds the envelope, matching how a
+    barrier-free data job is paced by its slowest worker)."""
+    env = dict(
+        os.environ,
+        OMP_NUM_THREADS="1",
+        OPENBLAS_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--probe-worker"],
+            env=env,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        for _ in range(nproc)
+    ]
+    secs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+        secs.append(json.loads(line)["probe_sec"])
+    reps = int(os.environ.get("BENCH_PROBE_REPS", "15000"))
+    return round(nproc * reps / max(secs), 1)
+
+
 def _scaling() -> None:
     """Same job, fresh processes, num_cpus=N then 4N; efficiency =
     (thr_hi / thr_lo) / (cpus_hi / cpus_lo).
@@ -203,12 +257,20 @@ def _scaling() -> None:
     bus, which is the regime N=2→8 emulates. Override with
     BENCH_SCALE_LO/HI."""
     results: dict = {}
+    probes: dict = {}
     # two interleaved rounds (LO, HI, LO, HI), best-of per level: the
     # shared sandbox adds ±20% run-to-run noise AND slow drift —
     # interleaving keeps both levels exposed to the same host speed,
     # best-of filters the transient dips
     for _round in range(2):
         for cpus in (SCALE_LO, SCALE_HI):
+            # machine-envelope probe at the SAME parallelism right
+            # before the leg: a few-core job turbo-clocks above an
+            # 8-core job on this VM (round-4 measured the 2-CPU leg
+            # 25-30% hot while the 8-CPU leg stayed flat), which
+            # deflates raw efficiency for hardware, not pipeline,
+            # reasons; the probe measures that envelope directly
+            probes[cpus] = max(probes.get(cpus, 0.0), _probe(cpus))
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=SF_DIR)
             # scaling runs need long-enough jobs: default to 2M URLs
             # (sf0.1 ×400) unless the caller pinned a repeat factor —
@@ -242,11 +304,19 @@ def _scaling() -> None:
     thr_lo = results[SCALE_LO]["urls_per_sec"]
     thr_hi = results[SCALE_HI]["urls_per_sec"]
     eff = (thr_hi / thr_lo) / (SCALE_HI / SCALE_LO)
+    # the probe's own efficiency is the hardware ceiling at these two
+    # levels; pipeline-relative efficiency divides it out (reported
+    # alongside the raw value, never instead of it)
+    env_eff = (probes[SCALE_HI] / probes[SCALE_LO]) / (SCALE_HI / SCALE_LO)
     print(
         json.dumps(
             {
                 "metric": f"scaling_efficiency_{SCALE_LO}_to_{SCALE_HI}_cpus",
                 "value": round(eff, 3),
+                "value_vs_machine_envelope": round(eff / env_eff, 3),
+                "machine_envelope_eff": round(env_eff, 3),
+                f"probe_thr_{SCALE_LO}": probes[SCALE_LO],
+                f"probe_thr_{SCALE_HI}": probes[SCALE_HI],
                 "unit": "ratio",
                 f"throughput_{SCALE_LO}cpu": thr_lo,
                 f"throughput_{SCALE_HI}cpu": thr_hi,
@@ -263,6 +333,9 @@ def _scaling() -> None:
 def main() -> None:
     if "--scaling" in sys.argv:
         _scaling()
+        return
+    if "--probe-worker" in sys.argv:
+        _probe_worker()
         return
     if "--headline-only" in sys.argv:
         _headline_only()
