@@ -330,6 +330,21 @@ def _q_near_dup_embedding(sf_dir: str) -> Any:
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def _q_embedding_centroid(sf_dir: str) -> Any:
+    """Per-label integer-quantized embedding centroid: exact int64
+    component sums after half-away-from-zero quantization at 1e6 —
+    bit-identical to the SQL ROUND/SUM//COUNT chain, no float
+    aggregate (see ops/similarity.grouped_centroid)."""
+    import ray.data
+
+    from scrape_ray.ops.similarity import grouped_centroid
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return grouped_centroid(ds, "label", "embedding")
+
+
 def _q_ann_topk(sf_dir: str) -> Any:
     """Similarity search: brute-force cosine top-10 for the first
     three embeddings as queries (broadcast matmul per batch)."""
@@ -1487,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "tfidf_topk": _q_tfidf_topk,
         "reservoir_sample": _q_reservoir_sample,
+        "embedding_centroid": _q_embedding_centroid,
         "clean_url": _q_clean_url,
         "extract": _q_extract,
         "cache_roundtrip": _q_cache_roundtrip,
@@ -1519,26 +1535,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "freq_sketch": _q_freq_sketch,
         "curate": _q_curate,
         "decontaminate": _q_decontaminate,
-        "feed_expand": _q_feed_expand,
-        "domain_settings_scan": _q_domain_settings_scan,
         "invalid_urls": _q_invalid_urls,
         "tumbling_window": _q_tumbling_window,
         "hopping_window": _q_hopping_window,
         "sessionize": _q_sessionize,
-        "json_props": _q_json_props,
-        "ttl_expiry": _q_ttl_expiry,
-        "batch_roundtrip": _q_batch_roundtrip,
-        "cache_compaction": _q_cache_compaction,
         "feed_refresh_due": _q_feed_refresh_due,
         "crawl_epoch": _q_crawl_epoch,
         "link_discovery": _q_link_discovery,
         "simhash_dups": _q_simhash_dups,
-        # tail = least marginal evidence if a row cap persists: the two
-        # TPC-H demos map to no §2 operator, and bigram_freq /
-        # length_quantiles_by_lang are parameter variants of term_freq /
-        # length_quantiles whose base queries sit earlier in the dict
         "bigram_freq": _q_bigram_freq,
         "length_quantiles_by_lang": _q_length_quantiles_by_lang,
+        # tail = least marginal evidence if the ~50-row cap persists:
+        # every entry below is green in CORRECTNESS_r03 AND its code
+        # paths are untouched this round (cache.py / feeds.py / the
+        # json window ops), and the two TPC-H demos map to no §2
+        # operator — whereas everything above either changed this
+        # round or has no prior driver row
+        "feed_expand": _q_feed_expand,
+        "domain_settings_scan": _q_domain_settings_scan,
+        "json_props": _q_json_props,
+        "ttl_expiry": _q_ttl_expiry,
+        "batch_roundtrip": _q_batch_roundtrip,
+        "cache_compaction": _q_cache_compaction,
         "pricing_summary": _q_pricing_summary,
         "top_orders": _q_top_orders,
     }
@@ -2170,6 +2188,20 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_TOPK_SQL,
         # exhaustive IVF (nprobe == num_cells) must equal brute force
         "ivf_topk_full": _ANN_TOPK_SQL,
+        # integer-quantized centroid: the DOUBLE cast before the
+        # multiply is load-bearing (FLOAT*INT would round in float32
+        # and can land exactly on .5 where float64 does not); //
+        # truncates toward zero in SQL, matched engine-side
+        "embedding_centroid": """
+            SELECT label, i AS dim,
+                   CAST(SUM(CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE)
+                                       * 1000000) AS BIGINT)) AS BIGINT)
+                     // COUNT(*) AS centroid_q,
+                   COUNT(*) AS n
+            FROM embeddings,
+                 LATERAL UNNEST(range(len(embedding))) AS u(i)
+            GROUP BY label, i
+        """,
         "politeness_slots": f"""
             SELECT {_CLEAN} AS url,
                 TRUE AS robots_allowed,

@@ -343,3 +343,80 @@ def ivf_topk(
 
     local = ds.map_batches(_probe_topk, batch_format="pyarrow", batch_size=batch_size)
     return _merge_topk(local, k)
+
+
+def grouped_centroid(ds, group_col: str, vec_col: str = "embedding",
+                     scale: int = 1_000_000, batch_size: int | None = None):
+    """Per-group embedding centroid, integer-quantized so the result
+    is engine-exact: each component is rounded half-away-from-zero to
+    ``q = round(float64(x) * scale)`` in int64 (bit-identical to SQL
+    ``ROUND(CAST(x AS DOUBLE) * scale)`` — the DOUBLE cast matters:
+    multiplying in float32 can land exactly on .5 where float64 does
+    not), summed exactly in int64, and the centroid
+    reported as the SQL-style truncating quotient ``sum(q) // n``
+    (toward zero, matching SQL integer division on negative sums —
+    numpy's ``//`` floors and would differ) — no float aggregate
+    anywhere, so a DuckDB oracle reproduces every value.
+    Output: one row per (group, dim): ``(group_col, dim, centroid_q,
+    n)`` where ``n`` counts vectors carrying that dimension (ragged
+    inputs supported).
+
+    Scale shape: quantization + per-(group, dim) partial sums happen
+    INSIDE the batch map (vectors never shuffle); the only exchange is
+    a ``groupby([group, dim]).sum`` over #groups x dim partial rows
+    per batch — O(groups * dims), data-size independent. int64 bound:
+    |x| * scale * corpus_rows must stay < 2^63; lower ``scale`` for
+    trillion-row corpora."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, ends = offs[:-1], offs[1:]
+        lens = ends - starts
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        dim = np.arange(len(vals), dtype=np.int64) - np.repeat(starts, lens)
+        x = vals * float(scale)
+        q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+            np.int64)
+        grp = t[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        enc = grp.dictionary_encode()
+        gcodes = enc.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)[parent]
+        ndim = int(lens.max()) if len(lens) else 0
+        pair = gcodes * max(ndim, 1) + dim
+        uniq, inv, cnt = np.unique(pair, return_inverse=True,
+                                   return_counts=True)
+        sums = np.zeros(len(uniq), np.int64)
+        np.add.at(sums, inv, q)
+        out_g = pa.array(uniq // max(ndim, 1), pa.int64())
+        return pa.table({
+            group_col: enc.dictionary.take(out_g),
+            "dim": pa.array(uniq % max(ndim, 1), pa.int64()),
+            "__s": pa.array(sums, pa.int64()),
+            "__n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    agg = partials.groupby([group_col, "dim"]).aggregate(
+        Sum("__s", alias_name="__s"), Sum("__n", alias_name="__n"))
+
+    def _final(t: pa.Table) -> pa.Table:
+        s = t["__s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["__n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        quot = np.sign(s) * (np.abs(s) // n)  # truncate toward zero
+        return pa.table({
+            group_col: t[group_col],
+            "dim": t["dim"],
+            "centroid_q": pa.array(quot.astype(np.int64), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow", batch_size=None)

@@ -113,3 +113,86 @@ def test_ivf_indexed_matches_streaming_ivf(tmp_path, ray_session):
     # nprobe=2 probe set can touch
     cell_dirs = [d for d in os.listdir(idx_dir) if d.startswith("cell=")]
     assert len(cell_dirs) >= 6  # 8 cells, most populated
+
+
+def test_grouped_centroid_exact_and_duckdb_parity(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.similarity import grouped_centroid
+
+    # values chosen to stress rounding: exact halves, negatives, and
+    # float32 storage (quantization must match SQL ROUND bit-for-bit)
+    # group 3 stresses SQL truncating division: sum -3, n 2 -> -1
+    vecs = [
+        [0.0000005, -0.0000005, 1.25],
+        [0.0000015, 0.1, -2.5],
+        [1.0, 2.0, 3.0],
+        [-0.000001, 0.5, 0.5],
+        [-0.000002, 0.5, 0.5],
+    ]
+    labels = [1, 1, 2, 3, 3]
+    t = pa.table({
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })
+    out = (
+        grouped_centroid(ray.data.from_arrow(t), "label", "embedding")
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("embeddings", t)
+    sql = con.execute(
+        """
+        SELECT label, i AS dim,
+               SUM(CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+                        AS BIGINT))
+                 // COUNT(*) AS centroid_q,
+               COUNT(*) AS n
+        FROM embeddings, LATERAL UNNEST(range(len(embedding))) AS u(i)
+        GROUP BY label, i ORDER BY label, dim
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        out.astype({"label": "int32", "dim": "int64",
+                    "centroid_q": "int64", "n": "int64"}),
+        sql.astype({"label": "int32", "dim": "int64",
+                    "centroid_q": "int64", "n": "int64"}),
+    )
+    # n counts vectors per group; centroid of group 2 is the vector
+    g2 = out[out.label == 2]
+    assert list(g2.centroid_q) == [1000000, 2000000, 3000000]
+    assert set(out.n) == {2, 1}
+
+
+def test_grouped_centroid_layout_independent(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.similarity import grouped_centroid
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(64, 8).astype(np.float32)
+    labels = rng.randint(0, 3, 64)
+    t = pa.table({
+        "label": pa.array(labels, pa.int32()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+    a = (
+        grouped_centroid(ray.data.from_arrow(t), "label", "embedding")
+        .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+    )
+    b = (
+        grouped_centroid(
+            ray.data.from_arrow(t).repartition(13), "label", "embedding",
+            batch_size=5,
+        )
+        .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
