@@ -1487,6 +1487,85 @@ def _q_feed_expand(sf_dir: str) -> Any:
     return out.select_columns(["feed_url", "url", "item_idx"])
 
 
+def _q_pagerank(sf_dir: str) -> Any:
+    """Integer-scaled 2-iteration PageRank over the customer↔supplier
+    trade graph (the synthetic stand-in for a host link graph — the
+    crawl corpus's link table has the same (src, dst) shape, reference
+    link harvesting: internal/scrape.go). Node encoding: customer c →
+    2c, supplier s → 2s+1; edges = DISTINCT (cust, supp) pairs from
+    orders⋈lineitem, symmetrized so the graph has no dangling nodes
+    and the simplified dangling-mass-dropped semantics are exact.
+    Every arithmetic step is int64 floor division, so the result is
+    engine-exact (see ops/graph.py). The orders side broadcasts
+    (orderkey→custkey arrays via ray.put); lineitem streams; distinct
+    pairs are ONE groupby exchange; each PageRank iteration adds one
+    pre-aggregated node-table exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from scrape_ray.ops.graph import pagerank
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    okeys = orders["o_orderkey"].to_numpy().astype(np.int64)
+    ocust = orders["o_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(okeys, kind="stable")
+    map_ref = ray.put((okeys[order], ocust[order]))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def _edges(t: pa.Table) -> pa.Table:
+        ok, oc = ray.get(map_ref)
+        lo = t["l_orderkey"].to_numpy().astype(np.int64)
+        su = t["l_suppkey"].to_numpy().astype(np.int64)
+        cu = oc[np.searchsorted(ok, lo)]
+        return pa.table({
+            "src": pa.array(cu * 2, pa.int64()),
+            "dst": pa.array(su * 2 + 1, pa.int64()),
+        })
+
+    pairs = (
+        li.map_batches(_edges, batch_format="pyarrow", batch_size=None)
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+    )
+
+    def _sym(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy().astype(np.int64)
+        d = t["dst"].to_numpy().astype(np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([s, d]), pa.int64()),
+            "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+        })
+
+    edges = pairs.map_batches(_sym, batch_format="pyarrow", batch_size=None)
+    return pagerank(edges, iterations=2)
+
+
+def _q_postings(sf_dir: str) -> Any:
+    """Inverted-index build over the documents corpus: one row per
+    token with document frequency and the ascending comma-joined
+    posting list — crawl → extract → index, the canonical downstream
+    of the reference's stored extracted text
+    (internal/storage/sqlite/store.go). Per-batch distinct (token,
+    doc) pairs pre-aggregate before the single token exchange."""
+    import ray.data
+
+    from scrape_ray.ops.textstats import inverted_index
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return inverted_index(docs)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters: the round-3 driver recorded correctness rows
     # for exactly the first 50 entries of this dict, so queries that lack a
@@ -1495,6 +1574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # green in r1-r3) are placed LAST as the sacrificial tail if a row cap
     # persists.
     return {
+        "pagerank": _q_pagerank,
+        "postings": _q_postings,
         "ivf_topk_full": _q_ivf_topk_full,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
@@ -1548,9 +1629,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tail = least marginal evidence if the ~50-row cap persists:
         # every entry below is green in CORRECTNESS_r03 AND its code
         # paths are untouched this round (cache.py / feeds.py / the
-        # json window ops), and the two TPC-H demos map to no §2
-        # operator — whereas everything above either changed this
-        # round or has no prior driver row
+        # json window ops; bigram_freq and length_quantiles_by_lang
+        # ride r3-era term_frequencies / sketch quantiles), and the
+        # two TPC-H demos map to no §2 operator — whereas everything
+        # above either changed this round or has no prior driver row
         "feed_expand": _q_feed_expand,
         "domain_settings_scan": _q_domain_settings_scan,
         "json_props": _q_json_props,
@@ -1584,6 +1666,71 @@ _ANN_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # pagerank: 2 fixed power iterations, all-int64 floor math —
+        # r0 = 1e6, contrib = r // outdeg, r' = 150000 + (85*S)//100.
+        # DuckDB // truncates toward zero = numpy floor on these
+        # non-negative values, so the hashes are exact.
+        "pagerank": """
+            WITH pairs AS (
+                SELECT DISTINCT o.o_custkey * 2 AS src,
+                                l.l_suppkey * 2 + 1 AS dst
+                FROM orders o
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            ),
+            edges AS (
+                SELECT src, dst FROM pairs
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM edges),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS d
+                    FROM edges GROUP BY 1),
+            s1 AS (
+                SELECT e.dst AS node,
+                       SUM(1000000::BIGINT // d.d)::BIGINT AS s
+                FROM edges e JOIN deg d ON d.node = e.src
+                GROUP BY 1
+            ),
+            r1 AS (
+                SELECT n.node,
+                       (150000::BIGINT
+                        + (85::BIGINT * COALESCE(s1.s, 0)) // 100
+                       )::BIGINT AS r
+                FROM nodes n LEFT JOIN s1 ON s1.node = n.node
+            ),
+            s2 AS (
+                SELECT e.dst AS node, SUM(r1.r // d.d)::BIGINT AS s
+                FROM edges e
+                JOIN deg d ON d.node = e.src
+                JOIN r1 ON r1.node = e.src
+                GROUP BY 1
+            ),
+            r2 AS (
+                SELECT n.node,
+                       (150000::BIGINT
+                        + (85::BIGINT * COALESCE(s2.s, 0)) // 100
+                       )::BIGINT AS r
+                FROM nodes n LEFT JOIN s2 ON s2.node = n.node
+            )
+            SELECT node, r AS "rank" FROM r2
+        """,
+        # postings: whitespace tokenization identical to term_freq's
+        # oracle; posting list = ascending comma-joined doc ids.
+        "postings": r"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, u.tok
+                FROM (SELECT doc_id,
+                             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                  ELSE str_split_regex(trim(text), '\s+')
+                             END AS tk
+                      FROM documents), UNNEST(tk) AS u(tok)
+            )
+            SELECT tok AS token,
+                   count(*)::BIGINT AS df,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+                       AS posting
+            FROM toks GROUP BY tok
+        """,
         # image_features: the engine DECODES real binary-PPM payloads
         # (scrape_ray/ops/multimodal.py ppm_decode) whose raster byte i
         # of image m is (m*31 + i*7) % 256; channel c covers raster

@@ -529,3 +529,66 @@ def vocab_coverage(ds, vocab: pa.Table | list[str],
         return t.append_column("n_oov", pa.array(n_oov, pa.int64()))
 
     return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
+                   df_min: int = 1, batch_size: int = 4096):
+    """Inverted index build: one row per token with its document
+    frequency and the full posting list (doc ids ascending, comma-
+    joined) — the search-engine-side counterpart of the reference's
+    extract pipeline (crawl → extract → index; reference stores pages
+    by URL key, `internal/storage/sqlite/store.go`, and an index over
+    the extracted text is the canonical downstream consumer).
+
+    Scale shape: stage 1 emits per-batch DISTINCT (token, doc) pairs
+    (vectorized lexsort dedup on dictionary codes — one row per
+    batch-distinct pair, never per occurrence); the single
+    ``groupby("token")`` exchange then moves the pair table, which is
+    sum-of-per-doc-vocabularies sized (Zipf-bounded), not the token
+    stream. Posting-list assembly is per-group: sort + one join per
+    token, vocabulary-bounded work. Assumes ``id_col`` is unique per
+    input row (a doc appearing twice would double-post).
+
+    At 100 TB the posting list of a stopword-grade token is itself
+    huge — real index builds shard postings by doc-id range. Keep
+    ``df_min``/a stopword cut upstream, or partition the doc space
+    and build one index per partition dir (same pattern as
+    ``similarity.build_ivf_index``)."""
+
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      id_col: pa.array([], pa.int64())})
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        flat, parent = _ws_tokens_flat(t, text_col)
+        if len(flat) == 0:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = ids[parent]
+        # distinct (token, doc) within the batch: lexsort + neighbor diff
+        order = np.lexsort((doc, codes))
+        sc, sd = codes[order], doc[order]
+        first = np.ones(len(sc), dtype=bool)
+        first[1:] = (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1])
+        return pa.table({
+            "token": enc.dictionary.take(pa.array(sc[first])),
+            id_col: pa.array(sd[first], pa.int64()),
+        })
+
+    def _assemble(g: pa.Table) -> pa.Table:
+        ids = np.sort(g[id_col].to_numpy(zero_copy_only=False))
+        # one join per token group — vocabulary-bounded, not corpus-bounded
+        posting = ",".join(map(str, ids.tolist()))
+        return pa.table({
+            "token": g["token"].slice(0, 1),
+            "df": pa.array([len(ids)], pa.int64()),
+            "posting": pa.array([posting], pa.string()),
+        })
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow",
+                           batch_size=batch_size)
+    idx = pairs.groupby("token").map_groups(_assemble, batch_format="pyarrow")
+    if df_min > 1:
+        idx = idx.filter(expr=f"df >= {df_min}")
+    return idx
