@@ -1521,25 +1521,27 @@ def _q_pagerank(sf_dir: str) -> Any:
     )
 
     def _edges(t: pa.Table) -> pa.Table:
+        # pack the pair into ONE int64 (both ids < 2^31 up to sf100) and
+        # pre-dedup per batch: a single-key distinct exchange is ~2×
+        # cheaper than the two-key groupby it replaces
         ok, oc = ray.get(map_ref)
         lo = t["l_orderkey"].to_numpy().astype(np.int64)
         su = t["l_suppkey"].to_numpy().astype(np.int64)
         cu = oc[np.searchsorted(ok, lo)]
-        return pa.table({
-            "src": pa.array(cu * 2, pa.int64()),
-            "dst": pa.array(su * 2 + 1, pa.int64()),
-        })
+        packed = np.unique((cu * 2) << np.int64(32) | (su * 2 + 1))
+        return pa.table({"pk": pa.array(packed, pa.int64())})
 
     pairs = (
         li.map_batches(_edges, batch_format="pyarrow", batch_size=None)
-        .groupby(["src", "dst"])
+        .groupby("pk")
         .count()
-        .select_columns(["src", "dst"])
+        .select_columns(["pk"])
     )
 
     def _sym(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy().astype(np.int64)
-        d = t["dst"].to_numpy().astype(np.int64)
+        pk = t["pk"].to_numpy().astype(np.int64)
+        s = pk >> np.int64(32)
+        d = pk & np.int64(0xFFFFFFFF)
         return pa.table({
             "src": pa.array(np.concatenate([s, d]), pa.int64()),
             "dst": pa.array(np.concatenate([d, s]), pa.int64()),

@@ -47,17 +47,20 @@ def test_node_degrees_counts_sinks(ray_session):
     assert t["sum(outdeg)"].to_pylist() == [2, 1, 0]
 
 
+@pytest.mark.parametrize("fold", ["driver", "exchange"])
 @pytest.mark.parametrize("iterations", [1, 2, 3])
-def test_pagerank_matches_reference(ray_session, iterations):
+def test_pagerank_matches_reference(ray_session, iterations, fold):
     from scrape_ray.ops.graph import pagerank
     from scrape_ray.util import dataset_to_table
 
-    # small directed graph with a cycle, a hub and a sink
+    # small directed graph with a cycle, a hub and a sink; both fold
+    # paths must be bit-identical to the reference
     edge_list = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (4, 2),
                  (4, 3), (5, 4), (3, 6)]
     expect = _ref_pagerank(edge_list, iterations=iterations)
     got = dataset_to_table(
-        pagerank(_edges_ds(ray_session, edge_list), iterations=iterations)
+        pagerank(_edges_ds(ray_session, edge_list), iterations=iterations,
+                 fold=fold)
     )
     ranks = dict(zip(got["node"].to_pylist(), got["rank"].to_pylist()))
     assert ranks == expect
