@@ -1568,6 +1568,24 @@ def _q_postings(sf_dir: str) -> Any:
     return inverted_index(docs)
 
 
+def _q_dup_spans(sf_dir: str) -> Any:
+    """Exact-substring duplication profile (Lee et al. 2022
+    ExactSubstr at word-8-gram granularity): per doc, how many 8-gram
+    positions carry an 8-gram occurring >= 2 times anywhere in the
+    corpus (see ops/textstats.dup_span_stats — one pre-aggregated
+    count exchange + a broadcast membership pass). Oracle joins the
+    gram STRINGS; the engine's FNV+mix 64-bit gram hashes stand in
+    for them (collision odds < 1e-9 at this vocabulary)."""
+    import ray.data
+
+    from scrape_ray.ops.textstats import dup_span_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dup_span_stats(docs, n=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters: the round-3 driver recorded correctness rows
     # for exactly the first 50 entries of this dict, so queries that lack a
@@ -1578,6 +1596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pagerank": _q_pagerank,
         "postings": _q_postings,
+        "dup_spans": _q_dup_spans,
         "ivf_topk_full": _q_ivf_topk_full,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
@@ -1732,6 +1751,46 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
                        AS posting
             FROM toks GROUP BY tok
+        """,
+        # dup_spans: word-8-gram positions whose gram occurs >= 2
+        # times corpus-wide (incl. same-doc repeats). The oracle
+        # counts by gram STRING; the engine by 64-bit gram hash.
+        # range(1, len-6) is exclusive-end -> i in [1, len-7], the
+        # len-7 valid 1-based 8-gram starts; // on non-negatives
+        # truncates = floors, matching the engine's permille.
+        "dup_spans": r"""
+            WITH w AS (
+                SELECT doc_id,
+                    list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '') AS words
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, unnest(
+                    CASE WHEN len(words) < 8 THEN []::VARCHAR[]
+                         ELSE list_transform(range(1, len(words) - 6),
+                              i -> words[i] || ' ' || words[i+1] || ' '
+                                   || words[i+2] || ' ' || words[i+3]
+                                   || ' ' || words[i+4] || ' ' || words[i+5]
+                                   || ' ' || words[i+6] || ' ' || words[i+7])
+                    END) AS gram
+                FROM w
+            ),
+            c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1),
+            p AS (
+                SELECT g.doc_id,
+                       COUNT(*)::BIGINT AS n_pos,
+                       SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)::BIGINT
+                           AS dup_pos
+                FROM g JOIN c USING (gram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_pos, 0)::BIGINT AS n_pos,
+                   COALESCE(p.dup_pos, 0)::BIGINT AS dup_pos,
+                   (CASE WHEN COALESCE(p.n_pos, 0) = 0 THEN 0
+                         ELSE (COALESCE(p.dup_pos, 0) * 1000) // p.n_pos
+                    END)::BIGINT AS dup_permille
+            FROM documents d LEFT JOIN p USING (doc_id)
         """,
         # image_features: the engine DECODES real binary-PPM payloads
         # (scrape_ray/ops/multimodal.py ppm_decode) whose raster byte i

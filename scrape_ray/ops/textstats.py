@@ -592,3 +592,115 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
     if df_min > 1:
         idx = idx.filter(expr=f"df >= {df_min}")
     return idx
+
+
+def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                   n: int = 8, batch_size: int = 4096,
+                   scale: int = 1000):
+    """Exact-substring duplication profile (the ExactSubstr statistic
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499, at word-n-gram granularity):
+    for every document, how many of its word ``n``-gram positions are
+    occupied by an n-gram that occurs >= 2 times ANYWHERE in the
+    corpus (including elsewhere in the same document). Output is one
+    row per input doc: (id_col, n_pos, dup_pos, dup_permille) with
+    ``dup_permille = dup_pos * scale // n_pos`` (0 for docs shorter
+    than ``n`` tokens) — the per-doc score training pipelines
+    threshold on to drop boilerplate-heavy pages. No reference analog
+    (it stops at extraction); downstream of ``content_text``.
+
+    Scale shape — two streaming passes, ONE exchange total:
+
+    1. Count pass: each batch tokenizes (Arrow whitespace kernel),
+       FNV-hashes tokens once (``functions.keys.fnv1a64_arrow``) and
+       combines ``n`` shifted hash views with a polynomial mix — an
+       O(n)-vector-op gram hash with no gram-string materialization —
+       then pre-aggregates occurrence counts per batch-distinct hash,
+       so the single ``groupby(hash).sum`` exchange moves the
+       batch-distinct gram vocabulary (Zipf-bounded), never the gram
+       stream.
+    2. The duplicated-hash set (global count >= 2) is pulled sorted
+       to the driver and BROADCAST with ``ray.put`` — duplicated
+       n-grams are the Zipf head, far smaller than the vocabulary.
+       Score pass: re-tokenize, re-hash, ``searchsorted`` membership,
+       ``bincount`` per parent row — zero further exchanges.
+
+    At 100 TB, if the dup set outgrows the broadcast budget, keep the
+    counts as a Dataset, emit (hash, doc) pairs from the score pass
+    and replace step 2 with the hash-partitioned shuffle join used by
+    ``state/cache.py``'s fetch path — exchanges go 1 -> 2, per-doc
+    aggregation shape unchanged. Hash collisions (FNV-1a 64 + mix)
+    would fuse two distinct grams; at 2^64 the expected collision
+    count stays < 1 up to ~10^9 distinct grams per corpus.
+    """
+    import ray
+
+    from scrape_ray.functions.keys import fnv1a64_arrow
+    from scrape_ray.util import dataset_to_table
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    MIX = np.uint64(0x100000001B3)
+
+    def _gram_hashes(t: pa.Table):
+        """(gram_hash uint64, parent row idx) for every valid n-gram
+        position; grams never span docs (parent equality filter)."""
+        flat, parent = _ws_tokens_flat(t, text_col)
+        if len(flat) == 0:
+            return np.zeros(0, np.uint64), parent[:0]
+        th = fnv1a64_arrow(flat)
+        m = len(th) - (n - 1)
+        if m <= 0:
+            return np.zeros(0, np.uint64), parent[:0]
+        with np.errstate(over="ignore"):
+            h = th[:m].copy()
+            for i in range(1, n):
+                h = h * MIX ^ th[i:i + m]
+        valid = parent[:m] == parent[n - 1:]
+        # int64 bit-view: Ray groupby keys round-trip through Python
+        # ints, and uint64 values above 2^63 overflow that path
+        return h[valid].view(np.int64), parent[:m][valid]
+
+    def _count_partial(t: pa.Table) -> pa.Table:
+        h, _ = _gram_hashes(t)
+        u, cnt = np.unique(h, return_counts=True)
+        return pa.table({"gh": pa.array(u, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    counts = (
+        ds.map_batches(_count_partial, batch_format="pyarrow",
+                       batch_size=batch_size)
+        .groupby("gh").sum("cnt")
+    )
+    def _dup_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["sum(cnt)"], pa.scalar(2)))
+
+    dup_tbl = dataset_to_table(
+        counts.map_batches(_dup_only, batch_format="pyarrow", batch_size=None))
+    dup_sorted = np.sort(
+        dup_tbl["gh"].to_numpy(zero_copy_only=False).astype(np.int64))
+    dup_ref = ray.put(dup_sorted)
+
+    def _score(t: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)  # zero-copy shared read
+        h, parent = _gram_hashes(t)
+        nrows = t.num_rows
+        n_pos = np.bincount(parent, minlength=nrows).astype(np.int64)
+        if len(h) and len(dup):
+            pos = np.searchsorted(dup, h)
+            hit = (pos < len(dup)) & (dup[np.minimum(pos, len(dup) - 1)] == h)
+            dup_pos = np.bincount(parent[hit], minlength=nrows).astype(np.int64)
+        else:
+            dup_pos = np.zeros(nrows, dtype=np.int64)
+        permille = np.zeros(nrows, dtype=np.int64)
+        nz = n_pos > 0
+        permille[nz] = dup_pos[nz] * scale // n_pos[nz]
+        return pa.table({
+            id_col: t[id_col],
+            "n_pos": pa.array(n_pos, pa.int64()),
+            "dup_pos": pa.array(dup_pos, pa.int64()),
+            "dup_permille": pa.array(permille, pa.int64()),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow",
+                          batch_size=batch_size)

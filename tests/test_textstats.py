@@ -314,3 +314,54 @@ def test_dedup_lines_matches_scalar_reference(ray_session):
         want_tf = (Counter(words).most_common(1)[0][1] * 1000 // len(words)
                    if words else 0)
         assert row["top_word_frac_x1000"] == want_tf, x
+
+
+def test_dup_span_stats_matches_bruteforce(ray_session):
+    from collections import Counter
+
+    from scrape_ray.ops.textstats import dup_span_stats
+
+    texts = [
+        "a b c d e f g h i j",       # head 8-gram shared with doc 1
+        "a b c d e f g h x y",
+        "short doc",                  # < n tokens -> 0 positions
+        "z z z z z z z z z z z z",   # within-doc repeats count too
+        "",
+        "one two three four five six seven eight",  # exactly 1 position
+    ]
+    n = 8
+    out = (
+        dup_span_stats(_ds(texts), n=n, batch_size=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    def grams(t):
+        w = t.split()
+        return [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+
+    c = Counter(g for t in texts for g in grams(t))
+    for i, t in enumerate(texts):
+        gs = grams(t)
+        dp = sum(1 for g in gs if c[g] >= 2)
+        row = out.iloc[i]
+        assert row["n_pos"] == len(gs)
+        assert row["dup_pos"] == dp
+        assert row["dup_permille"] == ((dp * 1000) // len(gs) if gs else 0)
+
+
+def test_dup_span_stats_layout_independent(ray_session):
+    from scrape_ray.ops.textstats import dup_span_stats
+
+    texts = [f"w{i} " * 3 + "p q r s t u v w x" for i in range(20)]
+    a = (
+        dup_span_stats(_ds(texts), n=8, batch_size=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        dup_span_stats(_ds(texts).repartition(7), n=8, batch_size=20)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (a["dup_pos"] > 0).all()  # the shared tail 8-grams repeat
