@@ -1586,6 +1586,75 @@ def _q_dup_spans(sf_dir: str) -> Any:
     return dup_span_stats(docs, n=8)
 
 
+def _q_warc_scan(sf_dir: str) -> Any:
+    """WARC source (sources/warc.py): the Common-Crawl-shaped archived
+    counterpart of the reference's live fetch (internal/fetch). Shards
+    are synthesized ONCE per sf_dir from documents.parquet (4 shards,
+    half per-record-gzip, warcinfo + request records interleaved to
+    exercise type filtering), then the PIPELINE under test is
+    read_warc → per-record (url, http_status, payload_len,
+    n_ws_tokens) — i.e. parse + the downstream token-count stage the
+    live spine would run."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from scrape_ray.ops.textstats import _ws_tokens_flat
+    from scrape_ray.sources.frontier_gen import dirty_url
+    from scrape_ray.sources.warc import read_warc, write_warc
+
+    warc_dir = f"/tmp/scrape_ray_warc_{os.path.basename(os.path.normpath(sf_dir))}"
+    marker = f"{warc_dir}/.done"
+    if not os.path.exists(marker):
+        os.makedirs(warc_dir, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        for shard in range(4):
+            recs = []
+            if shard == 0:
+                recs.append({"rec_type": "warcinfo", "url": "",
+                             "payload": b"software: scrape_ray synth"})
+            for d, x in zip(ids, texts):
+                if d % 4 != shard:
+                    continue
+                url = dirty_url(d)
+                if d % 16 == shard:  # request records must be filtered out
+                    recs.append({"rec_type": "request", "url": url,
+                                 "payload": b"GET / HTTP/1.1"})
+                recs.append({"url": url, "http_status": 200,
+                             "payload": (x or "").encode("utf-8")})
+            gz = shard % 2 == 1
+            write_warc(recs, f"{warc_dir}/shard{shard}.warc"
+                             + (".gz" if gz else ""), gzip_per_record=gz)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    paths = sorted(
+        f"{warc_dir}/{p}" for p in os.listdir(warc_dir) if p.startswith("shard")
+    )
+
+    def _stats(t: pa.Table) -> pa.Table:
+        text = pc.cast(t["payload"], pa.large_string())
+        tt = pa.table({"text": text})
+        _, parent = _ws_tokens_flat(tt, "text")
+        ntok = np.bincount(parent, minlength=t.num_rows).astype(np.int64)
+        return pa.table({
+            "url": t["url"],
+            "http_status": t["http_status"],
+            "payload_len": pc.cast(pc.binary_length(t["payload"]), pa.int64()),
+            "n_ws_tokens": pa.array(ntok, pa.int64()),
+        })
+
+    return read_warc(paths).map_batches(
+        _stats, batch_format="pyarrow", batch_size=4096)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Registry ORDER matters: the round-3 driver recorded correctness rows
     # for exactly the first 50 entries of this dict, so queries that lack a
@@ -1597,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "postings": _q_postings,
         "dup_spans": _q_dup_spans,
+        "warc_scan": _q_warc_scan,
         "ivf_topk_full": _q_ivf_topk_full,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
@@ -1791,6 +1861,18 @@ def oracle_sql() -> dict[str, str]:
                          ELSE (COALESCE(p.dup_pos, 0) * 1000) // p.n_pos
                     END)::BIGINT AS dup_permille
             FROM documents d LEFT JOIN p USING (doc_id)
+        """,
+        # warc_scan: the engine parses real WARC/1.0 bytes (half the
+        # shards per-record-gzip) synthesized from documents; the
+        # oracle rebuilds the per-record stats closed-form. UTF-8
+        # payload length = octet_length of the encoded text.
+        "warc_scan": rf"""
+            SELECT {_DIRTY} AS url,
+                   200::BIGINT AS http_status,
+                   octet_length(encode(text))::BIGINT AS payload_len,
+                   len(list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> ''))::BIGINT AS n_ws_tokens
+            FROM documents
         """,
         # image_features: the engine DECODES real binary-PPM payloads
         # (scrape_ray/ops/multimodal.py ppm_decode) whose raster byte i
