@@ -1586,6 +1586,28 @@ def _q_dup_spans(sf_dir: str) -> Any:
     return dup_span_stats(docs, n=8)
 
 
+def _q_quality_deciles(sf_dir: str) -> Any:
+    """Distributed NTILE: exact decile label per doc by n_chars via
+    the shuffle-free histogram-quantile boundaries + a broadcast
+    searchsorted assign (ops/sketch.quantile_bucket). Label semantics
+    #{quantile_disc boundaries < value} are closed-form in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from scrape_ray.ops.sketch import quantile_bucket
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("n_chars"), "n_chars",
+            pc.cast(t["n_chars"], pa.int64())),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return quantile_bucket(docs, "n_chars", out_col="decile")
+
+
 def _q_warc_scan(sf_dir: str) -> Any:
     """WARC source (sources/warc.py): the Common-Crawl-shaped archived
     counterpart of the reference's live fetch (internal/fetch). Shards
@@ -1667,6 +1689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": _q_postings,
         "dup_spans": _q_dup_spans,
         "warc_scan": _q_warc_scan,
+        "quality_deciles": _q_quality_deciles,
         "ivf_topk_full": _q_ivf_topk_full,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
@@ -1861,6 +1884,25 @@ def oracle_sql() -> dict[str, str]:
                          ELSE (COALESCE(p.dup_pos, 0) * 1000) // p.n_pos
                     END)::BIGINT AS dup_permille
             FROM documents d LEFT JOIN p USING (doc_id)
+        """,
+        # quality_deciles: label = #{quantile_disc(n_chars, i/10)
+        # boundaries strictly below the row's n_chars}, i in 1..9 —
+        # the same quantile_disc definition length_quantiles verifies.
+        "quality_deciles": """
+            WITH b AS (
+                SELECT unnest([
+                    quantile_disc(n_chars, 0.1), quantile_disc(n_chars, 0.2),
+                    quantile_disc(n_chars, 0.3), quantile_disc(n_chars, 0.4),
+                    quantile_disc(n_chars, 0.5), quantile_disc(n_chars, 0.6),
+                    quantile_disc(n_chars, 0.7), quantile_disc(n_chars, 0.8),
+                    quantile_disc(n_chars, 0.9)]) AS v
+                FROM documents
+            )
+            SELECT d.doc_id,
+                   d.n_chars::BIGINT AS n_chars,
+                   (SELECT COUNT(*) FROM b WHERE b.v < d.n_chars)::BIGINT
+                       AS decile
+            FROM documents d
         """,
         # warc_scan: the engine parses real WARC/1.0 bytes (half the
         # shards per-record-gzip) synthesized from documents; the

@@ -230,3 +230,44 @@ def quantile_sketch(ds, col: str, qs: list[float],
     out = ds.aggregate(histogram_aggregate(col, max_value=max_value))
     return histogram_quantiles(
         np.asarray(out[f"hist_{col}"], dtype=np.int64), qs)
+
+
+def quantile_bucket(ds, col: str, qs: list[float] | None = None,
+                    max_value: int = 1 << 16, out_col: str = "bucket",
+                    batch_size: int = 4096):
+    """Global quantile bucketing (the distributed NTILE/bucketize
+    primitive): computes the EXACT ``quantile_disc`` boundaries of an
+    integer column via the one-pass value-histogram aggregate, then
+    assigns every row ``out_col = #{boundaries < value}`` — e.g. the
+    default ``qs`` of 0.1..0.9 labels each row with its decile
+    (0..9). Curation pipelines threshold on the label ("drop the
+    bottom quality decile") without ever sorting the corpus.
+
+    Scale shape: pass 1 is the shuffle-free histogram aggregate
+    (O(max_value) state per task, deterministic merge); the boundary
+    vector (len(qs) ints) broadcasts for free inside the stage-2
+    closure; pass 2 is a stateless ``searchsorted`` map. The input
+    lineage executes twice (once per pass) — upstream of a cheap
+    parquet read that is the right trade at any scale; materialize()
+    the input first only when the upstream transform is expensive AND
+    fits the object store."""
+    import numpy as np
+    import pyarrow as pa
+
+    if qs is None:
+        qs = [i / 10 for i in range(1, 10)]
+    bounds = np.asarray(
+        quantile_sketch(ds, col, list(qs), max_value=max_value),
+        dtype=np.int64,
+    )  # quantiles of sorted qs are monotone; searchsorted needs sorted
+    bounds = np.sort(bounds)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # 'left' = index of first boundary >= v = #{boundaries < v},
+        # duplicate boundaries (skewed columns) collapse correctly
+        lab = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        return t.append_column(out_col, pa.array(lab, pa.int64()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -151,3 +151,45 @@ def test_grouped_histogram_quantiles_match_duckdb(ray_session):
         got = histogram_quantiles(
             np.asarray(r["hist_x"], dtype=np.int64), [0.5, 0.9])
         assert got == list(want), r["g"]
+
+
+def test_quantile_bucket_matches_sorted_rank(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.sketch import quantile_bucket
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 500, size=1000).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"i": pa.array(np.arange(1000), pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    ).repartition(5)
+    out = quantile_bucket(ds, "v").to_pandas().sort_values("i")
+
+    # reference: quantile_disc boundary b_q = sorted[max(ceil(q*n),1)-1],
+    # label = #{b_q < v}
+    import math
+    s = np.sort(vals)
+    bounds = np.array(
+        [s[max(math.ceil(q * len(s)), 1) - 1] for q in
+         [i / 10 for i in range(1, 10)]])
+    expect = np.searchsorted(np.sort(bounds), vals, side="left")
+    assert (out["bucket"].to_numpy() == expect).all()
+    # deciles of a near-uniform column are near-balanced
+    counts = out["bucket"].value_counts()
+    assert counts.min() > 50
+
+
+def test_quantile_bucket_skewed_constant_column(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.sketch import quantile_bucket
+
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array([42] * 100, pa.int64())}))
+    out = quantile_bucket(ds, "v").to_pandas()
+    # every boundary == 42, nothing is strictly below any value
+    assert (out["bucket"] == 0).all()
