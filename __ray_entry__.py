@@ -1586,6 +1586,23 @@ def _q_dup_spans(sf_dir: str) -> Any:
     return dup_span_stats(docs, n=8)
 
 
+def _q_kmeans(sf_dir: str) -> Any:
+    """Distributed Lloyd's k-means (2 assignment passes, k=4) over
+    the embeddings table, integer-exact end to end: quantize at 1e6
+    half-away-from-zero, int64 squared-L2, truncating-quotient
+    centroid updates, init = 4 smallest vec_ids (see
+    ops/similarity.kmeans_assign — one (k x d) broadcast per pass,
+    zero exchanges)."""
+    import ray.data
+
+    from scrape_ray.ops.similarity import kmeans_assign
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_assign(emb, k=4, iterations=2)
+
+
 def _q_quality_deciles(sf_dir: str) -> Any:
     """Distributed NTILE: exact decile label per doc by n_chars via
     the shuffle-free histogram-quantile boundaries + a broadcast
@@ -1690,6 +1707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "warc_scan": _q_warc_scan,
         "quality_deciles": _q_quality_deciles,
+        "kmeans": _q_kmeans,
         "ivf_topk_full": _q_ivf_topk_full,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
@@ -1884,6 +1902,46 @@ def oracle_sql() -> dict[str, str]:
                          ELSE (COALESCE(p.dup_pos, 0) * 1000) // p.n_pos
                     END)::BIGINT AS dup_permille
             FROM documents d LEFT JOIN p USING (doc_id)
+        """,
+        # kmeans: Lloyd replay in quantized int64 space — same ROUND/
+        # DOUBLE-cast contract as embedding_centroid, truncating //
+        # for updates, (dist, k) tie-break = engine's first-argmin.
+        "kmeans": """
+            WITH q AS (
+                SELECT vec_id, i AS dim,
+                       CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+                            AS BIGINT) AS qv
+                FROM embeddings, LATERAL UNNEST(range(len(embedding))) AS u(i)
+            ),
+            init AS (
+                SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+            ),
+            c0 AS (SELECT init.k, q.dim, q.qv FROM q JOIN init USING (vec_id)),
+            d1 AS (
+                SELECT q.vec_id, c.k,
+                       SUM((q.qv - c.qv) * (q.qv - c.qv))::BIGINT AS dist
+                FROM q JOIN c0 c USING (dim) GROUP BY 1, 2
+            ),
+            a1 AS (
+                SELECT vec_id, k FROM (
+                    SELECT vec_id, k, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY dist, k) AS rn
+                    FROM d1) WHERE rn = 1
+            ),
+            c1 AS (
+                SELECT a1.k, q.dim, SUM(q.qv)::BIGINT // COUNT(*) AS qv
+                FROM q JOIN a1 USING (vec_id) GROUP BY 1, 2
+            ),
+            d2 AS (
+                SELECT q.vec_id, c.k,
+                       SUM((q.qv - c.qv) * (q.qv - c.qv))::BIGINT AS dist
+                FROM q JOIN c1 c USING (dim) GROUP BY 1, 2
+            )
+            SELECT vec_id, k AS cluster, dist FROM (
+                SELECT vec_id, k, dist, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY dist, k) AS rn
+                FROM d2) WHERE rn = 1
         """,
         # quality_deciles: label = #{quantile_disc(n_chars, i/10)
         # boundaries strictly below the row's n_chars}, i in 1..9 —

@@ -420,3 +420,113 @@ def grouped_centroid(ds, group_col: str, vec_col: str = "embedding",
         })
 
     return agg.map_batches(_final, batch_format="pyarrow", batch_size=None)
+
+
+def kmeans_assign(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                  k: int = 8, iterations: int = 2, scale: int = 1_000_000,
+                  batch_size: int = 4096):
+    """Distributed Lloyd's k-means, INTEGER-EXACT so a SQL oracle can
+    replay it bit-for-bit (the same quantization contract as
+    :func:`grouped_centroid`): components are quantized once to
+    ``q = round(float64(x) * scale)`` (half away from zero, int64),
+    distances are exact int64 squared-L2 in quantized space, centroid
+    updates are the SQL-style truncating quotient ``sum // n``.
+    Initial centroids are the ``k`` smallest ids' vectors
+    (deterministic, no RNG). ``iterations`` counts ASSIGNMENT passes:
+    assign -> update -> assign -> ... ; the returned Dataset holds
+    the final pass's (id_col, cluster, dist) rows, where ``cluster``
+    is the ORIGINAL centroid index (ties -> lowest index; clusters
+    emptied by an update drop out of later passes, exactly like the
+    inner-join oracle).
+
+    Scale shape — per iteration ONE broadcast and ZERO exchanges: the
+    (k × d) centroid matrix ships via ``ray.put``; each task computes
+    its batch's assignment with one int64 matmul and folds a (k × d)
+    partial-sum matrix + k counts; the driver merges the per-block
+    partials (k*d ints each — O(model), not O(data)) and updates the
+    centroids. The quantized vectors are materialized once so the
+    upstream lineage is not re-executed per pass (same trade as
+    ops/graph.pagerank). int64 bound: scale^2 * d * batch rows stays
+    < 2^63 for d=64, |x|<=1, scale=1e6.
+    """
+    import ray
+    import ray.data
+
+    if k < 1 or iterations < 1:
+        raise ValueError("k and iterations must be >= 1")
+
+    def _quant(t: pa.Table) -> pa.Table:
+        m = vecs_to_numpy(t[vec_col]).astype(np.float64)
+        x = m * float(scale)
+        q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+            np.int64)
+        d = q.shape[1] if q.size else 0
+        flat = pa.array(q.reshape(-1), pa.int64())
+        return pa.table({
+            id_col: t[id_col],
+            "q": pa.FixedSizeListArray.from_arrays(flat, d),
+        })
+
+    qds = ds.map_batches(_quant, batch_format="pyarrow",
+                         batch_size=batch_size).materialize()
+    refs = qds.to_arrow_refs()
+
+    init_ids, init_vecs = _bottom_k_sample(ds, id_col, vec_col, k)
+    if len(init_ids) < k:
+        raise ValueError(f"k={k} but only {len(init_ids)} rows")
+    x0 = init_vecs.astype(np.float64) * float(scale)
+    cents = np.where(x0 >= 0, np.floor(x0 + 0.5),
+                     np.ceil(x0 - 0.5)).astype(np.int64)
+    live = np.arange(k, dtype=np.int64)  # original centroid indices
+
+    @ray.remote
+    def _assign_fold(t: pa.Table, cent: np.ndarray, live_idx):
+        """One block's assignment; returns the fold partials (sums,
+        counts), or the relabeled assignment table on the final pass
+        (``live_idx`` maps live slot -> original centroid index)."""
+        final = live_idx is not None
+        if t.num_rows == 0:
+            d = cent.shape[1]
+            if final:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "cluster": pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.int64())})
+            return (np.zeros((len(cent), d), np.int64),
+                    np.zeros(len(cent), np.int64))
+        col = t["q"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = col.type.list_size
+        X = col.values.to_numpy(zero_copy_only=False).reshape(-1, d)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, all exact in int64
+        xx = np.einsum("ij,ij->i", X, X)
+        cc = np.einsum("ij,ij->i", cent, cent)
+        dist = xx[:, None] - 2 * (X @ cent.T) + cc[None, :]
+        a = dist.argmin(axis=1)  # first min = lowest live index
+        if final:
+            return pa.table({
+                id_col: t[id_col],
+                "cluster": pa.array(live_idx[a], pa.int64()),
+                "dist": pa.array(dist[np.arange(len(a)), a], pa.int64()),
+            })
+        sums = np.zeros((len(cent), d), np.int64)
+        np.add.at(sums, a, X)
+        cnts = np.bincount(a, minlength=len(cent)).astype(np.int64)
+        return sums, cnts
+
+    for it in range(iterations - 1):
+        cref = ray.put(cents)
+        parts = ray.get([_assign_fold.remote(r, cref, None) for r in refs])
+        sums = sum(p[0] for p in parts)
+        cnts = sum(p[1] for p in parts)
+        keep = cnts > 0
+        s, n = sums[keep], cnts[keep][:, None]
+        cents = (np.sign(s) * (np.abs(s) // n)).astype(np.int64)
+        live = live[keep]
+
+    # final pass stays distributed: one relabeled assignment block per
+    # input block, stitched into a Dataset WITHOUT a driver collect
+    cref = ray.put(cents)
+    lref = ray.put(live)
+    return ray.data.from_arrow_refs(
+        [_assign_fold.remote(r, cref, lref) for r in refs])

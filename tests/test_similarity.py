@@ -196,3 +196,75 @@ def test_grouped_centroid_layout_independent(ray_session):
         .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_kmeans_assign_matches_numpy_replay(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.similarity import kmeans_assign
+
+    rng = np.random.default_rng(3)
+    n, d, k = 60, 8, 3
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(X.reshape(-1), pa.float32()), d),
+    })
+    out = (
+        kmeans_assign(ray.data.from_arrow(tbl).repartition(5),
+                      k=k, iterations=2)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+
+    Xq = X.astype(np.float64) * 1e6
+    Q = np.where(Xq >= 0, np.floor(Xq + 0.5), np.ceil(Xq - 0.5)).astype(np.int64)
+    C = Q[:k].copy()
+    live = np.arange(k)
+
+    def _assign(C):
+        dist = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return dist.argmin(axis=1), dist
+
+    a, _ = _assign(C)
+    sums = np.zeros_like(C)
+    np.add.at(sums, a, Q)
+    cnt = np.bincount(a, minlength=k)
+    keep = cnt > 0
+    s, m = sums[keep], cnt[keep][:, None]
+    C2 = (np.sign(s) * (np.abs(s) // m)).astype(np.int64)
+    live = live[keep]
+    a2, d2 = _assign(C2)
+    assert (out["cluster"].to_numpy() == live[a2]).all()
+    assert (out["dist"].to_numpy() == d2[np.arange(n), a2]).all()
+
+
+def test_kmeans_empty_cluster_drops_out(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.similarity import kmeans_assign
+
+    # ids 0 and 1 coincide, so init centroids 0 and 1 are identical;
+    # ties break to the LOWEST index, centroid 1 attracts nothing,
+    # empties after the first update, and must vanish from pass 2
+    # while surviving clusters keep their ORIGINAL labels {0, 2}
+    pts = np.array(
+        [[0.0, 0.0], [0.0, 0.0],
+         [100.0, 0.0], [100.1, 0.0], [100.05, 0.0]], dtype=np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(5), pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(pts.reshape(-1), pa.float32()), 2),
+    })
+    out = (
+        kmeans_assign(ray.data.from_arrow(tbl), k=3, iterations=3,
+                      scale=1000)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert list(out["cluster"][:2]) == [0, 0]
+    assert list(out["cluster"][2:]) == [2, 2, 2]
