@@ -615,10 +615,11 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
        FNV-hashes tokens once (``functions.keys.fnv1a64_arrow``) and
        combines ``n`` shifted hash views with a polynomial mix — an
        O(n)-vector-op gram hash with no gram-string materialization —
-       then pre-aggregates occurrence counts per batch-distinct hash,
-       so the single ``groupby(hash).sum`` exchange moves the
-       batch-distinct gram vocabulary (Zipf-bounded), never the gram
-       stream.
+       then pre-aggregates occurrence counts per batch-distinct hash.
+       The partials merge through a MANUAL hash-bucketed exchange
+       (per-block ``num_returns=P`` bucket slices + P merge tasks):
+       per-key counts don't need the global sort Ray's groupby
+       aggregate would pay for (inline comment has the numbers).
     2. The duplicated-hash set (global count >= 2) is pulled sorted
        to the driver and BROADCAST with ``ray.put`` — duplicated
        n-grams are the Zipf head, far smaller than the vocabulary.
@@ -636,7 +637,6 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
     import ray
 
     from scrape_ray.functions.keys import fnv1a64_arrow
-    from scrape_ray.util import dataset_to_table
 
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -667,18 +667,51 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({"gh": pa.array(u, pa.int64()),
                          "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
 
-    counts = (
-        ds.map_batches(_count_partial, batch_format="pyarrow",
-                       batch_size=batch_size)
-        .groupby("gh").sum("cnt")
-    )
-    def _dup_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["sum(cnt)"], pa.scalar(2)))
+    # Manual hash-partitioned count exchange instead of
+    # groupby("gh").sum: 8-gram hashes are mostly batch-unique, so the
+    # partials are near gram-stream-sized and Ray's sort-based
+    # aggregate pays a full range-partition sort for keys we only need
+    # BUCKETED (measured 25x slower than this shape at sf0.1). Each
+    # block's partial splits into P hash buckets (num_returns=P, so a
+    # merge task pulls ONLY its bucket's slices — O(B*P) small
+    # objects, never a global sort); P merge tasks then sum counts and
+    # keep the >= 2 survivors. P scales with the cluster at 100 TB;
+    # each per-bucket merge holds total_grams/P rows.
+    parts_ds = ds.map_batches(_count_partial, batch_format="pyarrow",
+                              batch_size=batch_size).materialize()
+    refs = parts_ds.to_arrow_refs()
+    P = max(1, min(32, len(refs)))
 
-    dup_tbl = dataset_to_table(
-        counts.map_batches(_dup_only, batch_format="pyarrow", batch_size=None))
+    @ray.remote
+    def _slice(t: pa.Table, P: int):
+        h = t["gh"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (h.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        h, c, b = h[order], c[order], b[order]
+        cuts = np.searchsorted(b, np.arange(P + 1))
+        out = [(h[cuts[p]:cuts[p + 1]], c[cuts[p]:cuts[p + 1]])
+               for p in range(P)]
+        return out[0] if P == 1 else tuple(out)
+
+    @ray.remote
+    def _dup_merge(*parts):
+        hs = np.concatenate([p[0] for p in parts] or [np.empty(0, np.int64)])
+        cs = np.concatenate([p[1] for p in parts] or [np.empty(0, np.int64)])
+        u, inv = np.unique(hs, return_inverse=True)
+        acc = np.zeros(len(u), np.int64)
+        np.add.at(acc, inv, cs)
+        return u[acc >= 2]
+
+    sliced = [_slice.options(num_returns=P).remote(r, P) for r in refs]
+    if P == 1:
+        sliced = [[s] for s in sliced]
+    dup_parts = ray.get([
+        _dup_merge.remote(*[sliced[b][p] for b in range(len(refs))])
+        for p in range(P)
+    ])
     dup_sorted = np.sort(
-        dup_tbl["gh"].to_numpy(zero_copy_only=False).astype(np.int64))
+        np.concatenate(dup_parts or [np.empty(0, np.int64)]))
     dup_ref = ray.put(dup_sorted)
 
     def _score(t: pa.Table) -> pa.Table:
