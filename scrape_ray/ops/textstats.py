@@ -679,37 +679,17 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
     # each per-bucket merge holds total_grams/P rows.
     parts_ds = ds.map_batches(_count_partial, batch_format="pyarrow",
                               batch_size=batch_size).materialize()
-    refs = parts_ds.to_arrow_refs()
-    P = max(1, min(32, len(refs)))
 
-    @ray.remote
-    def _slice(t: pa.Table, P: int):
-        h = t["gh"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (h.view(np.uint64) % np.uint64(P)).astype(np.int64)
-        order = np.argsort(b, kind="stable")
-        h, c, b = h[order], c[order], b[order]
-        cuts = np.searchsorted(b, np.arange(P + 1))
-        out = [(h[cuts[p]:cuts[p + 1]], c[cuts[p]:cuts[p + 1]])
-               for p in range(P)]
-        return out[0] if P == 1 else tuple(out)
-
-    @ray.remote
-    def _dup_merge(*parts):
-        hs = np.concatenate([p[0] for p in parts] or [np.empty(0, np.int64)])
-        cs = np.concatenate([p[1] for p in parts] or [np.empty(0, np.int64)])
+    def _dups(hs: np.ndarray, cs: np.ndarray) -> np.ndarray:
         u, inv = np.unique(hs, return_inverse=True)
         acc = np.zeros(len(u), np.int64)
         np.add.at(acc, inv, cs)
         return u[acc >= 2]
 
-    sliced = [_slice.options(num_returns=P).remote(r, P) for r in refs]
-    if P == 1:
-        sliced = [[s] for s in sliced]
-    dup_parts = ray.get([
-        _dup_merge.remote(*[sliced[b][p] for b in range(len(refs))])
-        for p in range(P)
-    ])
+    from scrape_ray.util import bucketed_key_merge
+
+    dup_parts = bucketed_key_merge(
+        parts_ds.to_arrow_refs(), "gh", "cnt", _dups)
     dup_sorted = np.sort(
         np.concatenate(dup_parts or [np.empty(0, np.int64)]))
     dup_ref = ray.put(dup_sorted)

@@ -124,3 +124,59 @@ def vecs_to_numpy(col) -> "np.ndarray":
                 .astype(np.float32, copy=False)
             )
     return np.array(arr.to_pylist(), dtype=np.float32)
+
+
+def bucketed_key_merge(refs, key_col: str, val_col: str | None,
+                       merge_fn, P: int = 32, resolve: bool = True) -> list:
+    """Manual hash-bucketed exchange over an int64 key column — the
+    cheap replacement for ``groupby(key)`` when per-key results only
+    need BUCKETING, not Ray's sort-based range partitioning (which
+    pays a full distributed sort; measured 25x slower for near-unique
+    full-range hash keys, see ops/textstats.dup_span_stats).
+
+    ``refs``: materialized block refs (``ds.to_arrow_refs()``) of
+    per-block PARTIAL tables. Each block slices into ``P`` hash
+    buckets via ``num_returns=P`` (so a merge task pulls only its
+    bucket's slices — O(B*P) small objects); bucket ``p``'s merge
+    task receives every block's slice and returns
+    ``merge_fn(keys, vals)`` (a plain function, e.g. np.unique for
+    DISTINCT, or sum-by-key + threshold). ``val_col=None`` feeds
+    ones. Returns the P merged results — driver-resolved by default
+    (size them like any to-driver collect), or as ObjectRefs with
+    ``resolve=False`` for downstream distributed consumption (e.g.
+    ``from_arrow_refs`` after a per-bucket remote transform). P
+    scales with the cluster; each merge holds total_rows/P."""
+    import numpy as np
+    import ray
+
+    if not refs:
+        return []
+    P = max(1, min(P, len(refs)))
+
+    @ray.remote
+    def _slice(t: pa.Table, P: int):
+        h = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = (t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+             if val_col else np.ones(len(h), np.int64))
+        b = (h.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        h, v, b = h[order], v[order], b[order]
+        cuts = np.searchsorted(b, np.arange(P + 1))
+        out = [(h[cuts[p]:cuts[p + 1]], v[cuts[p]:cuts[p + 1]])
+               for p in range(P)]
+        return out[0] if P == 1 else tuple(out)
+
+    @ray.remote
+    def _merge(*parts):
+        hs = np.concatenate([p[0] for p in parts] or [np.empty(0, np.int64)])
+        vs = np.concatenate([p[1] for p in parts] or [np.empty(0, np.int64)])
+        return merge_fn(hs, vs)
+
+    sliced = [_slice.options(num_returns=P).remote(r, P) for r in refs]
+    if P == 1:
+        sliced = [[s] for s in sliced]
+    out = [
+        _merge.remote(*[sliced[b][p] for b in range(len(refs))])
+        for p in range(P)
+    ]
+    return ray.get(out) if resolve else out

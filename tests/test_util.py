@@ -121,3 +121,41 @@ def test_explode_links_null_and_empty():
     )
     out = _explode_links(t)
     assert out.num_rows == 0
+
+
+def test_bucketed_key_merge_counts_and_distinct(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from scrape_ray.util import bucketed_key_merge
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(-2**62, 2**62, size=5000, dtype=np.int64)
+    keys = np.concatenate([keys, keys[:500]])  # plant duplicates
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()),
+                  "c": pa.array(np.ones(len(keys), np.int64), pa.int64())})
+    ).repartition(7).materialize()
+
+    def _dups(h, c):
+        u, inv = np.unique(h, return_inverse=True)
+        acc = np.zeros(len(u), np.int64)
+        np.add.at(acc, inv, c)
+        return u[acc >= 2]
+
+    parts = bucketed_key_merge(ds.to_arrow_refs(), "k", "c", _dups, P=5)
+    got = np.sort(np.concatenate(parts))
+    u, cnt = np.unique(keys, return_counts=True)
+    assert (got == np.sort(u[cnt >= 2])).all()
+
+    # distinct via val_col=None + resolve=False returns refs
+    refs = bucketed_key_merge(
+        ds.to_arrow_refs(), "k", None, lambda h, v: np.unique(h),
+        P=5, resolve=False)
+    vals = np.sort(np.concatenate(ray.get(refs)))
+    assert (vals == u).all()
+    # buckets partition: no key appears in two buckets
+    sizes = sum(len(r) for r in ray.get(refs))
+    assert sizes == len(u)
