@@ -6,9 +6,10 @@ SURVEY.md §2.5); these are the training-pipeline/streaming extensions,
 built the Ray-Data way:
 
 - **Tumbling**: window assignment + PARTIAL per-batch aggregation
-  inside ``map_batches`` (the combiner), then one small
-  ``groupby().aggregate()`` over partials — the shuffle moves
-  (keys × windows) rows, not events.
+  inside ``map_batches`` (the combiner), then one hash-bucketed
+  merge exchange over partials (``util.hash_groupby_sum`` — the
+  exchange moves (keys × windows) rows, not events, and skips the
+  sort Ray's aggregate would pay).
 - **Sessions**: per-user gap splitting needs every user's events
   together once — ONE coarse hash exchange on ``user_id % P``, then a
   vectorized per-user split inside each task (no per-user UDF calls).
@@ -36,7 +37,6 @@ def tumbling_aggregate(
     """count + sum(value_cents) per (key, window_start). Partial
     aggregation per batch, final aggregation per key — two-level, like
     a combiner."""
-    from ray.data.aggregate import Sum
 
     def _partial(t: pa.Table) -> pa.Table:
         epoch = pc.cast(t[ts_col], pa.int64())  # µs since epoch
@@ -75,10 +75,7 @@ def tumbling_aggregate(
         )
 
     partial = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-    final = partial.groupby([key_col, "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_cents", alias_name="sum_cents"),
-    )
+    final = _hash_window_merge(partial, key_col)
 
     def _finish(t: pa.Table) -> pa.Table:
         ts = pc.cast(t["window_start"], pa.timestamp("us"))
@@ -87,6 +84,25 @@ def tumbling_aggregate(
         )
 
     return final.map_batches(_finish, batch_format="pyarrow", batch_size=None)
+
+
+def _hash_window_merge(partial, key_col: str):
+    """Final (key, window_start) sum via util.hash_groupby_sum: the
+    per-batch partials barely compress (one event per window per user
+    is the common case), so Ray's sort-based aggregate would pay a
+    full range-partition sort over ~#events narrow rows for an
+    unordered per-key sum — the manual bucketed exchange does one
+    local Arrow groupby per bucket instead (~4.8 s -> ~1 s at
+    sf0.1). Returns a Dataset with the same schema as the old
+    groupby().aggregate() path."""
+    import ray.data
+
+    from scrape_ray.util import hash_groupby_sum
+
+    refs = partial.materialize().to_arrow_refs()
+    merged = hash_groupby_sum(
+        refs, [key_col, "window_start"], ["n_events", "sum_cents"])
+    return ray.data.from_arrow_refs(merged)
 
 
 def hopping_aggregate(
@@ -104,7 +120,6 @@ def hopping_aggregate(
     ×k into NARROW partial rows and pre-aggregates them, so the
     shuffle moves (keys × windows) partials, never k× the event
     stream."""
-    from ray.data.aggregate import Sum
 
     if width_s % hop_s:
         raise ValueError("width_s must be a multiple of hop_s")
@@ -151,10 +166,7 @@ def hopping_aggregate(
         )
 
     partial = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-    final = partial.groupby([key_col, "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("sum_cents", alias_name="sum_cents"),
-    )
+    final = _hash_window_merge(partial, key_col)
 
     def _finish(t: pa.Table) -> pa.Table:
         ts = pc.cast(t["window_start"], pa.timestamp("us"))
