@@ -1599,6 +1599,20 @@ def _q_dup_spans(sf_dir: str) -> Any:
     return dup_span_stats(docs, n=8)
 
 
+def _q_sitemap_expand(sf_dir: str) -> Any:
+    """Sitemap source (sources/sitemaps.py): synthetic urlset per
+    documents.source parsed from real namespaced XML and flat-mapped
+    to (loc, lastmod) entry rows — the crawl-seeding counterpart of
+    feed_expand."""
+    from scrape_ray.sources.sitemaps import (
+        expand_sitemaps,
+        synthetic_sitemap_dataset,
+    )
+
+    out = expand_sitemaps(synthetic_sitemap_dataset(sf_dir))
+    return out.select_columns(["sitemap_url", "url", "lastmod", "item_idx"])
+
+
 def _q_kmeans(sf_dir: str) -> Any:
     """Distributed Lloyd's k-means (2 assignment passes, k=4) over
     the embeddings table, integer-exact end to end: quantize at 1e6
@@ -1721,6 +1735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_scan": _q_warc_scan,
         "quality_deciles": _q_quality_deciles,
         "kmeans": _q_kmeans,
+        "sitemap_expand": _q_sitemap_expand,
         "ivf_topk_full": _q_ivf_topk_full,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
@@ -2851,6 +2866,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY hv) - 1 AS BIGINT) AS rank,
                    hv AS hash_value
             FROM d
+        """,
+        # sitemap_expand: loc/lastmod closed-form; DATE + int adds
+        # days in DuckDB, CAST AS VARCHAR prints ISO YYYY-MM-DD.
+        "sitemap_expand": f"""
+            SELECT 'https://www.example.com/sitemaps/' || source || '.xml'
+                       AS sitemap_url,
+                {_DIRTY} AS url,
+                CAST(DATE '2024-01-01' + (doc_id % 365)::INTEGER AS VARCHAR)
+                    AS lastmod,
+                (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+                    AS item_idx
+            FROM documents
         """,
         "feed_expand": f"""
             SELECT 'https://feeds.example.com/' || source || '.xml' AS feed_url,
