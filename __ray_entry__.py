@@ -1630,6 +1630,66 @@ def _q_kmeans(sf_dir: str) -> Any:
     return kmeans_assign(emb, k=4, iterations=2)
 
 
+def _q_order_customer_join(sf_dir: str) -> Any:
+    """Generic distributed equi-join (ops/joins.hash_join): orders x
+    customer on custkey — one manual bucketed exchange per side
+    (util.bucket_table_refs) + P local Acero hash joins, then
+    per-bucket partial aggregates. A custkey never straddles buckets,
+    so per-bucket COUNT DISTINCT partials SUM exactly; the final merge
+    runs on the driver over a bounded table (P x segments x
+    priorities rows, ~200)."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.joins import hash_join
+    from scrape_ray.util import dataset_to_table
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"],
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    j = hash_join(orders, cust, "o_custkey", "c_custkey",
+                  join_type="inner", P=8)
+
+    keys = ["c_mktsegment", "o_orderpriority"]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, keys, use_threads=False).aggregate([
+            ("o_orderkey", "count"), ("o_custkey", "count_distinct"),
+            ("o_orderkey", "min"), ("o_orderkey", "max"),
+        ])
+        return pa.table({
+            "c_mktsegment": g["c_mktsegment"],
+            "o_orderpriority": g["o_orderpriority"],
+            "n_orders": g["o_orderkey_count"],
+            "n_custs": g["o_custkey_count_distinct"],
+            "min_order": g["o_orderkey_min"],
+            "max_order": g["o_orderkey_max"],
+        })
+
+    part = dataset_to_table(
+        j.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    )  # bounded driver collect: <= P * |segments| * |priorities| rows
+    g = pa.TableGroupBy(part, keys, use_threads=False).aggregate([
+        ("n_orders", "sum"), ("n_custs", "sum"),
+        ("min_order", "min"), ("max_order", "max"),
+    ])
+    out = pa.table({
+        "c_mktsegment": g["c_mktsegment"],
+        "o_orderpriority": g["o_orderpriority"],
+        "n_orders": g["n_orders_sum"],
+        "n_custs": g["n_custs_sum"],
+        "min_order": g["min_order_min"],
+        "max_order": g["max_order_max"],
+    })
+    return out.sort_by([("c_mktsegment", "ascending"),
+                        ("o_orderpriority", "ascending")])
+
+
 def _q_quality_deciles(sf_dir: str) -> Any:
     """Distributed NTILE: exact decile label per doc by n_chars via
     the shuffle-free histogram-quantile boundaries + a broadcast
@@ -1729,6 +1789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # green in r1-r3) are placed LAST as the sacrificial tail if a row cap
     # persists.
     return {
+        "order_customer_join": _q_order_customer_join,
         "pagerank": _q_pagerank,
         "postings": _q_postings,
         "dup_spans": _q_dup_spans,
@@ -1826,6 +1887,19 @@ _ANN_TOPK_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # order_customer_join: generic distributed hash equi-join —
+        # per-(segment, priority) order counts, distinct customers and
+        # orderkey extrema over the joined table.
+        "order_customer_join": """
+            SELECT c_mktsegment, o_orderpriority,
+                   count(*)::BIGINT AS n_orders,
+                   count(DISTINCT o_custkey)::BIGINT AS n_custs,
+                   min(o_orderkey)::BIGINT AS min_order,
+                   max(o_orderkey)::BIGINT AS max_order
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
         # pagerank: 2 fixed power iterations, all-int64 floor math —
         # r0 = 1e6, contrib = r // outdeg, r' = 150000 + (85*S)//100.
         # DuckDB // truncates toward zero = numpy floor on these

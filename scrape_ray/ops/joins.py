@@ -291,3 +291,80 @@ def interval_join(left, right, by: str, on: str, lo: str, hi: str,
         u, by, on, left_cols, out_right, check_hi=True,
         num_partitions=num_partitions, stats=stats,
     )
+
+
+def hash_join(left, right, left_on, right_on=None,
+              join_type: str = "inner", P: int = 32,
+              right_suffix: str = "_r"):
+    """Generic distributed equi-join between two Datasets — the
+    classic big-x-big relational join (reference analog: the cache
+    hit/miss semi/anti split, ``internal/storage/sqlite.go``'s id_map
+    joins — here generalized to arbitrary tables and join types).
+
+    Shape: ONE manual hash-bucketed exchange per side
+    (``util.bucket_table_refs`` — per-block ``num_returns=P`` bucket
+    slices, no distributed sort, no driver row traffic), then ``P``
+    independent join tasks each running Arrow Acero's local hash join
+    over its bucket pair. Equal keys hash identically on both sides,
+    so bucket-local joins are globally exact; bucketing only co-locates
+    — row equality is still decided by Acero on the real key values.
+    Per-task memory is (|L|+|R|)/P for uniform keys; a single hot key
+    lands in one bucket (inherent to every hash join — for a known
+    hot-key set, pre-split with a broadcast join on those keys and
+    union, as ``state/cache.py:attach`` does for the small-side case).
+
+    ``left_on``/``right_on``: key column name(s), numeric/temporal and
+    non-null (int64-viewable — the bucketing constraint; string keys
+    should be pre-hashed with ``functions.keys``). ``join_type``: any
+    Acero type — "inner", "left outer", "right outer", "full outer",
+    "left semi", "left anti", "right semi", "right anti". Right-side
+    non-key name collisions take ``right_suffix``. Output row order is
+    nondeterministic (P unordered bucket blocks); aggregate or sort
+    downstream."""
+    import ray
+    import ray.data
+
+    from scrape_ray.util import bucket_table_refs
+
+    if isinstance(left_on, str):
+        left_on = [left_on]
+    if right_on is None:
+        right_on = left_on
+    elif isinstance(right_on, str):
+        right_on = [right_on]
+    if len(left_on) != len(right_on):
+        raise ValueError("left_on and right_on must have equal length")
+
+    def _empty_like(ds) -> pa.Table:
+        s = ds.schema()
+        return pa.table(
+            {n: pa.array([], t) for n, t in zip(s.names, s.types)})
+
+    lrefs = list(left.to_arrow_refs())
+    rrefs = list(right.to_arrow_refs())
+    if not lrefs:
+        lrefs = [ray.put(_empty_like(left))]
+    if not rrefs:
+        rrefs = [ray.put(_empty_like(right))]
+    P = max(1, min(P, max(len(lrefs), len(rrefs))))
+    ls = bucket_table_refs(lrefs, left_on, P)
+    rs = bucket_table_refs(rrefs, right_on, P)
+
+    @ray.remote
+    def _join(nl: int, *tables):
+        lt = pa.concat_tables(tables[:nl], promote_options="default")
+        rt = pa.concat_tables(tables[nl:], promote_options="default")
+        return lt.join(
+            rt, keys=left_on, right_keys=right_on, join_type=join_type,
+            right_suffix=right_suffix, use_threads=False,
+        )
+
+    out = [
+        _join.remote(
+            len(lrefs),
+            *[ls[b][p] for b in range(len(lrefs))],
+            *[rs[b][p] for b in range(len(rrefs))],
+        )
+        for p in range(P)
+    ]
+    return ray.data.from_arrow_refs(out)

@@ -204,6 +204,43 @@ def hash_groupby_sum(refs, key_cols: "list[str]", sum_cols: "list[str]",
     if not refs:
         return []
     P = max(1, min(P, len(refs)))
+
+    @ray.remote
+    def _merge(*tables):
+        live = [x for x in tables if x.num_rows]
+        if not live:
+            return tables[0].select(key_cols + sum_cols)
+        t = pa.concat_tables(live, promote_options="default")
+        res = pa.TableGroupBy(t, key_cols, use_threads=False).aggregate(
+            [(c, "sum") for c in sum_cols])
+        return pa.table(
+            {**{k: res[k] for k in key_cols},
+             **{c: res[f"{c}_sum"] for c in sum_cols}})
+
+    sliced = bucket_table_refs(refs, key_cols, P)
+    out = [
+        _merge.remote(*[sliced[b][p] for b in range(len(refs))])
+        for p in range(P)
+    ]
+    return ray.get(out) if resolve else out
+
+
+def bucket_table_refs(refs, key_cols: "list[str]", P: int) -> "list[list]":
+    """The exchange half of the manual hash-bucketed shuffle shared by
+    :func:`hash_groupby_sum` and ``ops.joins.hash_join``: route every
+    block's rows into ``P`` buckets by a mixed hash of the int64 views
+    of ``key_cols`` (numeric/temporal, non-null keys only). One
+    ``num_returns=P`` task per block — a downstream bucket task pulls
+    only its own P slices, so B blocks move as B*P small object refs
+    with no driver row traffic and no distributed sort. Returns the
+    ``sliced[block][bucket]`` ref grid. Equal key tuples always land
+    in the same bucket index regardless of which side/table they come
+    from, provided the CALLER uses the same ``P`` (and the same column
+    meaning) on every participating ref list — that invariant is what
+    makes per-bucket joins/groupbys globally correct."""
+    import numpy as np
+    import ray
+
     GOLD = np.uint64(0x9E3779B97F4A7C15)
     MIX = np.uint64(0x100000001B3)
 
@@ -222,23 +259,7 @@ def hash_groupby_sum(refs, key_cols: "list[str]", sum_cols: "list[str]",
         out = [ts.slice(cuts[p], cuts[p + 1] - cuts[p]) for p in range(P)]
         return out[0] if P == 1 else tuple(out)
 
-    @ray.remote
-    def _merge(*tables):
-        live = [x for x in tables if x.num_rows]
-        if not live:
-            return tables[0].select(key_cols + sum_cols)
-        t = pa.concat_tables(live, promote_options="default")
-        res = pa.TableGroupBy(t, key_cols, use_threads=False).aggregate(
-            [(c, "sum") for c in sum_cols])
-        return pa.table(
-            {**{k: res[k] for k in key_cols},
-             **{c: res[f"{c}_sum"] for c in sum_cols}})
-
     sliced = [_slice.options(num_returns=P).remote(r, P) for r in refs]
     if P == 1:
         sliced = [[s] for s in sliced]
-    out = [
-        _merge.remote(*[sliced[b][p] for b in range(len(refs))])
-        for p in range(P)
-    ]
-    return ray.get(out) if resolve else out
+    return sliced

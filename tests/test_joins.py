@@ -240,3 +240,118 @@ def test_interval_join_hot_key_spreads_across_blocks(ray_session):
     assert got["sid_r"].isna().sum() > 0
     pd.testing.assert_frame_equal(
         got[["eid", "sid_r"]], want[["eid", "sid_r"]], check_dtype=False)
+
+
+# ---------------------------------------------------------------- hash_join
+
+
+def _hj_tables():
+    rng = np.random.RandomState(11)
+    import pyarrow as pa
+
+    L = pa.table({
+        "k": rng.randint(0, 40, 300).astype("int64"),
+        "k2": rng.randint(0, 3, 300).astype("int64"),
+        "a": np.arange(300, dtype="int64"),
+    })
+    R = pa.table({
+        "kk": rng.randint(0, 55, 120).astype("int64"),
+        "k2": rng.randint(0, 3, 120).astype("int64"),
+        "b": np.arange(1000, 1120, dtype="int64"),
+    })
+    return L, R
+
+
+def _collect(ds):
+    import pyarrow as pa
+    import ray
+
+    return pa.concat_tables(
+        [ray.get(r) for r in ds.to_arrow_refs()],
+        promote_options="default")
+
+
+def test_hash_join_types_match_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from scrape_ray.ops.joins import hash_join
+
+    L, R = _hj_tables()
+    lds = ray.data.from_arrow(L).repartition(7)
+    rds = ray.data.from_arrow(R).repartition(4)
+    cases = {
+        "inner": "SELECT k, L.a AS a, L.k2 AS k2, R.k2 AS k2_r, b "
+                 "FROM L JOIN R ON k = kk",
+        "left outer": "SELECT k, L.a AS a, L.k2 AS k2, R.k2 AS k2_r, b "
+                      "FROM L LEFT JOIN R ON k = kk",
+        "full outer": "SELECT COALESCE(k, kk) AS k, L.a AS a, "
+                      "L.k2 AS k2, R.k2 AS k2_r, b "
+                      "FROM L FULL JOIN R ON k = kk",
+        "left semi": "SELECT k, k2, a FROM L "
+                     "WHERE k IN (SELECT kk FROM R)",
+        "left anti": "SELECT k, k2, a FROM L "
+                     "WHERE k NOT IN (SELECT kk FROM R)",
+    }
+    for jt, sql in cases.items():
+        t = _collect(hash_join(lds, rds, "k", "kk", join_type=jt, P=5))
+        cols = ", ".join(t.schema.names)
+        got = duckdb.sql(
+            f"SELECT {cols} FROM t ORDER BY ALL").arrow()
+        exp = duckdb.sql(
+            f"SELECT {cols} FROM ({sql}) ORDER BY ALL").arrow()
+        assert got.num_rows == exp.num_rows, jt
+        assert got.equals(exp, check_metadata=False), jt
+
+
+def test_hash_join_multi_key_and_hot_key(ray_session):
+    """Composite keys bucket consistently; a planted hot key holding
+    most rows still joins exactly (lands in one bucket by design)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.joins import hash_join
+
+    L, R = _hj_tables()
+    # plant a hot key: 200 extra left rows and 30 right rows at k=7
+    hotL = pa.table({
+        "k": np.full(200, 7, dtype="int64"),
+        "k2": np.tile(np.arange(2, dtype="int64"), 100),
+        "a": np.arange(5000, 5200, dtype="int64"),
+    })
+    hotR = pa.table({
+        "kk": np.full(30, 7, dtype="int64"),
+        "k2": np.tile(np.arange(3, dtype="int64"), 10),
+        "b": np.arange(9000, 9030, dtype="int64"),
+    })
+    L = pa.concat_tables([L, hotL])
+    R = pa.concat_tables([R, hotR])
+    lds = ray.data.from_arrow(L).repartition(9)
+    rds = ray.data.from_arrow(R).repartition(6)
+    t = _collect(hash_join(
+        lds, rds, ["k", "k2"], ["kk", "k2"], join_type="inner", P=4))
+    got = duckdb.sql(
+        "SELECT k, k2, a, b FROM t ORDER BY ALL").arrow()
+    exp = duckdb.sql(
+        "SELECT k, L.k2 AS k2, a, b FROM L "
+        "JOIN R ON k = kk AND L.k2 = R.k2 ORDER BY ALL").arrow()
+    assert got.equals(exp, check_metadata=False)
+
+
+def test_hash_join_empty_sides(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.joins import hash_join
+
+    L, R = _hj_tables()
+    lds = ray.data.from_arrow(L).repartition(3)
+    empty = ray.data.from_arrow(R.slice(0, 0))
+    inner = _collect(hash_join(lds, empty, "k", "kk", join_type="inner"))
+    assert inner.num_rows == 0
+    assert set(inner.schema.names) >= {"k", "a", "b"}
+    louter = _collect(hash_join(
+        lds, empty, "k", "kk", join_type="left outer"))
+    assert louter.num_rows == L.num_rows
+    assert louter["b"].null_count == L.num_rows
