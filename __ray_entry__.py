@@ -1690,6 +1690,47 @@ def _q_order_customer_join(sf_dir: str) -> Any:
                         ("o_orderpriority", "ascending")])
 
 
+def _q_snapshot_diff(sf_dir: str) -> Any:
+    """Incremental-recrawl diff (ops/joins.snapshot_diff): two
+    deterministic crawl snapshots derived from orders (A misses keys
+    % 7 == 0, B misses % 5 == 0 and rewrites content on % 11 == 0),
+    every key classified new/deleted/changed/unchanged via one
+    full-outer bucketed hash join + vectorized content compare."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from scrape_ray.ops.joins import snapshot_diff
+
+    import numpy as np
+
+    def _snap(mod: int, rewrite: bool):
+        def f(t: pa.Table) -> pa.Table:
+            k = pc.cast(t["o_orderkey"], pa.int64())
+            kv = k.to_numpy(zero_copy_only=False)
+            t = pa.table({"o_orderkey": k,
+                          "content": t["o_orderstatus"]}).filter(
+                pa.array(kv % mod != 0))
+            if rewrite:
+                kv = t["o_orderkey"].to_numpy(zero_copy_only=False)
+                t = t.set_column(
+                    1, "content",
+                    pc.if_else(pa.array(kv % 11 == 0),
+                               pa.scalar("X"), t["content"]))
+            return t
+        return f
+
+    def _read():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus"],
+        )
+
+    a = _read().map_batches(_snap(7, False), batch_format="pyarrow")
+    b = _read().map_batches(_snap(5, True), batch_format="pyarrow")
+    return snapshot_diff(a, b, "o_orderkey", ["content"], P=8)
+
+
 def _q_quality_deciles(sf_dir: str) -> Any:
     """Distributed NTILE: exact decile label per doc by n_chars via
     the shuffle-free histogram-quantile boundaries + a broadcast
@@ -1790,6 +1831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # persists.
     return {
         "order_customer_join": _q_order_customer_join,
+        "snapshot_diff": _q_snapshot_diff,
         "pagerank": _q_pagerank,
         "postings": _q_postings,
         "dup_spans": _q_dup_spans,
@@ -1899,6 +1941,26 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # snapshot_diff: full-outer diff of two derived crawl
+        # snapshots — A drops keys %7==0, B drops %5==0 and rewrites
+        # content to 'X' on %11==0.
+        "snapshot_diff": """
+            WITH a AS (
+                SELECT o_orderkey AS k, o_orderstatus AS content
+                FROM orders WHERE o_orderkey % 7 <> 0
+            ), b AS (
+                SELECT o_orderkey AS k,
+                       CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                            ELSE o_orderstatus END AS content
+                FROM orders WHERE o_orderkey % 5 <> 0
+            )
+            SELECT COALESCE(a.k, b.k)::BIGINT AS o_orderkey,
+                   CASE WHEN a.k IS NULL THEN 'new'
+                        WHEN b.k IS NULL THEN 'deleted'
+                        WHEN a.content <> b.content THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM a FULL JOIN b ON a.k = b.k
         """,
         # pagerank: 2 fixed power iterations, all-int64 floor math —
         # r0 = 1e6, contrib = r // outdeg, r' = 150000 + (85*S)//100.

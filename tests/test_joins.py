@@ -355,3 +355,37 @@ def test_hash_join_empty_sides(ray_session):
         lds, empty, "k", "kk", join_type="left outer"))
     assert louter.num_rows == L.num_rows
     assert louter["b"].null_count == L.num_rows
+
+
+def test_snapshot_diff_classification(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.joins import snapshot_diff
+
+    a = ray.data.from_items([
+        {"k": 1, "v": "x", "w": 1},   # unchanged
+        {"k": 2, "v": "y", "w": 2},   # changed (w differs)
+        {"k": 3, "v": "z", "w": 3},   # deleted
+        {"k": 5, "v": "q", "w": 5},   # changed (v differs)
+    ]).repartition(3)
+    b = ray.data.from_items([
+        {"k": 1, "v": "x", "w": 1},
+        {"k": 2, "v": "y", "w": 20},
+        {"k": 4, "v": "n", "w": 4},   # new
+        {"k": 5, "v": "Q", "w": 5},
+    ]).repartition(2)
+    got = pa.concat_tables(
+        [__import__("ray").get(r) for r in snapshot_diff(
+            a, b, "k", ["v", "w"], P=3).to_arrow_refs()],
+        promote_options="default").to_pandas()
+    got = dict(zip(got["k"], got["status"]))
+    assert got == {1: "unchanged", 2: "changed", 3: "deleted",
+                   4: "new", 5: "changed"}
+
+    delta = pa.concat_tables(
+        [__import__("ray").get(r) for r in snapshot_diff(
+            a, b, "k", ["v", "w"], P=3,
+            include_unchanged=False).to_arrow_refs()],
+        promote_options="default")
+    assert sorted(delta["k"].to_pylist()) == [2, 3, 4, 5]
