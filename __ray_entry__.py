@@ -1690,6 +1690,22 @@ def _q_order_customer_join(sf_dir: str) -> Any:
                         ("o_orderpriority", "ascending")])
 
 
+def _q_lm_rank_score(sf_dir: str) -> Any:
+    """Rank-based unigram LM quality score (integer-exact CCNet
+    perplexity-filter analog, ops/textstats.lm_rank_score): token cost
+    = corpus frequency rank capped at vocab_k=16, OOV = 17;
+    score_permille = scaled mean cost per doc. One vocabulary
+    exchange + a 16-row broadcast; tokens never shuffle."""
+    import ray.data
+
+    from scrape_ray.ops.textstats import lm_rank_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return lm_rank_score(docs, vocab_k=16)
+
+
 def _q_snapshot_diff(sf_dir: str) -> Any:
     """Incremental-recrawl diff (ops/joins.snapshot_diff): two
     deterministic crawl snapshots derived from orders (A misses keys
@@ -1832,6 +1848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "order_customer_join": _q_order_customer_join,
         "snapshot_diff": _q_snapshot_diff,
+        "lm_rank_score": _q_lm_rank_score,
         "pagerank": _q_pagerank,
         "postings": _q_postings,
         "dup_spans": _q_dup_spans,
@@ -1941,6 +1958,40 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # lm_rank_score: unigram-LM rank costs — vocab = top-16 by
+        # (tf DESC, token ASC), rank = ROW_NUMBER, OOV costs 17;
+        # per-doc scaled mean cost in pure int64 floor math.
+        "lm_rank_score": r"""
+            WITH toks AS (
+                SELECT doc_id, u.tok
+                FROM (SELECT doc_id,
+                             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                                  ELSE str_split_regex(trim(text), '\s+')
+                             END AS tk
+                      FROM documents), UNNEST(tk) AS u(tok)
+            ),
+            tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+            vocab AS (
+                SELECT tok, rank FROM (
+                    SELECT tok, ROW_NUMBER() OVER
+                               (ORDER BY cnt DESC, tok) AS rank
+                    FROM tf) WHERE rank <= 16
+            ),
+            p AS (
+                SELECT t.doc_id,
+                       count(*)::BIGINT AS n_tokens,
+                       SUM(COALESCE(v.rank, 17))::BIGINT AS rank_sum
+                FROM toks t LEFT JOIN vocab v USING (tok)
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
+                   COALESCE(p.rank_sum, 0)::BIGINT AS rank_sum,
+                   (CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0
+                         ELSE (p.rank_sum * 1000) // p.n_tokens
+                    END)::BIGINT AS score_permille
+            FROM documents d LEFT JOIN p USING (doc_id)
         """,
         # snapshot_diff: full-outer diff of two derived crawl
         # snapshots — A drops keys %7==0, B drops %5==0 and rewrites

@@ -717,3 +717,60 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return ds.map_batches(_score, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def lm_rank_score(ds, text_col: str = "text", id_col: str = "doc_id",
+                  vocab_k: int = 16, scale: int = 1000,
+                  batch_size: int = 4096):
+    """Rank-based unigram LM quality score — the integer-exact analog
+    of the LM-perplexity corpus filter (CCNet / Wenzek et al. 2020):
+    every token costs its corpus frequency RANK (1 = most frequent,
+    ties broken by token text) capped at the top-``vocab_k``
+    vocabulary; out-of-vocabulary tokens cost ``vocab_k + 1``. A
+    document's score is the scaled mean token cost::
+
+        score_permille = (rank_sum * scale) // n_tokens
+
+    Low = built from common tokens (fluent, boilerplate-like), high =
+    rare-token-heavy (noisy/junk under a unigram model). Rank costs
+    replace -log p so every value is int64 and the DuckDB oracle
+    reproduces each score bit-for-bit (the float-log trap documented
+    on tfidf_topk applies here too). Zero-token docs score 0.
+
+    Scale shape: one pre-aggregated vocabulary exchange
+    (:func:`term_frequencies`), a driver-side top-``vocab_k`` sort of
+    the Zipf-bounded term table, ONE ``ray.put`` broadcast of the
+    k-row rank table, then a pure per-batch map: ``pc.index_in`` of
+    the flat token array against the rank-ordered vocab (position + 1
+    IS the rank), per-doc segment sums via ``np.add.at`` — tokens
+    never shuffle, no per-doc Python. Two passes over ``ds`` (stats +
+    score), like every corpus-relative filter."""
+    import ray
+
+    vocab = top_vocabulary(ds, text_col=text_col, k=vocab_k)
+    vocab_ref = ray.put(vocab["token"].combine_chunks())
+    oov = vocab_k + 1
+
+    def _score(t: pa.Table) -> pa.Table:
+        nrows = t.num_rows
+        flat, parent = _ws_tokens_flat(t, text_col)
+        n_tok = np.bincount(parent, minlength=nrows).astype(np.int64)
+        rank_sum = np.zeros(nrows, np.int64)
+        if len(flat):
+            pos = pc.index_in(flat, value_set=ray.get(vocab_ref))
+            cost = pos.to_numpy(zero_copy_only=False)
+            cost = np.where(np.isnan(cost), oov - 1, cost).astype(
+                np.int64) + 1
+            np.add.at(rank_sum, parent, cost)
+        score = np.zeros(nrows, np.int64)
+        nz = n_tok > 0
+        score[nz] = rank_sum[nz] * scale // n_tok[nz]
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "rank_sum": pa.array(rank_sum, pa.int64()),
+            "score_permille": pa.array(score, pa.int64()),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -365,3 +365,41 @@ def test_dup_span_stats_layout_independent(ray_session):
     )
     assert a.equals(b)
     assert (a["dup_pos"] > 0).all()  # the shared tail 8-grams repeat
+
+
+def test_lm_rank_score_ranks_and_oov(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.textstats import lm_rank_score
+
+    # corpus: "a" x4, "b" x3, "c" x2, "rare" x1 -> ranks a=1 b=2 c=3
+    # with vocab_k=3; "rare" is OOV and costs 4
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "a a b c"},     # 1+1+2+3=7, 7*1000//4=1750
+        {"doc_id": 2, "text": "a b b rare"},  # 1+2+2+4=9, 9*1000//4=2250
+        {"doc_id": 3, "text": "a c"},         # 1+3=4 -> 2000
+        {"doc_id": 4, "text": "   "},         # empty -> 0
+    ]).repartition(3)
+    got = {
+        r["doc_id"]: r
+        for r in lm_rank_score(docs, vocab_k=3).take_all()
+    }
+    assert got[1]["rank_sum"] == 7 and got[1]["score_permille"] == 1750
+    assert got[2]["rank_sum"] == 9 and got[2]["score_permille"] == 2250
+    assert got[3]["score_permille"] == 2000
+    assert got[4]["n_tokens"] == 0 and got[4]["score_permille"] == 0
+
+
+def test_lm_rank_score_tie_break_is_token_order(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.textstats import lm_rank_score
+
+    # "x" and "y" tie at 2 occurrences: rank by token text -> x=1 y=2
+    docs = ray.data.from_items([
+        {"doc_id": 1, "text": "x y"},
+        {"doc_id": 2, "text": "y x"},
+    ])
+    got = {r["doc_id"]: r for r in
+           lm_rank_score(docs, vocab_k=2).take_all()}
+    assert got[1]["rank_sum"] == 3 == got[2]["rank_sum"]
