@@ -1690,6 +1690,67 @@ def _q_order_customer_join(sf_dir: str) -> Any:
                         ("o_orderpriority", "ascending")])
 
 
+def _q_cdx_scan(sf_dir: str) -> Any:
+    """CDX-J index source (sources/cdx.py): the archive-index
+    prefilter a real Common-Crawl pipeline runs BEFORE touching WARC
+    payloads — parse the index shards, keep fetchable text/html 200s,
+    emit (surt, ts, url, mime, status, length). Shards are synthesized
+    ONCE per sf_dir from documents.parquet (3 shards, one gzipped)
+    with the same deterministic url/status/mime functions as the crawl
+    spine (frontier_gen.dirty_url/status_of/ctype_of), so the oracle
+    is closed-form over documents."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from scrape_ray.sources.cdx import read_cdxj, write_cdxj
+    from scrape_ray.sources.frontier_gen import (
+        ctype_of,
+        dirty_url,
+        status_of,
+    )
+
+    cdx_dir = (
+        f"/tmp/scrape_ray_cdx_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    marker = f"{cdx_dir}/.done"
+    if not os.path.exists(marker):
+        os.makedirs(cdx_dir, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"])
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        for shard in range(3):
+            recs = [
+                {
+                    "url": dirty_url(d),
+                    "ts": 20240000000000 + d,
+                    "mime": ctype_of(d),
+                    "status": status_of(d),
+                    "digest": f"D{d}",
+                    "length": len((x or "").encode("utf-8")),
+                    "offset": d * 1000,
+                    "filename": f"shard{d % 4}.warc.gz",
+                }
+                for d, x in zip(ids, texts)
+                if d % 3 == shard
+            ]
+            gz = shard == 2
+            write_cdxj(recs, f"{cdx_dir}/part{shard}.cdxj"
+                             + (".gz" if gz else ""), gzip_file=gz)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    paths = sorted(
+        f"{cdx_dir}/{p}" for p in os.listdir(cdx_dir)
+        if p.startswith("part")
+    )
+    ds = read_cdxj(paths)
+    return ds.filter(
+        expr="status == 200 and mime == 'text/html'"
+    ).select_columns(["surt", "ts", "url", "mime", "status", "length"])
+
+
 def _q_lm_rank_score(sf_dir: str) -> Any:
     """Rank-based unigram LM quality score (integer-exact CCNet
     perplexity-filter analog, ops/textstats.lm_rank_score): token cost
@@ -1849,6 +1910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_customer_join": _q_order_customer_join,
         "snapshot_diff": _q_snapshot_diff,
         "lm_rank_score": _q_lm_rank_score,
+        "cdx_scan": _q_cdx_scan,
         "pagerank": _q_pagerank,
         "postings": _q_postings,
         "dup_spans": _q_dup_spans,
@@ -1958,6 +2020,27 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # cdx_scan: closed-form replay of the synthesized CDX-J index
+        # — SURT = comma-reversed host + ')' + path + query (fragment
+        # dropped), same deterministic url/status/mime functions as
+        # the crawl spine; filter keeps fetchable text/html 200s.
+        "cdx_scan": f"""
+            SELECT 'com,example,'
+                   || (CASE WHEN doc_id % 5 < 2 THEN 'host0'
+                            ELSE 'host' || (doc_id % 50) END)
+                   || ')/doc/' || doc_id
+                   || (CASE doc_id % 4
+                       WHEN 0 THEN '?utm_source=feed&ref=' || (doc_id % 7)
+                       WHEN 1 THEN '?utm_campaign=x'
+                       ELSE '' END) AS surt,
+                   (20240000000000 + doc_id)::BIGINT AS ts,
+                   {_DIRTY} AS url,
+                   'text/html' AS mime,
+                   200::BIGINT AS status,
+                   octet_length(encode(text))::BIGINT AS length
+            FROM documents
+            WHERE doc_id % 29 <> 0 AND doc_id % 31 <> 0
         """,
         # lm_rank_score: unigram-LM rank costs — vocab = top-16 by
         # (tf DESC, token ASC), rank = ROW_NUMBER, OOV costs 17;
