@@ -313,9 +313,11 @@ def hash_join(left, right, left_on, right_on=None,
     hot-key set, pre-split with a broadcast join on those keys and
     union, as ``state/cache.py:attach`` does for the small-side case).
 
-    ``left_on``/``right_on``: key column name(s), numeric/temporal and
-    non-null (int64-viewable — the bucketing constraint; string keys
-    should be pre-hashed with ``functions.keys``). ``join_type``: any
+    ``left_on``/``right_on``: key column name(s), non-null; numeric/
+    temporal keys bucket via their int64 views, string/binary keys
+    (URLs — the web case) via the vectorized FNV fold; both sides of
+    a key pair must share the numeric-vs-string kind so equal values
+    hash alike. ``join_type``: any
     Acero type — "inner", "left outer", "right outer", "full outer",
     "left semi", "left anti", "right semi", "right anti". Right-side
     non-key name collisions take ``right_suffix``. Output row order is

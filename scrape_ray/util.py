@@ -228,16 +228,19 @@ def hash_groupby_sum(refs, key_cols: "list[str]", sum_cols: "list[str]",
 def bucket_table_refs(refs, key_cols: "list[str]", P: int) -> "list[list]":
     """The exchange half of the manual hash-bucketed shuffle shared by
     :func:`hash_groupby_sum` and ``ops.joins.hash_join``: route every
-    block's rows into ``P`` buckets by a mixed hash of the int64 views
-    of ``key_cols`` (numeric/temporal, non-null keys only). One
-    ``num_returns=P`` task per block — a downstream bucket task pulls
-    only its own P slices, so B blocks move as B*P small object refs
-    with no driver row traffic and no distributed sort. Returns the
-    ``sliced[block][bucket]`` ref grid. Equal key tuples always land
-    in the same bucket index regardless of which side/table they come
-    from, provided the CALLER uses the same ``P`` (and the same column
-    meaning) on every participating ref list — that invariant is what
-    makes per-bucket joins/groupbys globally correct."""
+    block's rows into ``P`` buckets by a mixed hash of ``key_cols`` —
+    numeric/temporal columns via their int64 views, string/binary
+    columns via the vectorized FNV-1a fold (``functions.keys``); keys
+    must be non-null. One ``num_returns=P`` task per block — a
+    downstream bucket task pulls only its own P slices, so B blocks
+    move as B*P small object refs with no driver row traffic and no
+    distributed sort. Returns the ``sliced[block][bucket]`` ref grid.
+    Equal key VALUES always land in the same bucket index regardless
+    of which side/table they come from, provided the CALLER uses the
+    same ``P`` (and the same column meaning, including matching
+    numeric-vs-string types) on every participating ref list — that
+    invariant is what makes per-bucket joins/groupbys globally
+    correct."""
     import numpy as np
     import ray
 
@@ -246,11 +249,22 @@ def bucket_table_refs(refs, key_cols: "list[str]", P: int) -> "list[list]":
 
     @ray.remote
     def _slice(t: pa.Table, P: int):
+        from scrape_ray.functions.keys import fnv1a64_arrow
+
         h = np.zeros(t.num_rows, np.uint64)
         with np.errstate(over="ignore"):
             for c in key_cols:
-                v = t[c].to_numpy(zero_copy_only=False).astype(
-                    np.int64).view(np.uint64)
+                col = t[c]
+                typ = col.type
+                if pa.types.is_string(typ) or pa.types.is_large_string(
+                        typ) or pa.types.is_binary(typ) or \
+                        pa.types.is_large_binary(typ):
+                    v = fnv1a64_arrow(
+                        col.combine_chunks()
+                        if isinstance(col, pa.ChunkedArray) else col)
+                else:
+                    v = col.to_numpy(zero_copy_only=False).astype(
+                        np.int64).view(np.uint64)
                 h = h * MIX ^ (v * GOLD)
         b = (h % np.uint64(P)).astype(np.int64)
         order = np.argsort(b, kind="stable")

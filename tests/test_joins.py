@@ -389,3 +389,30 @@ def test_snapshot_diff_classification(ray_session):
             include_unchanged=False).to_arrow_refs()],
         promote_options="default")
     assert sorted(delta["k"].to_pylist()) == [2, 3, 4, 5]
+
+
+def test_hash_join_string_keys(ray_session):
+    """URL-keyed join — string keys bucket via the FNV fold."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.joins import hash_join
+
+    urls = [f"https://h{i % 9}.example.com/p/{i % 37}" for i in range(200)]
+    L = pa.table({"url": urls, "a": np.arange(200, dtype="int64")})
+    R = pa.table({
+        "u": [f"https://h{i % 9}.example.com/p/{i % 41}" for i in range(90)],
+        "b": np.arange(90, dtype="int64"),
+    })
+    got = pa.concat_tables(
+        [__import__("ray").get(r) for r in hash_join(
+            ray.data.from_arrow(L).repartition(6),
+            ray.data.from_arrow(R).repartition(4),
+            "url", "u", join_type="inner", P=5).to_arrow_refs()],
+        promote_options="default")
+    g = duckdb.sql("SELECT url, a, b FROM got ORDER BY ALL").arrow()
+    e = duckdb.sql(
+        "SELECT url, a, b FROM L JOIN R ON url = u ORDER BY ALL").arrow()
+    assert g.equals(e, check_metadata=False)
+    assert g.num_rows > 0
