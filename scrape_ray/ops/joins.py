@@ -351,11 +351,23 @@ def hash_join(left, right, left_on, right_on=None,
     P = max(1, min(P, max(len(lrefs), len(rrefs))))
     ls = bucket_table_refs(lrefs, left_on, P)
     rs = bucket_table_refs(rrefs, right_on, P)
+    # Schema anchors: UDF-skipped zero-row blocks keep their UPSTREAM
+    # (sometimes column-less) schema, so a bucket whose slices are all
+    # empty could lose the key/value columns entirely. Each join task
+    # concats one authoritative empty table per side and drops the
+    # zero-row slices instead of promoting their stale schemas.
+    anchor_l = ray.put(_empty_like(left))
+    anchor_r = ray.put(_empty_like(right))
 
     @ray.remote
-    def _join(nl: int, *tables):
-        lt = pa.concat_tables(tables[:nl], promote_options="default")
-        rt = pa.concat_tables(tables[nl:], promote_options="default")
+    def _join(nl: int, anchor_l: pa.Table, anchor_r: pa.Table,
+              *tables):
+        lt = pa.concat_tables(
+            [anchor_l] + [x for x in tables[:nl] if x.num_rows],
+            promote_options="default")
+        rt = pa.concat_tables(
+            [anchor_r] + [x for x in tables[nl:] if x.num_rows],
+            promote_options="default")
         return lt.join(
             rt, keys=left_on, right_keys=right_on, join_type=join_type,
             right_suffix=right_suffix, use_threads=False,
@@ -363,7 +375,7 @@ def hash_join(left, right, left_on, right_on=None,
 
     out = [
         _join.remote(
-            len(lrefs),
+            len(lrefs), anchor_l, anchor_r,
             *[ls[b][p] for b in range(len(lrefs))],
             *[rs[b][p] for b in range(len(rrefs))],
         )

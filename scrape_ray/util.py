@@ -209,7 +209,14 @@ def hash_groupby_sum(refs, key_cols: "list[str]", sum_cols: "list[str]",
     def _merge(*tables):
         live = [x for x in tables if x.num_rows]
         if not live:
-            return tables[0].select(key_cols + sum_cols)
+            # all-empty bucket: find a slice that still carries the
+            # real schema (UDF-skipped blocks may not)
+            want = set(key_cols + sum_cols)
+            for x in tables:
+                if want <= set(x.schema.names):
+                    return x.select(key_cols + sum_cols)
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in key_cols + sum_cols})
         t = pa.concat_tables(live, promote_options="default")
         res = pa.TableGroupBy(t, key_cols, use_threads=False).aggregate(
             [(c, "sum") for c in sum_cols])
@@ -251,6 +258,12 @@ def bucket_table_refs(refs, key_cols: "list[str]", P: int) -> "list[list]":
     def _slice(t: pa.Table, P: int):
         from scrape_ray.functions.keys import fnv1a64_arrow
 
+        if t.num_rows == 0:
+            # UDF-skipped empty blocks may carry an upstream (or even
+            # empty) schema without the key columns — route them
+            # whole; bucket consumers drop zero-row slices.
+            out = [t] * P
+            return out[0] if P == 1 else tuple(out)
         h = np.zeros(t.num_rows, np.uint64)
         with np.errstate(over="ignore"):
             for c in key_cols:

@@ -133,3 +133,76 @@ def test_decontaminate_query_driver_shape(ray_session, tmp_path):
     assert len(out) == 128
     marked = set(out[out["contaminated"]]["doc_id"])
     assert {0, 31, 62, 93, 124} <= marked
+
+
+def test_hash_join_sparse_blocks(ray_session):
+    """Filters empty most blocks on both sides; UDF-skipped empty
+    blocks keep upstream schemas, and the per-bucket concat must
+    promote across them without corrupting the join."""
+    import duckdb
+    import ray
+
+    from scrape_ray.ops.joins import hash_join
+
+    L = _sparse_ds(ray_session, n_rows=64, n_blocks=32, keep_mod=17)
+    R = _sparse_ds(ray_session, n_rows=64, n_blocks=32, keep_mod=2)
+
+    def _tagL(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id"]).append_column(
+            "la", pa.array([1] * t.num_rows, pa.int64()))
+
+    def _tagR(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id"]).append_column(
+            "rb", pa.array([2] * t.num_rows, pa.int64()))
+
+    lds = L.map_batches(_tagL, batch_format="pyarrow", batch_size=None)
+    rds = R.map_batches(_tagR, batch_format="pyarrow", batch_size=None)
+    out = hash_join(lds, rds, "doc_id", join_type="inner", P=8)
+    t = pa.concat_tables(
+        [x for x in (ray.get(r) for r in out.to_arrow_refs())
+         if x.num_rows],
+        promote_options="default")
+    # L keeps 0,17,34,51; R keeps evens -> join on {0, 34}
+    assert sorted(t["doc_id"].to_pylist()) == [0, 34]
+    assert t["la"].to_pylist() == [1, 1]
+    assert t["rb"].to_pylist() == [2, 2]
+
+
+def test_snapshot_diff_sparse_blocks(ray_session):
+    import ray
+
+    from scrape_ray.ops.joins import snapshot_diff
+
+    a = _sparse_ds(ray_session, n_rows=64, n_blocks=32, keep_mod=17)
+    b = _sparse_ds(ray_session, n_rows=64, n_blocks=32, keep_mod=34)
+    out = snapshot_diff(
+        a.select_columns(["doc_id", "text"]),
+        b.select_columns(["doc_id", "text"]),
+        "doc_id", ["text"], P=8)
+    rows = {
+        r["doc_id"]: r["status"]
+        for x in (ray.get(rf) for rf in out.to_arrow_refs())
+        if x.num_rows
+        for r in x.to_pylist()
+    }
+    # a keeps {0,17,34,51}, b keeps {0,34}; identical text per id
+    assert rows == {0: "unchanged", 34: "unchanged",
+                    17: "deleted", 51: "deleted"}
+
+
+def test_lm_rank_score_sparse_blocks(ray_session):
+    from scrape_ray.ops.textstats import lm_rank_score
+
+    docs = _sparse_ds(ray_session, n_rows=64, n_blocks=32, keep_mod=17)
+    got = {r["doc_id"]: r for r in lm_rank_score(
+        docs.select_columns(["doc_id", "text"]), vocab_k=4).take_all()}
+    assert set(got) == {0, 17, 34, 51}
+    # 8 shared tokens + 1 unique tokenN per doc; shared ties resolve
+    # by text: beta < delta < epsilon < eta < ... -> top-4 vocab is
+    # alpha/beta/delta/epsilon? counts all equal (4 each), so rank
+    # order is pure token order: alpha,beta,delta,epsilon ranks 1-4,
+    # everything else OOV cost 5
+    for r in got.values():
+        assert r["n_tokens"] == 10
+        assert r["rank_sum"] == 1 + 2 + 3 + 4 + 5 * 6
+        assert r["score_permille"] == (40 * 1000) // 10
