@@ -1690,6 +1690,22 @@ def _q_order_customer_join(sf_dir: str) -> Any:
                         ("o_orderpriority", "ascending")])
 
 
+def _q_remove_dup_spans(sf_dir: str) -> Any:
+    """ExactSubstr REMOVAL (ops/textstats.remove_dup_spans — the
+    actual Lee et al. dedup step; dup_spans only profiles): every
+    token covered by a corpus-duplicated word 8-gram is deleted and
+    the doc rebuilt from survivors. Same one-exchange count pass +
+    broadcast dup set; removal is a pure vectorized batch map."""
+    import ray.data
+
+    from scrape_ray.ops.textstats import remove_dup_spans
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return remove_dup_spans(docs, n=8)
+
+
 def _q_cdx_scan(sf_dir: str) -> Any:
     """CDX-J index source (sources/cdx.py): the archive-index
     prefilter a real Common-Crawl pipeline runs BEFORE touching WARC
@@ -1911,6 +1927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "lm_rank_score": _q_lm_rank_score,
         "cdx_scan": _q_cdx_scan,
+        "remove_dup_spans": _q_remove_dup_spans,
         "pagerank": _q_pagerank,
         "postings": _q_postings,
         "dup_spans": _q_dup_spans,
@@ -2020,6 +2037,55 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # remove_dup_spans: ExactSubstr removal replay — dup 8-gram
+        # starts by STRING join, coverage = positions within [start,
+        # start+7], doc rebuilt from surviving tokens in order.
+        "remove_dup_spans": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, i AS pos, words[i] AS word
+                FROM w, LATERAL UNNEST(range(1, len(words) + 1)) AS u(i)
+            ),
+            g AS (
+                SELECT doc_id, i AS start,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                       || ' ' || words[i+3] || ' ' || words[i+4] || ' '
+                       || words[i+5] || ' ' || words[i+6] || ' '
+                       || words[i+7] AS gram
+                FROM w, LATERAL UNNEST(range(1, len(words) - 6)) AS u(i)
+            ),
+            c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY 1),
+            d AS (SELECT g.doc_id, g.start
+                  FROM g JOIN c USING (gram) WHERE c.cnt >= 2),
+            cov AS (
+                SELECT DISTINCT t.doc_id, t.pos
+                FROM d JOIN tok t ON t.doc_id = d.doc_id
+                                 AND t.pos BETWEEN d.start AND d.start + 7
+            ),
+            kept AS (
+                SELECT t.doc_id, t.pos, t.word
+                FROM tok t LEFT JOIN cov v
+                  ON v.doc_id = t.doc_id AND v.pos = t.pos
+                WHERE v.pos IS NULL
+            ),
+            a AS (
+                SELECT doc_id,
+                       string_agg(word, ' ' ORDER BY pos) AS clean_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY 1
+            )
+            SELECT w.doc_id,
+                   COALESCE(a.clean_text, '') AS clean_text,
+                   len(w.words)::BIGINT AS n_tokens,
+                   (len(w.words) - COALESCE(a.n_kept, 0))::BIGINT
+                       AS n_removed
+            FROM w LEFT JOIN a USING (doc_id)
         """,
         # cdx_scan: closed-form replay of the synthesized CDX-J index
         # — SURT = comma-reversed host + ')' + path + query (fragment

@@ -594,6 +594,76 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
     return idx
 
 
+def _build_dup_gram_set(ds, text_col: str, n: int, batch_size: int):
+    """Shared count pass of the ExactSubstr pair
+    (:func:`dup_span_stats` / :func:`remove_dup_spans`): per-batch
+    polynomial-mixed FNV word-``n``-gram hashes pre-aggregated to
+    (hash, count) partials, merged through the manual hash-bucketed
+    exchange, survivors (global count >= 2) sorted and broadcast.
+    Returns ``(dup_ref, gram_hashes)`` — the ``ray.put`` handle of the
+    sorted dup-hash array and the per-batch gram-hash closure
+    ``(t) -> (int64 hashes at VALID starts, their parent rows)``."""
+    import ray
+
+    from scrape_ray.functions.keys import fnv1a64_arrow
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    MIX = np.uint64(0x100000001B3)
+
+    def _gram_hashes(t: pa.Table):
+        """(gram_hash int64, parent row idx) for every valid n-gram
+        position; grams never span docs (parent equality filter)."""
+        flat, parent = _ws_tokens_flat(t, text_col)
+        if len(flat) == 0:
+            return np.zeros(0, np.int64), parent[:0]
+        th = fnv1a64_arrow(flat)
+        m = len(th) - (n - 1)
+        if m <= 0:
+            return np.zeros(0, np.int64), parent[:0]
+        with np.errstate(over="ignore"):
+            h = th[:m].copy()
+            for i in range(1, n):
+                h = h * MIX ^ th[i:i + m]
+        valid = parent[:m] == parent[n - 1:]
+        # int64 bit-view: Ray groupby keys round-trip through Python
+        # ints, and uint64 values above 2^63 overflow that path
+        return h[valid].view(np.int64), parent[:m][valid]
+
+    def _count_partial(t: pa.Table) -> pa.Table:
+        h, _ = _gram_hashes(t)
+        u, cnt = np.unique(h, return_counts=True)
+        return pa.table({"gh": pa.array(u, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    # Manual hash-partitioned count exchange instead of
+    # groupby("gh").sum: n-gram hashes are mostly batch-unique, so the
+    # partials are near gram-stream-sized and Ray's sort-based
+    # aggregate pays a full range-partition sort for keys we only need
+    # BUCKETED (measured 25x slower than this shape at sf0.1). Each
+    # block's partial splits into P hash buckets (num_returns=P, so a
+    # merge task pulls ONLY its bucket's slices — O(B*P) small
+    # objects, never a global sort); P merge tasks then sum counts and
+    # keep the >= 2 survivors. P scales with the cluster at 100 TB;
+    # each per-bucket merge holds total_grams/P rows.
+    parts_ds = ds.map_batches(_count_partial, batch_format="pyarrow",
+                              batch_size=batch_size).materialize()
+
+    def _dups(hs: np.ndarray, cs: np.ndarray) -> np.ndarray:
+        u, inv = np.unique(hs, return_inverse=True)
+        acc = np.zeros(len(u), np.int64)
+        np.add.at(acc, inv, cs)
+        return u[acc >= 2]
+
+    from scrape_ray.util import bucketed_key_merge
+
+    dup_parts = bucketed_key_merge(
+        parts_ds.to_arrow_refs(), "gh", "cnt", _dups)
+    dup_sorted = np.sort(
+        np.concatenate(dup_parts or [np.empty(0, np.int64)]))
+    return ray.put(dup_sorted), _gram_hashes
+
+
 def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
                    n: int = 8, batch_size: int = 4096,
                    scale: int = 1000):
@@ -636,63 +706,8 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     import ray
 
-    from scrape_ray.functions.keys import fnv1a64_arrow
-
-    if n < 1:
-        raise ValueError("n must be >= 1")
-    MIX = np.uint64(0x100000001B3)
-
-    def _gram_hashes(t: pa.Table):
-        """(gram_hash uint64, parent row idx) for every valid n-gram
-        position; grams never span docs (parent equality filter)."""
-        flat, parent = _ws_tokens_flat(t, text_col)
-        if len(flat) == 0:
-            return np.zeros(0, np.uint64), parent[:0]
-        th = fnv1a64_arrow(flat)
-        m = len(th) - (n - 1)
-        if m <= 0:
-            return np.zeros(0, np.uint64), parent[:0]
-        with np.errstate(over="ignore"):
-            h = th[:m].copy()
-            for i in range(1, n):
-                h = h * MIX ^ th[i:i + m]
-        valid = parent[:m] == parent[n - 1:]
-        # int64 bit-view: Ray groupby keys round-trip through Python
-        # ints, and uint64 values above 2^63 overflow that path
-        return h[valid].view(np.int64), parent[:m][valid]
-
-    def _count_partial(t: pa.Table) -> pa.Table:
-        h, _ = _gram_hashes(t)
-        u, cnt = np.unique(h, return_counts=True)
-        return pa.table({"gh": pa.array(u, pa.int64()),
-                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
-
-    # Manual hash-partitioned count exchange instead of
-    # groupby("gh").sum: 8-gram hashes are mostly batch-unique, so the
-    # partials are near gram-stream-sized and Ray's sort-based
-    # aggregate pays a full range-partition sort for keys we only need
-    # BUCKETED (measured 25x slower than this shape at sf0.1). Each
-    # block's partial splits into P hash buckets (num_returns=P, so a
-    # merge task pulls ONLY its bucket's slices — O(B*P) small
-    # objects, never a global sort); P merge tasks then sum counts and
-    # keep the >= 2 survivors. P scales with the cluster at 100 TB;
-    # each per-bucket merge holds total_grams/P rows.
-    parts_ds = ds.map_batches(_count_partial, batch_format="pyarrow",
-                              batch_size=batch_size).materialize()
-
-    def _dups(hs: np.ndarray, cs: np.ndarray) -> np.ndarray:
-        u, inv = np.unique(hs, return_inverse=True)
-        acc = np.zeros(len(u), np.int64)
-        np.add.at(acc, inv, cs)
-        return u[acc >= 2]
-
-    from scrape_ray.util import bucketed_key_merge
-
-    dup_parts = bucketed_key_merge(
-        parts_ds.to_arrow_refs(), "gh", "cnt", _dups)
-    dup_sorted = np.sort(
-        np.concatenate(dup_parts or [np.empty(0, np.int64)]))
-    dup_ref = ray.put(dup_sorted)
+    dup_ref, _gram_hashes = _build_dup_gram_set(
+        ds, text_col, n, batch_size)
 
     def _score(t: pa.Table) -> pa.Table:
         dup = ray.get(dup_ref)  # zero-copy shared read
@@ -773,4 +788,81 @@ def lm_rank_score(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(_score, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 8, batch_size: int = 4096):
+    """ExactSubstr REMOVAL (the actual dedup step of Lee et al. 2022,
+    arXiv:2107.06499, at word-``n``-gram granularity — the companion
+    of :func:`dup_span_stats`, which only profiles): delete every
+    token covered by a word n-gram that occurs >= 2 times anywhere in
+    the corpus, and rebuild the document from the surviving tokens
+    (single-space joined — token-level rebuild, like the
+    tokenizer-level original). Output: one row per input doc,
+    ``(id_col, clean_text, n_tokens, n_removed)``; docs shorter than
+    ``n`` tokens pass through untouched, fully-duplicated docs come
+    back empty.
+
+    Scale shape: the shared count pass (ONE manual bucketed exchange,
+    broadcast dup-hash set — :func:`_build_dup_gram_set`), then a
+    pure per-batch removal map: dup-start flags over the flat token
+    array, coverage = windowed-OR of the last ``n`` starts via one
+    cumulative sum (gram starts never span docs, so the window cannot
+    leak across documents), surviving tokens gathered into a
+    LargeList (64-bit offsets) and joined with one Arrow
+    ``binary_join`` — no per-doc Python, no further exchange."""
+    import ray
+
+    dup_ref, _gram_hashes = _build_dup_gram_set(
+        ds, text_col, n, batch_size)
+
+    from scrape_ray.functions.keys import fnv1a64_arrow
+
+    MIX = np.uint64(0x100000001B3)
+
+    def _clean(t: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)  # zero-copy shared read
+        nrows = t.num_rows
+        flat, parent = _ws_tokens_flat(t, text_col)
+        N = len(flat)
+        dup_start = np.zeros(N, np.int64)
+        m = N - (n - 1)
+        if m > 0 and len(dup):
+            th = fnv1a64_arrow(flat)
+            with np.errstate(over="ignore"):
+                h = th[:m].copy()
+                for i in range(1, n):
+                    h = h * MIX ^ th[i:i + m]
+            hv = h.view(np.int64)
+            valid = parent[:m] == parent[n - 1:]
+            pos = np.searchsorted(dup, hv)
+            hit = valid & (pos < len(dup)) & (
+                dup[np.minimum(pos, len(dup) - 1)] == hv)
+            dup_start[:m][hit] = 1
+        # covered[t] = any dup start in (t-n, t]; gram starts are
+        # within-doc by construction, so one global window is safe
+        c = np.concatenate(([0], np.cumsum(dup_start)))
+        idx = np.arange(N)
+        covered = (c[idx + 1] - c[np.maximum(idx - (n - 1), 0)]) > 0
+        keep = ~covered
+        kept_parent = parent[keep]
+        kept = pc.cast(flat.filter(pa.array(keep)), pa.large_string())
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        n_tok = np.bincount(parent, minlength=nrows).astype(np.int64)
+        n_kept = np.bincount(kept_parent, minlength=nrows).astype(np.int64)
+        offsets = pa.array(
+            np.concatenate(([0], np.cumsum(n_kept))), pa.int64())
+        clean = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, kept),
+            pa.scalar(" ", pa.large_string()))
+        return pa.table({
+            id_col: t[id_col],
+            "clean_text": clean,
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_removed": pa.array(n_tok - n_kept, pa.int64()),
+        })
+
+    return ds.map_batches(_clean, batch_format="pyarrow",
                           batch_size=batch_size)

@@ -403,3 +403,63 @@ def test_lm_rank_score_tie_break_is_token_order(ray_session):
     got = {r["doc_id"]: r for r in
            lm_rank_score(docs, vocab_k=2).take_all()}
     assert got[1]["rank_sum"] == 3 == got[2]["rank_sum"]
+
+
+def _brute_remove_dup_spans(texts, n=8):
+    from collections import Counter
+
+    grams = Counter()
+    toks = {k: (t or "").split() for k, t in texts.items()}
+    for w in toks.values():
+        for i in range(len(w) - n + 1):
+            grams[tuple(w[i:i + n])] += 1
+    out = {}
+    for k, w in toks.items():
+        covered = [False] * len(w)
+        for i in range(len(w) - n + 1):
+            if grams[tuple(w[i:i + n])] >= 2:
+                for j in range(i, i + n):
+                    covered[j] = True
+        kept = [t for t, c in zip(w, covered) if not c]
+        out[k] = (" ".join(kept), len(w), len(w) - len(kept))
+    return out
+
+
+def test_remove_dup_spans_matches_brute_force(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.textstats import remove_dup_spans
+
+    texts = {
+        1: "x a b c d e f g h y",
+        2: "p q a b c d e f g h",
+        3: "u v w x y z aa bb cc dd",
+        4: "short doc",
+        5: "a b c d e f g h a b c d e f g h",
+        6: "",
+        7: "r s t a b c d e f g h u v w",   # dup span mid-doc
+    }
+    want = _brute_remove_dup_spans(texts)
+    for parts in (1, 4):
+        ds = ray.data.from_items(
+            [{"doc_id": k, "text": t} for k, t in texts.items()]
+        ).repartition(parts)
+        got = {r["doc_id"]: (r["clean_text"], r["n_tokens"],
+                             r["n_removed"])
+               for r in remove_dup_spans(ds).take_all()}
+        assert got == want, parts
+
+
+def test_remove_dup_spans_small_n(ray_session):
+    """n=2 bigram removal: overlapping dup spans merge."""
+    import ray.data
+
+    from scrape_ray.ops.textstats import remove_dup_spans
+
+    texts = {1: "a b c a b", 2: "z b c z"}
+    want = _brute_remove_dup_spans(texts, n=2)
+    ds = ray.data.from_items(
+        [{"doc_id": k, "text": t} for k, t in texts.items()])
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in remove_dup_spans(ds, n=2).take_all()}
+    assert got == want
