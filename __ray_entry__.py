@@ -1690,6 +1690,17 @@ def _q_order_customer_join(sf_dir: str) -> Any:
                         ("o_orderpriority", "ascending")])
 
 
+def _src_fingerprint(sf_dir: str) -> str:
+    """Cache key for /tmp shard synthesis (warc_scan / cdx_scan):
+    mtime+size of the source documents.parquet, so two sf_dirs with
+    the same basename — or an in-place regenerated corpus — never
+    reuse each other's synthesized shards."""
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    return f"{st.st_mtime_ns:x}_{st.st_size:x}"
+
+
 def _q_remove_dup_spans(sf_dir: str) -> Any:
     """ExactSubstr REMOVAL (ops/textstats.remove_dup_spans — the
     actual Lee et al. dedup step; dup_spans only profiles): every
@@ -1728,6 +1739,7 @@ def _q_cdx_scan(sf_dir: str) -> Any:
 
     cdx_dir = (
         f"/tmp/scrape_ray_cdx_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{_src_fingerprint(sf_dir)}"
     )
     marker = f"{cdx_dir}/.done"
     if not os.path.exists(marker):
@@ -1867,7 +1879,10 @@ def _q_warc_scan(sf_dir: str) -> Any:
     from scrape_ray.sources.frontier_gen import dirty_url
     from scrape_ray.sources.warc import read_warc, write_warc
 
-    warc_dir = f"/tmp/scrape_ray_warc_{os.path.basename(os.path.normpath(sf_dir))}"
+    warc_dir = (
+        f"/tmp/scrape_ray_warc_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{_src_fingerprint(sf_dir)}"
+    )
     marker = f"{warc_dir}/.done"
     if not os.path.exists(marker):
         os.makedirs(warc_dir, exist_ok=True)
@@ -2158,7 +2173,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT COALESCE(a.k, b.k)::BIGINT AS o_orderkey,
                    CASE WHEN a.k IS NULL THEN 'new'
                         WHEN b.k IS NULL THEN 'deleted'
-                        WHEN a.content <> b.content THEN 'changed'
+                        WHEN a.content IS DISTINCT FROM b.content
+                             THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM a FULL JOIN b ON a.k = b.k
         """,

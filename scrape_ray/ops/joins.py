@@ -427,10 +427,13 @@ def snapshot_diff(a, b, key, content_cols, P: int = 32,
         b_in = pc.is_valid(t["__b"]).to_numpy(zero_copy_only=False)
         diff = np.zeros(t.num_rows, bool)
         for c in content_cols:
-            ne = pc.fill_null(
-                pc.not_equal(t[c], t[f"{c}_r"]), True
-            ).to_numpy(zero_copy_only=False).astype(bool)
-            diff |= ne
+            av, bv = t[c], t[f"{c}_r"]
+            # IS DISTINCT FROM semantics: null vs null is EQUAL, null
+            # vs value is different (SQL <>'s null-propagation would
+            # call both 'unchanged', which is wrong for a diff)
+            ne = pc.fill_null(pc.not_equal(av, bv), False)
+            ne = pc.or_(ne, pc.xor(pc.is_null(av), pc.is_null(bv)))
+            diff |= ne.to_numpy(zero_copy_only=False).astype(bool)
         status = np.select(
             [~a_in, ~b_in, diff], ["new", "deleted", "changed"],
             default="unchanged")

@@ -611,16 +611,16 @@ def _build_dup_gram_set(ds, text_col: str, n: int, batch_size: int):
         raise ValueError("n must be >= 1")
     MIX = np.uint64(0x100000001B3)
 
-    def _gram_hashes(t: pa.Table):
-        """(gram_hash int64, parent row idx) for every valid n-gram
-        position; grams never span docs (parent equality filter)."""
+    def _tok_grams(t: pa.Table):
+        """(flat tokens, token parent rows, int64 gram hash per START
+        position, validity mask) — start ``j`` is valid iff its n
+        tokens share a doc. The SINGLE source of the FNV+polynomial
+        gram hash for the count, score and removal passes."""
         flat, parent = _ws_tokens_flat(t, text_col)
-        if len(flat) == 0:
-            return np.zeros(0, np.int64), parent[:0]
-        th = fnv1a64_arrow(flat)
-        m = len(th) - (n - 1)
+        m = len(flat) - (n - 1)
         if m <= 0:
-            return np.zeros(0, np.int64), parent[:0]
+            return flat, parent, np.zeros(0, np.int64), np.zeros(0, bool)
+        th = fnv1a64_arrow(flat)
         with np.errstate(over="ignore"):
             h = th[:m].copy()
             for i in range(1, n):
@@ -628,7 +628,12 @@ def _build_dup_gram_set(ds, text_col: str, n: int, batch_size: int):
         valid = parent[:m] == parent[n - 1:]
         # int64 bit-view: Ray groupby keys round-trip through Python
         # ints, and uint64 values above 2^63 overflow that path
-        return h[valid].view(np.int64), parent[:m][valid]
+        return flat, parent, h.view(np.int64), valid
+
+    def _gram_hashes(t: pa.Table):
+        """(gram_hash int64, parent row) at the VALID starts only."""
+        _, parent, h, valid = _tok_grams(t)
+        return h[valid], parent[:len(h)][valid]
 
     def _count_partial(t: pa.Table) -> pa.Table:
         h, _ = _gram_hashes(t)
@@ -661,7 +666,17 @@ def _build_dup_gram_set(ds, text_col: str, n: int, batch_size: int):
         parts_ds.to_arrow_refs(), "gh", "cnt", _dups)
     dup_sorted = np.sort(
         np.concatenate(dup_parts or [np.empty(0, np.int64)]))
-    return ray.put(dup_sorted), _gram_hashes
+    return ray.put(dup_sorted), _gram_hashes, _tok_grams
+
+
+def _sorted_member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``vals`` in a SORTED int64 array —
+    the broadcast-dup-set probe shared by the ExactSubstr passes."""
+    if not len(sorted_arr) or not len(vals):
+        return np.zeros(len(vals), bool)
+    pos = np.searchsorted(sorted_arr, vals)
+    return (pos < len(sorted_arr)) & (
+        sorted_arr[np.minimum(pos, len(sorted_arr) - 1)] == vals)
 
 
 def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -706,7 +721,7 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     import ray
 
-    dup_ref, _gram_hashes = _build_dup_gram_set(
+    dup_ref, _gram_hashes, _ = _build_dup_gram_set(
         ds, text_col, n, batch_size)
 
     def _score(t: pa.Table) -> pa.Table:
@@ -714,12 +729,9 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         h, parent = _gram_hashes(t)
         nrows = t.num_rows
         n_pos = np.bincount(parent, minlength=nrows).astype(np.int64)
-        if len(h) and len(dup):
-            pos = np.searchsorted(dup, h)
-            hit = (pos < len(dup)) & (dup[np.minimum(pos, len(dup) - 1)] == h)
-            dup_pos = np.bincount(parent[hit], minlength=nrows).astype(np.int64)
-        else:
-            dup_pos = np.zeros(nrows, dtype=np.int64)
+        hit = _sorted_member(dup, h)
+        dup_pos = np.bincount(
+            parent[hit], minlength=nrows).astype(np.int64)
         permille = np.zeros(nrows, dtype=np.int64)
         nz = n_pos > 0
         permille[nz] = dup_pos[nz] * scale // n_pos[nz]
@@ -814,32 +826,18 @@ def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     ``binary_join`` — no per-doc Python, no further exchange."""
     import ray
 
-    dup_ref, _gram_hashes = _build_dup_gram_set(
+    dup_ref, _, _tok_grams = _build_dup_gram_set(
         ds, text_col, n, batch_size)
-
-    from scrape_ray.functions.keys import fnv1a64_arrow
-
-    MIX = np.uint64(0x100000001B3)
 
     def _clean(t: pa.Table) -> pa.Table:
         dup = ray.get(dup_ref)  # zero-copy shared read
         nrows = t.num_rows
-        flat, parent = _ws_tokens_flat(t, text_col)
+        flat, parent, h, valid = _tok_grams(t)
         N = len(flat)
         dup_start = np.zeros(N, np.int64)
-        m = N - (n - 1)
-        if m > 0 and len(dup):
-            th = fnv1a64_arrow(flat)
-            with np.errstate(over="ignore"):
-                h = th[:m].copy()
-                for i in range(1, n):
-                    h = h * MIX ^ th[i:i + m]
-            hv = h.view(np.int64)
-            valid = parent[:m] == parent[n - 1:]
-            pos = np.searchsorted(dup, hv)
-            hit = valid & (pos < len(dup)) & (
-                dup[np.minimum(pos, len(dup) - 1)] == hv)
-            dup_start[:m][hit] = 1
+        if len(h):
+            hit = valid & _sorted_member(dup, h)
+            dup_start[:len(h)][hit] = 1
         # covered[t] = any dup start in (t-n, t]; gram starts are
         # within-doc by construction, so one global window is safe
         c = np.concatenate(([0], np.cumsum(dup_start)))

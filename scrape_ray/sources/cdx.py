@@ -91,8 +91,17 @@ def parse_cdxj_bytes(data: bytes, path: str = "") -> pa.Table:
     parts = pc.split_pattern(flat, " ", max_splits=2)
     surt_a = pc.list_element(parts, 0)
     ts_a = pc.cast(pc.list_element(parts, 1), pa.int64())
-    tails = pc.list_element(parts, 2)
-    buf = "\n".join(tails.to_pylist()).encode("utf-8")
+    tails = pc.cast(pc.list_element(parts, 2), pa.large_string())
+    if isinstance(tails, pa.ChunkedArray):
+        tails = tails.combine_chunks()
+    # one Arrow kernel builds the whole ndjson buffer — no per-line
+    # Python strings on the hot parse path
+    joined = pc.binary_join(
+        pa.LargeListArray.from_arrays(
+            pa.array([0, len(tails)], pa.int64()), tails),
+        pa.scalar("\n", pa.large_string()),
+    )
+    buf = pc.cast(joined, pa.large_binary())[0].as_py()
     # CDX-J convention serializes every metadata value as a STRING
     # ("status": "200"); read as strings, cast the numeric fields.
     meta = pj.read_json(

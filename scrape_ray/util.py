@@ -210,7 +210,11 @@ def hash_groupby_sum(refs, key_cols: "list[str]", sum_cols: "list[str]",
         live = [x for x in tables if x.num_rows]
         if not live:
             # all-empty bucket: find a slice that still carries the
-            # real schema (UDF-skipped blocks may not)
+            # real schema (UDF-skipped blocks may not). The final
+            # int64 fabric only triggers when EVERY block lost its
+            # schema — acceptable because hash_groupby_sum's contract
+            # is int64 keys/sums (string keys belong to hash_join,
+            # which anchors schemas instead).
             want = set(key_cols + sum_cols)
             for x in tables:
                 if want <= set(x.schema.names):

@@ -368,12 +368,16 @@ def test_snapshot_diff_classification(ray_session):
         {"k": 2, "v": "y", "w": 2},   # changed (w differs)
         {"k": 3, "v": "z", "w": 3},   # deleted
         {"k": 5, "v": "q", "w": 5},   # changed (v differs)
+        {"k": 6, "v": None, "w": 6},  # null == null -> unchanged
+        {"k": 7, "v": None, "w": 7},  # null vs value -> changed
     ]).repartition(3)
     b = ray.data.from_items([
         {"k": 1, "v": "x", "w": 1},
         {"k": 2, "v": "y", "w": 20},
         {"k": 4, "v": "n", "w": 4},   # new
         {"k": 5, "v": "Q", "w": 5},
+        {"k": 6, "v": None, "w": 6},
+        {"k": 7, "v": "now", "w": 7},
     ]).repartition(2)
     got = pa.concat_tables(
         [__import__("ray").get(r) for r in snapshot_diff(
@@ -381,14 +385,15 @@ def test_snapshot_diff_classification(ray_session):
         promote_options="default").to_pandas()
     got = dict(zip(got["k"], got["status"]))
     assert got == {1: "unchanged", 2: "changed", 3: "deleted",
-                   4: "new", 5: "changed"}
+                   4: "new", 5: "changed", 6: "unchanged",
+                   7: "changed"}
 
     delta = pa.concat_tables(
         [__import__("ray").get(r) for r in snapshot_diff(
             a, b, "k", ["v", "w"], P=3,
             include_unchanged=False).to_arrow_refs()],
         promote_options="default")
-    assert sorted(delta["k"].to_pylist()) == [2, 3, 4, 5]
+    assert sorted(delta["k"].to_pylist()) == [2, 3, 4, 5, 7]
 
 
 def test_hash_join_string_keys(ray_session):
