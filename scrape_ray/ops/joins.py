@@ -322,7 +322,11 @@ def hash_join(left, right, left_on, right_on=None,
     "left semi", "left anti", "right semi", "right anti". Right-side
     non-key name collisions take ``right_suffix``. Output row order is
     nondeterministic (P unordered bucket blocks); aggregate or sort
-    downstream."""
+    downstream. Degenerate edge: Ray erases the schema of a FULLY
+    empty dataset through some transforms (``schema()`` is None and
+    every block is column-less) — such a side contributes only its
+    key columns (typed from the other side), since its non-key
+    columns are unknowable."""
     import ray
     import ray.data
 
@@ -337,27 +341,39 @@ def hash_join(left, right, left_on, right_on=None,
     if len(left_on) != len(right_on):
         raise ValueError("left_on and right_on must have equal length")
 
-    def _empty_like(ds) -> pa.Table:
+    @ray.remote
+    def _block_schema(t: pa.Table):
+        return t.schema
+
+    def _empty_like(ds, refs) -> pa.Table:
+        # Ray can drop a fully-empty dataset's schema (ds.schema() ->
+        # None after e.g. repartition), but the materialized blocks
+        # still carry theirs — ask them (B tiny remote results)
         s = ds.schema()
-        return pa.table(
-            {n: pa.array([], t) for n, t in zip(s.names, s.types)})
+        if s is not None and s.names:
+            return pa.table(
+                {n: pa.array([], t) for n, t in zip(s.names, s.types)})
+        schemas = ray.get([_block_schema.remote(r) for r in refs])
+        best = max(schemas, key=lambda sc: len(sc.names),
+                   default=pa.schema([]))
+        return best.empty_table()
 
     lrefs = list(left.to_arrow_refs())
     rrefs = list(right.to_arrow_refs())
-    if not lrefs:
-        lrefs = [ray.put(_empty_like(left))]
-    if not rrefs:
-        rrefs = [ray.put(_empty_like(right))]
-    P = max(1, min(P, max(len(lrefs), len(rrefs))))
-    ls = bucket_table_refs(lrefs, left_on, P)
-    rs = bucket_table_refs(rrefs, right_on, P)
     # Schema anchors: UDF-skipped zero-row blocks keep their UPSTREAM
     # (sometimes column-less) schema, so a bucket whose slices are all
     # empty could lose the key/value columns entirely. Each join task
     # concats one authoritative empty table per side and drops the
     # zero-row slices instead of promoting their stale schemas.
-    anchor_l = ray.put(_empty_like(left))
-    anchor_r = ray.put(_empty_like(right))
+    anchor_l = ray.put(_empty_like(left, lrefs))
+    anchor_r = ray.put(_empty_like(right, rrefs))
+    if not lrefs:
+        lrefs = [anchor_l]
+    if not rrefs:
+        rrefs = [anchor_r]
+    P = max(1, min(P, max(len(lrefs), len(rrefs))))
+    ls = bucket_table_refs(lrefs, left_on, P)
+    rs = bucket_table_refs(rrefs, right_on, P)
 
     @ray.remote
     def _join(nl: int, anchor_l: pa.Table, anchor_r: pa.Table,
@@ -368,6 +384,20 @@ def hash_join(left, right, left_on, right_on=None,
         rt = pa.concat_tables(
             [anchor_r] + [x for x in tables[nl:] if x.num_rows],
             promote_options="default")
+
+        def _fix_keys(tbl, keys, other, other_keys):
+            # a fully-empty side has an unknowable schema (zero-column
+            # anchor); materialize its key columns (0 rows) typed from
+            # the other side so Acero can still run the join
+            for k, ok in zip(keys, other_keys):
+                if k not in tbl.schema.names:
+                    typ = (other[ok].type
+                           if ok in other.schema.names else pa.int64())
+                    tbl = tbl.append_column(k, pa.array([], typ))
+            return tbl
+
+        lt = _fix_keys(lt, left_on, rt, right_on)
+        rt = _fix_keys(rt, right_on, lt, left_on)
         return lt.join(
             rt, keys=left_on, right_keys=right_on, join_type=join_type,
             right_suffix=right_suffix, use_threads=False,
@@ -423,11 +453,24 @@ def snapshot_diff(a, b, key, content_cols, P: int = 32,
                   right_suffix="_r")
 
     def _status(t: pa.Table) -> pa.Table:
-        a_in = pc.is_valid(t["__a"]).to_numpy(zero_copy_only=False)
-        b_in = pc.is_valid(t["__b"]).to_numpy(zero_copy_only=False)
+        # a FULLY empty schema-erased side contributes no marker or
+        # content columns to the join output (see hash_join's
+        # degenerate-edge note) — absent column == absent side
+        names = set(t.schema.names)
+
+        def _col(name):
+            return (t[name] if name in names
+                    else pa.nulls(t.num_rows, pa.int8()))
+
+        a_in = pc.is_valid(_col("__a")).to_numpy(zero_copy_only=False)
+        b_in = pc.is_valid(_col("__b")).to_numpy(zero_copy_only=False)
         diff = np.zeros(t.num_rows, bool)
         for c in content_cols:
-            av, bv = t[c], t[f"{c}_r"]
+            have_a, have_b = c in names, f"{c}_r" in names
+            ref_t = (t[c].type if have_a
+                     else t[f"{c}_r"].type if have_b else pa.int8())
+            av = t[c] if have_a else pa.nulls(t.num_rows, ref_t)
+            bv = t[f"{c}_r"] if have_b else pa.nulls(t.num_rows, ref_t)
             # IS DISTINCT FROM semantics: null vs null is EQUAL, null
             # vs value is different (SQL <>'s null-propagation would
             # call both 'unchanged', which is wrong for a diff)

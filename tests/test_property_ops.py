@@ -1,0 +1,153 @@
+"""Property-based tests (hypothesis) for the relational/index surface:
+hash_join vs DuckDB on random tables, snapshot_diff vs a dict diff,
+remove_dup_spans vs brute force, CDX-J write/parse round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SMALL = dict(max_examples=10, deadline=None)
+
+
+@settings(**_SMALL)
+@given(
+    lkeys=st.lists(st.integers(-5, 8), min_size=0, max_size=40),
+    rkeys=st.lists(st.integers(-5, 12), min_size=0, max_size=25),
+    jt=st.sampled_from(["inner", "left outer", "left semi", "left anti"]),
+)
+def test_hash_join_random_tables_match_duckdb(ray_session, lkeys, rkeys, jt):
+    import duckdb
+    import ray
+    import ray.data
+
+    from scrape_ray.ops.joins import hash_join
+
+    L = pa.table({"k": pa.array(lkeys, pa.int64()),
+                  "a": pa.array(range(len(lkeys)), pa.int64())})
+    R = pa.table({"kk": pa.array(rkeys, pa.int64()),
+                  "b": pa.array(range(len(rkeys)), pa.int64())})
+    out = hash_join(
+        ray.data.from_arrow(L).repartition(3),
+        ray.data.from_arrow(R).repartition(2),
+        "k", "kk", join_type=jt, P=3)
+    blocks = [x for x in (ray.get(r) for r in out.to_arrow_refs())
+              if x.num_rows]
+    sqls = {
+        "inner": "SELECT k, a, b FROM L JOIN R ON k = kk",
+        "left outer": "SELECT k, a, b FROM L LEFT JOIN R ON k = kk",
+        "left semi": "SELECT k, a FROM L WHERE k IN (SELECT kk FROM R)",
+        "left anti": "SELECT k, a FROM L WHERE k NOT IN "
+                     "(SELECT kk FROM R)",
+    }
+    want_t = duckdb.sql(sqls[jt]).arrow()
+    n_got = sum(b.num_rows for b in blocks)
+    assert n_got == want_t.num_rows
+    if blocks:
+        t = pa.concat_tables(blocks, promote_options="default")
+        # a fully-empty schema-erased side contributes only its key
+        # columns (documented degenerate) — compare what's present
+        cols = ", ".join(
+            c for c in ("k", "a", "b") if c in t.schema.names)
+        got = duckdb.sql(f"SELECT {cols} FROM t ORDER BY ALL").fetchall()
+        want = duckdb.sql(
+            f"SELECT {cols} FROM want_t ORDER BY ALL").fetchall()
+        assert got == want
+
+
+@settings(**_SMALL)
+@given(
+    a=st.dictionaries(st.integers(0, 12),
+                      st.one_of(st.none(), st.integers(0, 3)),
+                      max_size=12),
+    b=st.dictionaries(st.integers(0, 12),
+                      st.one_of(st.none(), st.integers(0, 3)),
+                      max_size=12),
+)
+def test_snapshot_diff_random_matches_dict_diff(ray_session, a, b):
+    import ray
+    import ray.data
+
+    from scrape_ray.ops.joins import snapshot_diff
+
+    def mk(d):
+        t = pa.table({
+            "k": pa.array(list(d), pa.int64()),
+            "v": pa.array(list(d.values()), pa.int64()),
+        })
+        return ray.data.from_arrow(t).repartition(2)
+
+    out = snapshot_diff(mk(a), mk(b), "k", ["v"], P=2)
+    got = {}
+    for ref in out.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows and "status" in t.schema.names:
+            got.update(zip(t["k"].to_pylist(), t["status"].to_pylist()))
+    want = {}
+    for k in set(a) | set(b):
+        if k not in a:
+            want[k] = "new"
+        elif k not in b:
+            want[k] = "deleted"
+        else:
+            want[k] = "unchanged" if a[k] == b[k] else "changed"
+    assert got == want
+
+
+@settings(**_SMALL)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=12)
+        .map(" ".join),
+        min_size=1, max_size=6),
+    n=st.integers(2, 4),
+)
+def test_remove_dup_spans_random_matches_brute(ray_session, texts, n):
+    import ray.data
+
+    from scrape_ray.ops.textstats import remove_dup_spans
+    from tests.test_textstats import _brute_remove_dup_spans
+
+    tex = {i: t for i, t in enumerate(texts)}
+    want = _brute_remove_dup_spans(tex, n=n)
+    ds = ray.data.from_items(
+        [{"doc_id": k, "text": t} for k, t in tex.items()]
+    ).repartition(2)
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in remove_dup_spans(ds, n=n).take_all()}
+    assert got == want
+
+
+_cdx_url = st.from_regex(
+    r"https?://[a-z][a-z0-9]{0,8}(\.[a-z]{2,5}){1,2}"
+    r"(/[A-Za-z0-9._-]{0,8}){0,3}(\?[a-z]=[a-z0-9]{0,4})?",
+    fullmatch=True)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    urls=st.lists(_cdx_url, min_size=1, max_size=20),
+    status=st.integers(100, 599),
+)
+def test_cdxj_write_parse_roundtrip(tmp_path_factory, urls, status):
+    from scrape_ray.sources.cdx import parse_cdxj_bytes, surt, write_cdxj
+
+    path = str(tmp_path_factory.mktemp("cdx") / "x.cdxj")
+    recs = [
+        {"url": u, "ts": 20240000000000 + i, "mime": "text/html",
+         "status": status, "digest": f"D{i}", "length": i,
+         "offset": i * 3, "filename": "s.warc.gz"}
+        for i, u in enumerate(urls)
+    ]
+    assert write_cdxj(recs, path) == len(urls)
+    with open(path, "rb") as f:
+        t = parse_cdxj_bytes(f.read(), path="x.cdxj")
+    assert t.num_rows == len(urls)
+    rows = sorted(t.to_pylist(), key=lambda r: r["ts"])
+    for i, (u, r) in enumerate(zip(urls, rows)):
+        assert r["url"] == u
+        assert r["surt"] == surt(u)
+        assert r["status"] == status
+        assert r["length"] == i and r["offset"] == i * 3
