@@ -1690,6 +1690,38 @@ def _q_order_customer_join(sf_dir: str) -> Any:
                         ("o_orderpriority", "ascending")])
 
 
+def _q_rolling_sum(sf_dir: str) -> Any:
+    """Skew-safe rolling window aggregate (ops/windows.rolling_sum):
+    per event, the sum of the user's last 4 event values (3 preceding
+    + current, permille-quantized int64) in (ts, event_id) order —
+    SQL's SUM OVER ROWS BETWEEN 3 PRECEDING. One global range sort
+    (hot users split across blocks) + O(#blocks*k) driver tail carry
+    + vectorized per-block cumsum merge."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.windows import rolling_sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def _quant(t: pa.Table) -> pa.Table:
+        x = t["value"].to_numpy(zero_copy_only=False).astype(
+            np.float64) * 1000.0
+        qv = np.where(x >= 0, np.floor(x + 0.5),
+                      np.ceil(x - 0.5)).astype(np.int64)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"], "qv": pa.array(qv, pa.int64()),
+        })
+
+    q = ev.map_batches(_quant, batch_format="pyarrow", batch_size=None)
+    return rolling_sum(q, "user_id", ["ts", "event_id"], "qv", k=3)
+
+
 def _src_fingerprint(sf_dir: str) -> str:
     """Cache key for /tmp shard synthesis (warc_scan / cdx_scan):
     mtime+size of the source documents.parquet, so two sf_dirs with
@@ -1943,6 +1975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_rank_score": _q_lm_rank_score,
         "cdx_scan": _q_cdx_scan,
         "remove_dup_spans": _q_remove_dup_spans,
+        "rolling_sum": _q_rolling_sum,
         "pagerank": _q_pagerank,
         "postings": _q_postings,
         "dup_spans": _q_dup_spans,
@@ -2052,6 +2085,24 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # rolling_sum: trailing-window aggregate replay — permille
+        # quantization (ROUND = half away from zero, CAST AS DOUBLE
+        # first per the float32-multiply gotcha), then the native
+        # window frame; ties broken by event_id.
+        "rolling_sum": """
+            WITH q AS (
+                SELECT event_id, user_id, ts,
+                       CAST(ROUND(CAST(value AS DOUBLE) * 1000)
+                            AS BIGINT) AS qv
+                FROM events
+            )
+            SELECT event_id, user_id, ts, qv,
+                   SUM(qv) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN 3 PRECEDING
+                                 AND CURRENT ROW)::BIGINT AS rolling_sum
+            FROM q
         """,
         # remove_dup_spans: ExactSubstr removal replay — dup 8-gram
         # starts by STRING join, coverage = positions within [start,

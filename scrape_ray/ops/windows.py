@@ -279,3 +279,96 @@ def extract_json_prop(ds, props_col: str = "props", key: str = "k",
         return t.append_column(out_col, pa.array(vals, pa.int64()))
 
     return ds.map_batches(_f, batch_format="pyarrow", batch_size=None)
+
+
+def rolling_sum(ds, by: str, order_cols: list[str], value_col: str,
+                k: int, out_col: str = "rolling_sum"):
+    """Per-row trailing-window aggregate — SQL's
+    ``SUM(value) OVER (PARTITION BY by ORDER BY order_cols ROWS
+    BETWEEN k PRECEDING AND CURRENT ROW)`` — the rolling-feature
+    primitive Ray Data lacks (moving totals/averages per user for
+    feature engineering and drift monitors).
+
+    Skew-safe two-phase shape (the same pattern as the temporal joins
+    and ``packing.pack_offsets``):
+
+    1. ONE global ``sort([by] + order_cols)`` — Ray's sampled range
+       partitioning splits a hot key's rows across many balanced
+       blocks instead of sending the whole key to one task;
+    2. per-block O(k) boundary summaries → the driver threads a TAIL
+       carry (the boundary key's last ≤ k values) from each block
+       into the next (O(#blocks · k) driver state, never rows);
+    3. per-block vectorized merge: one cumulative sum, window lower
+       bound = ``max(i - k, segment_start)`` (the window clamps at
+       each key change), carry rows prepended then dropped. No
+       per-row Python, no per-key group task.
+
+    ``value_col`` must be int64 (quantize floats upstream — integer
+    sums are bit-exact under any split; float rolling sums are not).
+    ``by`` must be numeric/temporal and ``[by] + order_cols`` should
+    be unique per row for deterministic output."""
+    import ray
+    import ray.data
+
+    sorted_ds = ds.sort([by] + order_cols)
+    refs = list(sorted_ds.to_arrow_refs())
+    if not refs:
+        return sorted_ds
+
+    @ray.remote
+    def _summary(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        byv = t[by].to_numpy(zero_copy_only=False)
+        qv = t[value_col].to_numpy(zero_copy_only=False)
+        last = byv[-1]
+        run = int(t.num_rows - np.searchsorted(byv, last, side="left"))
+        return {
+            "first": byv[0].item(), "last": last.item(),
+            "tail": qv[-min(run, k):].astype(np.int64),
+        }
+
+    summaries = ray.get([_summary.remote(r) for r in refs])
+
+    # thread the boundary-key tail carry block to block (driver holds
+    # O(#blocks * k) values — the two-phase-scan pattern)
+    carries: list[np.ndarray] = []
+    prev_key, prev_tail = None, np.zeros(0, np.int64)
+    for s in summaries:
+        if s is None:
+            carries.append(np.zeros(0, np.int64))
+            continue
+        carry = (prev_tail if prev_key is not None
+                 and s["first"] == prev_key else np.zeros(0, np.int64))
+        carries.append(carry)
+        if s["first"] == s["last"]:
+            prev_tail = np.concatenate([carry, s["tail"]])[-k:]
+        else:
+            prev_tail = s["tail"]
+        prev_key = s["last"]
+
+    @ray.remote
+    def _roll(t: pa.Table, carry: np.ndarray):
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        byv = t[by].to_numpy(zero_copy_only=False)
+        qv = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = len(carry)
+        qv2 = np.concatenate([carry, qv])
+        by2 = np.concatenate([byv[:1].repeat(nc), byv])
+        n2 = len(qv2)
+        change = np.concatenate(([True], by2[1:] != by2[:-1]))
+        seg_start = np.maximum.accumulate(
+            np.where(change, np.arange(n2), 0))
+        c = np.concatenate(([0], np.cumsum(qv2)))
+        idx = np.arange(n2)
+        lo = np.maximum(idx - k, seg_start)
+        roll = c[idx + 1] - c[lo]
+        return t.append_column(
+            out_col, pa.array(roll[nc:], pa.int64()))
+
+    out = [
+        _roll.remote(r, carries[i]) for i, r in enumerate(refs)
+    ]
+    return ray.data.from_arrow_refs(out)

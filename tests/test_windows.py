@@ -143,3 +143,74 @@ def test_sessionize_assign_equals_interval_join(ray_session):
     b = joined[cols].sort_values("event_id").reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_rolling_sum_matches_duckdb_window(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from scrape_ray.ops.windows import rolling_sum
+
+    rng = np.random.RandomState(5)
+    n = 3000
+    t = pa.table({
+        "eid": np.arange(n).astype("int64"),
+        "u": rng.randint(0, 11, n).astype("int64"),
+        "ts": rng.permutation(n).astype("int64"),
+        "qv": rng.randint(-9, 9, n).astype("int64"),
+    })
+    for k in (0, 1, 5):
+        out = rolling_sum(
+            ray.data.from_arrow(t).repartition(12),
+            "u", ["ts", "eid"], "qv", k=k)
+        got = pa.concat_tables(
+            [ray.get(r) for r in out.to_arrow_refs()],
+            promote_options="default")
+        g = duckdb.sql(
+            "SELECT eid, rolling_sum FROM got ORDER BY eid").fetchall()
+        w = duckdb.sql(f"""
+            SELECT eid, SUM(qv) OVER (PARTITION BY u ORDER BY ts, eid
+                   ROWS BETWEEN {k} PRECEDING AND CURRENT ROW)
+            FROM t ORDER BY eid""").fetchall()
+        assert g == w, k
+
+
+def test_rolling_sum_hot_key_spreads_across_blocks(ray_session):
+    """ONE user holds ~90% of rows; the range sort must spread it
+    over many blocks and the tail carry must keep windows exact
+    across every cut."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from scrape_ray.ops.windows import rolling_sum
+
+    rng = np.random.RandomState(9)
+    n_hot, n_cold = 18000, 2000
+    t = pa.table({
+        "eid": np.arange(n_hot + n_cold).astype("int64"),
+        "u": np.concatenate([np.full(n_hot, 7), 
+                             rng.randint(100, 600, n_cold)]).astype("int64"),
+        "ts": rng.permutation(n_hot + n_cold).astype("int64"),
+        "qv": rng.randint(0, 100, n_hot + n_cold).astype("int64"),
+    })
+    out = rolling_sum(
+        ray.data.from_arrow(t).repartition(16),
+        "u", ["ts", "eid"], "qv", k=4)
+    blocks = [ray.get(r) for r in out.to_arrow_refs()]
+    sizes = [b.num_rows for b in blocks if b.num_rows]
+    assert len(sizes) >= 8, sizes
+    assert max(sizes) < n_hot // 2, sizes  # hot key not in one task
+    got = pa.concat_tables(blocks, promote_options="default")
+    g = duckdb.sql(
+        "SELECT eid, rolling_sum FROM got ORDER BY eid").fetchall()
+    w = duckdb.sql("""
+        SELECT eid, SUM(qv) OVER (PARTITION BY u ORDER BY ts, eid
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        FROM t ORDER BY eid""").fetchall()
+    assert g == w
