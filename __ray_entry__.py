@@ -1690,6 +1690,21 @@ def _q_order_customer_join(sf_dir: str) -> Any:
                         ("o_orderpriority", "ascending")])
 
 
+def _q_active_users(sf_dir: str) -> Any:
+    """Exact distinct users per 10-minute tumbling window (DAU-style;
+    ops/windows.windowed_distinct): per-batch pair dedup combiner +
+    one bucketed exchange on the (window, user) PAIR — events never
+    shuffle, a hot window's pairs spread across all buckets."""
+    import ray.data
+
+    from scrape_ray.ops.windows import windowed_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    return windowed_distinct(ev, width_s=600)
+
+
 def _q_rolling_sum(sf_dir: str) -> Any:
     """Skew-safe rolling window aggregate (ops/windows.rolling_sum):
     per event, the sum of the user's last 4 event values (3 preceding
@@ -1976,6 +1991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_scan": _q_cdx_scan,
         "remove_dup_spans": _q_remove_dup_spans,
         "rolling_sum": _q_rolling_sum,
+        "active_users": _q_active_users,
         "pagerank": _q_pagerank,
         "postings": _q_postings,
         "dup_spans": _q_dup_spans,
@@ -2085,6 +2101,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # active_users: exact COUNT(DISTINCT user) per tumbling
+        # window — same epoch_us floor idiom as tumbling_window.
+        "active_users": """
+            SELECT make_timestamp((epoch_us(ts) // 600000000)
+                                  * 600000000) AS window_start,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_active
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         # rolling_sum: trailing-window aggregate replay — permille
         # quantization (ROUND = half away from zero, CAST AS DOUBLE

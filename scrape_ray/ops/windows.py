@@ -372,3 +372,95 @@ def rolling_sum(ds, by: str, order_cols: list[str], value_col: str,
         _roll.remote(r, carries[i]) for i, r in enumerate(refs)
     ]
     return ray.data.from_arrow_refs(out)
+
+
+def windowed_distinct(ds, ts_col: str = "ts", key_col: str = "user_id",
+                      width_s: int = 600, P: int = 32):
+    """Exact distinct keys per tumbling window — the DAU/WAU-style
+    "active users per interval" aggregate (COUNT(DISTINCT key) GROUP
+    BY window). Naive groupby(window) ships every event to one task
+    per window; this ships each DISTINCT (window, key) pair exactly
+    once:
+
+    1. per-batch pair dedup (one Arrow groupby — the combiner; the
+       exchange then moves per-batch-distinct pairs, not events);
+    2. ONE manual hash-bucketed exchange on the PAIR
+       (``util.bucket_table_refs``) — each distinct pair lands in
+       exactly one bucket, so per-bucket dedup + per-window counts
+       SUM exactly, and a hot window's pairs spread over all P
+       buckets (skew-safe, unlike bucketing by window alone);
+    3. driver merge of the bounded partial (P × #windows rows).
+
+    Returns (window_start timestamp, n_active int64), sorted."""
+    import ray
+    import ray.data
+
+    from scrape_ray.util import bucket_table_refs
+
+    width_us = width_s * 1_000_000
+
+    def _partial(t: pa.Table) -> pa.Table:
+        # normalize to µs first — inputs may be s/ms/ns timestamps
+        epoch = pc.cast(
+            pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+        win = pc.multiply(
+            pc.divide(epoch, pa.scalar(width_us, pa.int64())),
+            pa.scalar(width_us, pa.int64()),
+        )
+        g = pa.table({"window_start": win,
+                      key_col: t[key_col].combine_chunks()})
+        return pa.TableGroupBy(
+            g, ["window_start", key_col], use_threads=False
+        ).aggregate([])
+
+    partial = ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    refs = list(partial.to_arrow_refs())
+    if not refs:
+        return ray.data.from_arrow(pa.table({
+            "window_start": pa.array([], pa.timestamp("us")),
+            "n_active": pa.array([], pa.int64()),
+        }))
+    P = max(1, min(P, len(refs)))
+    sliced = bucket_table_refs(refs, ["window_start", key_col], P)
+
+    @ray.remote
+    def _merge(*tables):
+        live = [x for x in tables if x.num_rows]
+        if not live:
+            return pa.table({"window_start": pa.array([], pa.int64()),
+                             "n_active": pa.array([], pa.int64())})
+        t = pa.concat_tables(live, promote_options="default")
+        dd = pa.TableGroupBy(
+            t, ["window_start", key_col], use_threads=False
+        ).aggregate([])
+        res = pa.TableGroupBy(
+            dd, ["window_start"], use_threads=False
+        ).aggregate([(key_col, "count")])
+        return pa.table({
+            "window_start": res["window_start"],
+            "n_active": pc.cast(res[f"{key_col}_count"], pa.int64()),
+        })
+
+    parts = ray.get([
+        _merge.remote(*[sliced[b][p] for b in range(len(refs))])
+        for p in range(P)
+    ])  # bounded driver collect: <= P * #windows tiny rows
+    merged = pa.concat_tables(
+        [x for x in parts if x.num_rows] or parts[:1],
+        promote_options="default")
+    if merged.num_rows:
+        g = pa.TableGroupBy(
+            merged, ["window_start"], use_threads=False
+        ).aggregate([("n_active", "sum")])
+        merged = pa.table({
+            "window_start": g["window_start"],
+            "n_active": g["n_active_sum"],
+        }).sort_by("window_start")
+    out = pa.table({
+        "window_start": pc.cast(merged["window_start"],
+                                pa.timestamp("us")),
+        "n_active": merged["n_active"],
+    })
+    return ray.data.from_arrow(out)

@@ -214,3 +214,43 @@ def test_rolling_sum_hot_key_spreads_across_blocks(ray_session):
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         FROM t ORDER BY eid""").fetchall()
     assert g == w
+
+
+def test_windowed_distinct_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.windows import windowed_distinct
+
+    rng = np.random.RandomState(2)
+    n = 4000
+    t = pa.table({
+        "ts": pa.array(
+            pd.to_datetime(rng.randint(0, 86400, n), unit="s")),
+        "user_id": rng.randint(0, 40, n).astype("int64"),
+    })
+    for parts in (1, 13):
+        out = windowed_distinct(
+            ray.data.from_arrow(t).repartition(parts),
+            width_s=3600, P=4).to_pandas()
+        want = duckdb.sql("""
+            SELECT make_timestamp((epoch_us(ts) // 3600000000)
+                                  * 3600000000) AS window_start,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_active
+            FROM t GROUP BY 1 ORDER BY 1""").df()
+        pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_windowed_distinct_empty(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.windows import windowed_distinct
+
+    t = pa.table({"ts": pa.array([], pa.timestamp("us")),
+                  "user_id": pa.array([], pa.int64())})
+    out = windowed_distinct(ray.data.from_arrow(t)).take_all()
+    assert out == []
