@@ -1726,8 +1726,13 @@ def _q_rolling_sum(sf_dir: str) -> Any:
     def _quant(t: pa.Table) -> pa.Table:
         x = t["value"].to_numpy(zero_copy_only=False).astype(
             np.float64) * 1000.0
-        qv = np.where(x >= 0, np.floor(x + 0.5),
-                      np.ceil(x - 0.5)).astype(np.int64)
+        # exact std::round / DuckDB ROUND emulation: y - floor(y) is
+        # exact for |y| < 2^52, so the >= 0.5 test never suffers the
+        # floor(x + 0.5) boundary drift (x + 0.5 can round UP across
+        # the half for doubles just below it)
+        y = np.abs(x)
+        r = np.floor(y)
+        qv = (np.sign(x) * (r + (y - r >= 0.5))).astype(np.int64)
         return pa.table({
             "event_id": t["event_id"], "user_id": t["user_id"],
             "ts": t["ts"], "qv": pa.array(qv, pa.int64()),

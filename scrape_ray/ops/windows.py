@@ -310,22 +310,33 @@ def rolling_sum(ds, by: str, order_cols: list[str], value_col: str,
     import ray
     import ray.data
 
+    if k < 0:
+        raise ValueError("k must be >= 0")
     sorted_ds = ds.sort([by] + order_cols)
     refs = list(sorted_ds.to_arrow_refs())
     if not refs:
-        return sorted_ds
+        return ray.data.from_arrow(
+            pa.table({out_col: pa.array([], pa.int64())}))
 
     @ray.remote
     def _summary(t: pa.Table):
         if t.num_rows == 0:
             return None
+        if t[by].null_count or t[value_col].null_count:
+            # nulls silently become int64 garbage through numpy —
+            # fail loudly instead (SQL-style null-skipping would
+            # change window membership semantics)
+            raise ValueError(
+                f"rolling_sum: null in {by!r}/{value_col!r}")
         byv = t[by].to_numpy(zero_copy_only=False)
         qv = t[value_col].to_numpy(zero_copy_only=False)
         last = byv[-1]
         run = int(t.num_rows - np.searchsorted(byv, last, side="left"))
+        tail = (qv[-min(run, k):] if k > 0
+                else qv[:0])  # k=0: window is the current row only
         return {
             "first": byv[0].item(), "last": last.item(),
-            "tail": qv[-min(run, k):].astype(np.int64),
+            "tail": tail.astype(np.int64),
         }
 
     summaries = ray.get([_summary.remote(r) for r in refs])
@@ -342,7 +353,8 @@ def rolling_sum(ds, by: str, order_cols: list[str], value_col: str,
                  and s["first"] == prev_key else np.zeros(0, np.int64))
         carries.append(carry)
         if s["first"] == s["last"]:
-            prev_tail = np.concatenate([carry, s["tail"]])[-k:]
+            joined = np.concatenate([carry, s["tail"]])
+            prev_tail = joined[-k:] if k > 0 else joined[:0]
         else:
             prev_tail = s["tail"]
         prev_key = s["last"]
@@ -401,8 +413,13 @@ def windowed_distinct(ds, ts_col: str = "ts", key_col: str = "user_id",
 
     def _partial(t: pa.Table) -> pa.Table:
         # normalize to µs first — inputs may be s/ms/ns timestamps
+        # (sub-µs components truncate, like SQL's epoch_us)
         epoch = pc.cast(
-            pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
+            t[ts_col].combine_chunks().cast(
+                pa.timestamp("us"), safe=False)
+            if isinstance(t[ts_col], pa.ChunkedArray)
+            else t[ts_col].cast(pa.timestamp("us"), safe=False),
+            pa.int64())
         win = pc.multiply(
             pc.divide(epoch, pa.scalar(width_us, pa.int64())),
             pa.scalar(width_us, pa.int64()),

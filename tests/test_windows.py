@@ -254,3 +254,34 @@ def test_windowed_distinct_empty(ray_session):
                   "user_id": pa.array([], pa.int64())})
     out = windowed_distinct(ray.data.from_arrow(t)).take_all()
     assert out == []
+
+
+def test_rolling_sum_rejects_nulls(ray_session):
+    import pytest
+    import ray.data
+
+    from scrape_ray.ops.windows import rolling_sum
+
+    ds = ray.data.from_items([
+        {"u": 1, "o": 1, "qv": 5},
+        {"u": 1, "o": 2, "qv": None},
+    ])
+    with pytest.raises(Exception, match="null"):
+        rolling_sum(ds, "u", ["o"], "qv", k=2).take_all()
+
+
+def test_windowed_distinct_subus_ns_truncates(ray_session):
+    """ns timestamps with non-zero sub-µs parts truncate (epoch_us
+    semantics) instead of raising on the safe cast."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.windows import windowed_distinct
+
+    t = pa.table({
+        "ts": pa.array([1500, 2500], pa.timestamp("ns")),
+        "user_id": pa.array([1, 2], pa.int64()),
+    })
+    out = windowed_distinct(
+        ray.data.from_arrow(t), width_s=3600).take_all()
+    assert [r["n_active"] for r in out] == [2]  # both in window 0
