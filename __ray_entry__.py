@@ -1690,6 +1690,56 @@ def _q_order_customer_join(sf_dir: str) -> Any:
                         ("o_orderpriority", "ascending")])
 
 
+def _q_robots_audit(sf_dir: str) -> Any:
+    """Robots-exclusion audit — puts the REAL robots parser
+    (state/politeness.parse_robots_txt + RobotsPolicy.allowed, the
+    north-rule A9 kernel) under the oracle gate: distinct corpus
+    hosts -> synthetic robots.txt (frontier_gen.robots_txt_for,
+    closed-form) parsed and probed on a blocked (/private/x) and an
+    allowed (/doc/1) path. Distinct-host discovery is a per-batch
+    unique partial + bounded driver merge (<= 50 hosts)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.sources.frontier_gen import robots_txt_for
+    from scrape_ray.state.politeness import parse_robots_txt
+    from scrape_ray.util import dataset_to_table
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def _ks(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.where(d % 5 < 2, 0, d % 50)
+        return pa.table({"k": pa.array(np.unique(k), pa.int64())})
+
+    parts = docs.map_batches(_ks, batch_format="pyarrow",
+                             batch_size=None)
+    ks = np.unique(dataset_to_table(parts)["k"].to_numpy(
+        zero_copy_only=False))  # bounded driver merge: <= 50 hosts
+    rows = {"k": [], "hostname": [], "crawl_delay": [],
+            "n_disallow": [], "private_allowed": [], "doc_allowed": []}
+    for k in ks.tolist():
+        host = f"host{k}.example.com"
+        pol = parse_robots_txt(robots_txt_for(host))
+        rows["k"].append(k)
+        rows["hostname"].append(host)
+        rows["crawl_delay"].append(int(pol.crawl_delay))
+        rows["n_disallow"].append(len(pol.disallow))
+        rows["private_allowed"].append(int(pol.allowed("/private/x")))
+        rows["doc_allowed"].append(int(pol.allowed("/doc/1")))
+    return pa.table({
+        "k": pa.array(rows["k"], pa.int64()),
+        "hostname": pa.array(rows["hostname"], pa.string()),
+        "crawl_delay": pa.array(rows["crawl_delay"], pa.int64()),
+        "n_disallow": pa.array(rows["n_disallow"], pa.int64()),
+        "private_allowed": pa.array(rows["private_allowed"], pa.int64()),
+        "doc_allowed": pa.array(rows["doc_allowed"], pa.int64()),
+    })
+
+
 def _q_active_users(sf_dir: str) -> Any:
     """Exact distinct users per 10-minute tumbling window (DAU-style;
     ops/windows.windowed_distinct): per-batch pair dedup combiner +
@@ -1997,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_dup_spans": _q_remove_dup_spans,
         "rolling_sum": _q_rolling_sum,
         "active_users": _q_active_users,
+        "robots_audit": _q_robots_audit,
         "pagerank": _q_pagerank,
         "postings": _q_postings,
         "dup_spans": _q_dup_spans,
@@ -2106,6 +2157,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        # robots_audit: closed-form replay of the synthetic robots —
+        # every host disallows /private/ (1 rule), crawl_delay =
+        # 1 + (k % 3); the engine's parser/matcher must agree.
+        "robots_audit": """
+            WITH hosts AS (
+                SELECT DISTINCT CASE WHEN doc_id % 5 < 2 THEN 0
+                                     ELSE doc_id % 50 END AS k
+                FROM documents
+            )
+            SELECT k::BIGINT AS k,
+                   'host' || k || '.example.com' AS hostname,
+                   (1 + (k % 3))::BIGINT AS crawl_delay,
+                   1::BIGINT AS n_disallow,
+                   0::BIGINT AS private_allowed,
+                   1::BIGINT AS doc_allowed
+            FROM hosts ORDER BY k
         """,
         # active_users: exact COUNT(DISTINCT user) per tumbling
         # window — same epoch_us floor idiom as tumbling_window.
