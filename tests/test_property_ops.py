@@ -155,3 +155,115 @@ def test_cdxj_write_parse_roundtrip(tmp_path_factory, urls, status):
         assert r["surt"] == surt(u)
         assert r["status"] == status
         assert r["length"] == i and r["offset"] == i * 3
+
+
+@settings(**_SMALL)
+@given(
+    n=st.integers(1, 300),
+    seed=st.integers(0, 10_000),
+    width_s=st.sampled_from([60, 600, 3600]),
+)
+def test_tumbling_aggregate_random_matches_duckdb(ray_session, n, seed,
+                                                  width_s):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from scrape_ray.ops.windows import tumbling_aggregate
+
+    rng = np.random.RandomState(seed)
+    t = pa.table({
+        "ts": pa.array(pd.to_datetime(
+            rng.randint(0, 7200, n), unit="s")).cast(pa.timestamp("us")),
+        "user_id": rng.randint(0, 9, n).astype("int64"),
+        "value": np.round(rng.uniform(-50, 50, n), 4),
+    })
+    out = tumbling_aggregate(
+        ray.data.from_arrow(t).repartition(4), width_s=width_s
+    ).to_pandas()
+    want = duckdb.sql(f"""
+        SELECT user_id,
+               make_timestamp((epoch_us(ts) // {width_s * 1_000_000})
+                              * {width_s * 1_000_000}) AS window_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM t GROUP BY 1, 2""").df()
+    key = ["user_id", "window_start"]
+    got = out.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+@settings(**_SMALL)
+@given(
+    n=st.integers(1, 200),
+    seed=st.integers(0, 10_000),
+)
+def test_hopping_aggregate_random_matches_duckdb(ray_session, n, seed):
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from scrape_ray.ops.windows import hopping_aggregate
+
+    rng = np.random.RandomState(seed)
+    t = pa.table({
+        "ts": pa.array(pd.to_datetime(
+            rng.randint(0, 3600, n), unit="s")).cast(pa.timestamp("us")),
+        "user_id": rng.randint(0, 5, n).astype("int64"),
+        "value": np.round(rng.uniform(0, 20, n), 3),
+    })
+    out = hopping_aggregate(
+        ray.data.from_arrow(t).repartition(3),
+        width_s=600, hop_s=300,
+    ).to_pandas()
+    want = duckdb.sql("""
+        SELECT user_id,
+               make_timestamp(((epoch_us(ts) // 300000000) - g.i)
+                              * 300000000) AS window_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM t, (SELECT UNNEST(range(2)) AS i) g
+        GROUP BY 1, 2""").df()
+    key = ["user_id", "window_start"]
+    got = out.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+@settings(**_SMALL)
+@given(
+    keys=st.lists(st.integers(-3, 2**40), min_size=1, max_size=120),
+    seed=st.integers(0, 9999),
+    P=st.integers(1, 6),
+)
+def test_hash_groupby_sum_random_matches_plain_groupby(
+        ray_session, keys, seed, P):
+    import duckdb
+    import ray
+    import ray.data
+
+    from scrape_ray.util import hash_groupby_sum
+
+    rng = np.random.RandomState(seed)
+    t = pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "k2": rng.randint(0, 3, len(keys)).astype("int64"),
+        "v": rng.randint(-100, 100, len(keys)).astype("int64"),
+        "w": rng.randint(0, 10, len(keys)).astype("int64"),
+    })
+    refs = ray.data.from_arrow(t).repartition(5).to_arrow_refs()
+    parts = hash_groupby_sum(list(refs), ["k", "k2"], ["v", "w"],
+                             P=P, resolve=True)
+    got_t = pa.concat_tables(
+        [x for x in parts if x.num_rows], promote_options="default")
+    got = duckdb.sql(
+        "SELECT k, k2, v, w FROM got_t ORDER BY ALL").fetchall()
+    want = duckdb.sql(
+        "SELECT k, k2, SUM(v)::BIGINT, SUM(w)::BIGINT FROM t "
+        "GROUP BY 1, 2 ORDER BY ALL").fetchall()
+    assert got == want
