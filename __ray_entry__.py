@@ -1498,8 +1498,11 @@ def _q_pagerank(sf_dir: str) -> Any:
     Every arithmetic step is int64 floor division, so the result is
     engine-exact (see ops/graph.py). The orders side broadcasts
     (orderkey→custkey arrays via ray.put); lineitem streams; distinct
-    pairs are ONE groupby exchange; each PageRank iteration adds one
-    pre-aggregated node-table exchange."""
+    pairs are ONE groupby exchange; ``fold="dataset"`` (the
+    10^10-node path, new r5) keeps ranks as P co-partitioned
+    object-store shards — neither the driver nor any task ever holds
+    the full rank table; each iteration is one P×P combined-partial
+    exchange."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1561,7 +1564,7 @@ def _q_pagerank(sf_dir: str) -> Any:
 
     edges = ray.data.from_arrow_refs(
         [_sym_tbl.remote(r) for r in bucket_refs])
-    return pagerank(edges, iterations=2)
+    return pagerank(edges, iterations=2, fold="dataset")
 
 
 def _q_postings(sf_dir: str) -> Any:

@@ -46,11 +46,28 @@ Distributed shape — per iteration at most ONE all-to-all exchange:
    only the partial-row traffic).
 
 The broadcast/driver O(#nodes) term is the small-to-medium regime
-(ranks for 10^8 nodes ≈ 1.6 GB, still broadcastable). At 10^10
-nodes, keep ranks as a Dataset hash-partitioned on node and replace
-step 1's broadcast with the co-partitioned shuffle-join used by
-``state/cache.py`` (fetch path) — the iteration count and exchange
-count per iteration are unchanged.
+(ranks for 10^8 nodes ≈ 1.6 GB, still broadcastable). The 10^10-node
+web-graph regime is ``fold="dataset"``: ranks never exist in one
+place — they live as P per-bucket ``(node, outdeg, rank)`` shards in
+the object store, co-partitioned with the edge blocks through the
+SAME single-column hash that ``util.bucket_table_refs`` uses
+(``(uint64(node) * GOLD) % P``), so
+
+1. edges bucket by ``src`` ONCE (static across iterations — the
+   graph doesn't change, only ranks do);
+2. each iteration, bucket ``b``'s contribution task joins its edge
+   shard against its OWN rank shard locally (srcs of bucket ``b``
+   are exactly the nodes of rank shard ``b`` — no broadcast, no
+   lookup traffic), partial-sums by ``dst``, and hash-slices the
+   partials ``num_returns=P`` by the dst bucket;
+3. bucket ``c``'s apply task folds the P partial slices addressed
+   to it into its node vector and emits the next rank shard.
+
+Per iteration that is ONE all-to-all exchange of combined partials
+(P×P small slices, no driver rows) and O(#nodes / P) memory per
+task; the driver holds only 2·P object refs. ``fold="auto"`` uses
+the zero-exchange ``driver`` fold below the edge threshold and
+``dataset`` above it.
 """
 
 from __future__ import annotations
@@ -91,6 +108,17 @@ def node_degrees(edges, src: str = "src", dst: str = "dst"):
     )
 
 
+def _node_bucket(v: np.ndarray, P: int) -> np.ndarray:
+    """Bucket index of an int64 node id — MUST match what
+    ``util.bucket_table_refs`` computes for a single int64 key column
+    (``h = 0 * MIX ^ (v * GOLD)``), or the dataset fold's rank shards
+    and edge shards stop being co-partitioned."""
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        h = v.astype(np.int64).view(np.uint64) * GOLD
+    return (h % np.uint64(P)).astype(np.int64)
+
+
 def pagerank(
     edges,
     src: str = "src",
@@ -101,6 +129,8 @@ def pagerank(
     damp_den: int = 100,
     fold: str = "auto",
     driver_fold_max_edges: int = 50_000_000,
+    num_buckets: int = 32,
+    stats: dict | None = None,
 ):
     """Integer-scaled damped PageRank over an int64 edge Dataset.
 
@@ -108,9 +138,13 @@ def pagerank(
     appearing in either endpoint column. ``iterations`` is fixed (a
     power-iteration prefix), which keeps the operator exactly
     SQL-expressible for the oracle gate; convergence loops would
-    wrap this with a driver-side delta check on the O(#nodes) rank
-    table. ``fold`` selects the partial-merge path (module
-    docstring); both paths are int64-exact and bit-identical.
+    wrap this with a driver-side delta check on a small per-shard
+    delta reduction. ``fold`` selects the partial-merge path (module
+    docstring); all paths are int64-exact and bit-identical.
+    ``num_buckets`` sizes the ``dataset`` fold's shard count (scale
+    with the cluster; each shard holds ~#nodes / P rows).
+    ``stats``, when a dict, receives ``{"fold", "P",
+    "bucket_nodes"}`` so tests can assert the per-task memory bound.
     """
     import ray
     import ray.data
@@ -124,9 +158,17 @@ def pagerank(
     # shape for iterative algorithms over a fixed input.
     edges = edges.materialize()
     if fold == "auto":
-        fold = "driver" if edges.count() <= driver_fold_max_edges else "exchange"
-    if fold not in ("driver", "exchange"):
-        raise ValueError(f"fold must be auto|driver|exchange, got {fold!r}")
+        fold = "driver" if edges.count() <= driver_fold_max_edges else "dataset"
+    if fold not in ("driver", "exchange", "dataset"):
+        raise ValueError(
+            f"fold must be auto|driver|exchange|dataset, got {fold!r}")
+    if stats is not None:
+        stats["fold"] = fold
+
+    if fold == "dataset":
+        return _pagerank_dataset(
+            edges, src, dst, iterations, scale, base, damp_num, damp_den,
+            num_buckets, stats)
 
     from scrape_ray.util import dataset_to_table
 
@@ -218,3 +260,130 @@ def pagerank(
         ranks[pos] = base + (damp_num * svals) // damp_den
 
     return ray.data.from_arrow(pa.table({"node": nodes, "rank": ranks}))
+
+
+def _pagerank_dataset(
+    edges, src, dst, iterations, scale, base, damp_num, damp_den,
+    num_buckets, stats,
+):
+    """The 10^10-node fold (module docstring step-by-step): ranks as P
+    co-partitioned object-store shards, edges bucketed by ``src``
+    once, one P×P combined-partial exchange per iteration. Neither
+    the driver nor any single task ever holds the full rank table —
+    the driver keeps 2·P ObjectRefs and a P-length shard-size list
+    (for ``stats``); each task holds one shard (~#nodes / P) plus
+    its edge bucket."""
+    import ray
+    import ray.data
+
+    from scrape_ray.util import bucket_table_refs, hash_groupby_sum
+
+    _empty_nodes = pa.table({
+        "node": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+    })
+
+    refs = edges.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(_empty_nodes)
+    # hash_groupby_sum clamps its P to len(refs); pin the SAME P for
+    # every participant or the shards stop being co-partitioned.
+    P = max(1, min(num_buckets, len(refs)))
+
+    # --- node universe + out-degrees, sharded by node hash ---------
+    @ray.remote
+    def _deg_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or src not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "outdeg": pa.array([], pa.int64())})
+        s = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.concatenate([s, d])
+        vals = np.concatenate(
+            [np.ones(len(s), np.int64), np.zeros(len(d), np.int64)])
+        u, acc = _partial_sum_by(keys, vals)
+        return pa.table({"node": u, "outdeg": acc})
+
+    deg_refs = [_deg_part.remote(r) for r in refs]
+    deg_buckets = hash_groupby_sum(
+        deg_refs, ["node"], ["outdeg"], P=P, resolve=False)
+
+    @ray.remote(num_returns=2)
+    def _init_shard(t: pa.Table):
+        n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = t["outdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(n, kind="stable")
+        n, o = n[order], o[order]
+        return (n, np.maximum(o, 1), np.full(len(n), scale, np.int64)), len(n)
+
+    inits = [_init_shard.remote(b) for b in deg_buckets]
+    state = [i[0] for i in inits]
+    if stats is not None:
+        stats["P"] = P
+        stats["bucket_nodes"] = ray.get([i[1] for i in inits])
+
+    # --- edge shards by src hash (static across iterations) --------
+    src_grid = bucket_table_refs(refs, [src], P)
+
+    @ray.remote
+    def _concat_edges(*slices):
+        live = [x.select([src, dst]) for x in slices
+                if x.num_rows and src in x.column_names]
+        if not live:
+            return pa.table({src: pa.array([], pa.int64()),
+                             dst: pa.array([], pa.int64())})
+        return pa.concat_tables(live, promote_options="default")
+
+    edge_b = [
+        _concat_edges.remote(*[src_grid[blk][b] for blk in range(len(refs))])
+        for b in range(P)
+    ]
+
+    # --- power iterations -------------------------------------------
+    @ray.remote
+    def _contrib(et: pa.Table, shard, P: int):
+        n, safe_deg, r = shard
+        if et.num_rows == 0:
+            out = [(np.empty(0, np.int64), np.empty(0, np.int64))] * P
+            return out[0] if P == 1 else tuple(out)
+        s = et[src].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = et[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+        # srcs of edge bucket b are exactly shard b's nodes: local lookup
+        contrib = (r // safe_deg)[np.searchsorted(n, s)]
+        u, acc = _partial_sum_by(d, contrib)
+        bkt = _node_bucket(u, P)
+        order = np.argsort(bkt, kind="stable")
+        u, acc, bkt = u[order], acc[order], bkt[order]
+        cuts = np.searchsorted(bkt, np.arange(P + 1))
+        out = [(u[cuts[p]:cuts[p + 1]], acc[cuts[p]:cuts[p + 1]])
+               for p in range(P)]
+        return out[0] if P == 1 else tuple(out)
+
+    @ray.remote
+    def _apply(shard, *parts):
+        n, safe_deg, _ = shard
+        s_in = np.zeros(len(n), np.int64)
+        for u, acc in parts:
+            if len(u):
+                s_in[np.searchsorted(n, u)] += acc
+        return (n, safe_deg, base + (damp_num * s_in) // damp_den)
+
+    for _ in range(iterations):
+        sliced = [
+            _contrib.options(num_returns=P).remote(edge_b[b], state[b], P)
+            for b in range(P)
+        ]
+        if P == 1:
+            sliced = [[s] for s in sliced]
+        state = [
+            _apply.remote(state[c], *[sliced[b][c] for b in range(P)])
+            for c in range(P)
+        ]
+
+    @ray.remote
+    def _shard_table(shard) -> pa.Table:
+        n, _, r = shard
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "rank": pa.array(r, pa.int64())})
+
+    return ray.data.from_arrow_refs([_shard_table.remote(s) for s in state])

@@ -47,7 +47,7 @@ def test_node_degrees_counts_sinks(ray_session):
     assert t["sum(outdeg)"].to_pylist() == [2, 1, 0]
 
 
-@pytest.mark.parametrize("fold", ["driver", "exchange"])
+@pytest.mark.parametrize("fold", ["driver", "exchange", "dataset"])
 @pytest.mark.parametrize("iterations", [1, 2, 3])
 def test_pagerank_matches_reference(ray_session, iterations, fold):
     from scrape_ray.ops.graph import pagerank
@@ -89,6 +89,59 @@ def test_pagerank_many_blocks_with_empties(ray_session):
     edge_list = [(1, 2), (2, 1)]
     got = dataset_to_table(
         pagerank(_edges_ds(ray_session, edge_list, parallelism=16))
+    )
+    expect = _ref_pagerank(edge_list)
+    ranks = dict(zip(got["node"].to_pylist(), got["rank"].to_pylist()))
+    assert ranks == expect
+
+
+def test_pagerank_dataset_fold_bounds_per_task_state(ray_session):
+    """The 10^10-node contract (VERDICT r4 #1): with fold="dataset",
+    ranks live as P co-partitioned shards — NO task and NOT the driver
+    holds the full rank table. Asserted via the stats hook: ≥ 2 real
+    shards, every shard strictly smaller than the node universe, and
+    the shard sizes partition it exactly. Results stay bit-identical
+    to the single-process int64 reference on a random multigraph."""
+    from scrape_ray.ops.graph import pagerank
+    from scrape_ray.util import dataset_to_table
+
+    rng = np.random.default_rng(5)
+    n_nodes = 2_000
+    edge_list = list(zip(
+        rng.integers(0, n_nodes, 30_000).tolist(),
+        rng.integers(0, n_nodes, 30_000).tolist(),
+    ))
+    expect = _ref_pagerank(edge_list, iterations=3)
+
+    stats: dict = {}
+    got = dataset_to_table(
+        pagerank(_edges_ds(ray_session, edge_list, parallelism=16),
+                 iterations=3, fold="dataset", num_buckets=8, stats=stats)
+    )
+    ranks = dict(zip(got["node"].to_pylist(), got["rank"].to_pylist()))
+    assert ranks == expect
+
+    total = len(expect)
+    shards = stats["bucket_nodes"]
+    assert stats["fold"] == "dataset" and stats["P"] == 8
+    assert sum(shards) == total  # shards PARTITION the node universe
+    assert len([s for s in shards if s]) >= 2
+    assert max(shards) < total  # no task ever held the full rank table
+    # hash sharding should be roughly balanced on random int ids
+    assert max(shards) < 2 * (total // stats["P"] + 1), shards
+
+
+def test_pagerank_dataset_fold_empty_and_tiny(ray_session):
+    """Edge cases through the sharded path: a 2-node cycle over more
+    blocks than rows (empty-block schema trap) and P clamped to the
+    block count."""
+    from scrape_ray.ops.graph import pagerank
+    from scrape_ray.util import dataset_to_table
+
+    edge_list = [(1, 2), (2, 1)]
+    got = dataset_to_table(
+        pagerank(_edges_ds(ray_session, edge_list, parallelism=16),
+                 fold="dataset")
     )
     expect = _ref_pagerank(edge_list)
     ranks = dict(zip(got["node"].to_pylist(), got["rank"].to_pylist()))
