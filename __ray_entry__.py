@@ -1349,25 +1349,21 @@ def _q_simhash_dups(sf_dir: str) -> Any:
 
 
 def _q_ivf_topk(sf_dir: str) -> Any:
-    """IVF-bucketed approximate top-k (the ANN scale path) — rows-only
-    (approximate by design; recall vs brute force is pytest-gated)."""
-    import numpy as np
-    import pyarrow.parquet as pq
+    """IVF-bucketed approximate top-k (the ANN scale path), now
+    INTEGER-EXACT (r5): the coarse quantizer is the same integer
+    Lloyd as the kmeans query, so the genuinely PRUNED nprobe=4-of-8
+    probe — cell fit, assignment, probe lists, distances — is
+    bit-replayable by the full CTE oracle (r4's only no_oracle row,
+    closed per VERDICT "Next #3")."""
     import ray.data
 
-    from scrape_ray.ops.similarity import ivf_topk
+    from scrape_ray.ops.similarity import ivf_topk_int
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    by_id = {
-        v: e
-        for v, e in zip(qt["vec_id"].to_pylist(), qt["embedding"].to_pylist())
-        if v < 3
-    }
-    queries_np = np.array([by_id[v] for v in sorted(by_id)], dtype=np.float32)
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return ivf_topk(ds, queries_np, k=10, num_cells=8, nprobe=4)
+    return ivf_topk_int(ds, query_ids=[0, 1, 2], k_top=10, num_cells=8,
+                        nprobe=4, iterations=2)
 
 
 def _q_ivf_topk_full(sf_dir: str) -> Any:
@@ -3111,6 +3107,74 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_TOPK_SQL,
         # exhaustive IVF (nprobe == num_cells) must equal brute force
         "ivf_topk_full": _ANN_TOPK_SQL,
+        # ivf_topk (r5): the PRUNED nprobe=4-of-8 probe on the
+        # integer-exact quantizer — same Lloyd replay as the kmeans
+        # oracle (ROUND/DOUBLE-cast quantization, truncating //,
+        # (dist, k) tie-break), then cell assignment under the updated
+        # centroids, per-query ROW_NUMBER <= 4 probe lists, candidate
+        # join on probed cells, exact int64 pair distances, top-10 by
+        # (dist, vec_id)
+        "ivf_topk": """
+            WITH q AS (
+                SELECT vec_id, i AS dim,
+                       CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+                            AS BIGINT) AS qv
+                FROM embeddings, LATERAL UNNEST(range(len(embedding))) AS u(i)
+            ),
+            init AS (
+                SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            c0 AS (SELECT init.k, q.dim, q.qv FROM q JOIN init USING (vec_id)),
+            d1 AS (
+                SELECT q.vec_id, c.k,
+                       SUM((q.qv - c.qv) * (q.qv - c.qv))::BIGINT AS dist
+                FROM q JOIN c0 c USING (dim) GROUP BY 1, 2
+            ),
+            a1 AS (
+                SELECT vec_id, k FROM (
+                    SELECT vec_id, k, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY dist, k) AS rn
+                    FROM d1) WHERE rn = 1
+            ),
+            c1 AS (
+                SELECT a1.k, q.dim, SUM(q.qv)::BIGINT // COUNT(*) AS qv
+                FROM q JOIN a1 USING (vec_id) GROUP BY 1, 2
+            ),
+            d2 AS (
+                SELECT q.vec_id, c.k,
+                       SUM((q.qv - c.qv) * (q.qv - c.qv))::BIGINT AS dist
+                FROM q JOIN c1 c USING (dim) GROUP BY 1, 2
+            ),
+            cell AS (
+                SELECT vec_id, k FROM (
+                    SELECT vec_id, k, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY dist, k) AS rn
+                    FROM d2) WHERE rn = 1
+            ),
+            probe AS (
+                SELECT vec_id AS query_id, k FROM (
+                    SELECT vec_id, k, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY dist, k) AS rn
+                    FROM d2 WHERE vec_id < 3) WHERE rn <= 4
+            ),
+            cand AS (
+                SELECT p.query_id, cl.vec_id
+                FROM probe p JOIN cell cl USING (k)
+            ),
+            pd AS (
+                SELECT c.query_id, c.vec_id,
+                       SUM((qa.qv - qb.qv) * (qa.qv - qb.qv))::BIGINT AS dist
+                FROM cand c
+                JOIN q qa ON qa.vec_id = c.query_id
+                JOIN q qb ON qb.vec_id = c.vec_id AND qb.dim = qa.dim
+                GROUP BY 1, 2
+            )
+            SELECT query_id, vec_id, dist FROM (
+                SELECT query_id, vec_id, dist, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+                FROM pd) WHERE rn <= 10
+        """,
         # integer-quantized centroid: the DOUBLE cast before the
         # multiply is load-bearing (FLOAT*INT would round in float32
         # and can land exactly on .5 where float64 does not); //

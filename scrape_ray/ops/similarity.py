@@ -27,13 +27,15 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def _merge_topk(local, k: int):
+def _merge_topk(local, k: int, score_col: str = "score",
+                score_order: str = "descending"):
     """Distributed final merge of the per-block top-k partials: ONE
     ``groupby("query_id")`` exchange over the tiny (#blocks × q × k)
     partials table, Arrow-native head-k inside the group task — no
     #blocks-sized driver frame (the tree-merge the per-block partials
-    make possible; driver state is zero). Sort order (score desc,
-    vec_id asc) matches the oracle's ROW_NUMBER tie-break."""
+    make possible; driver state is zero). Sort order (score desc —
+    or asc for distance metrics — then vec_id asc) matches the
+    oracle's ROW_NUMBER tie-break."""
     import pyarrow.compute as pc
 
     def _head(g: pa.Table) -> pa.Table:
@@ -41,7 +43,7 @@ def _merge_topk(local, k: int):
             return g
         idx = pc.sort_indices(
             g,
-            sort_keys=[("query_id", "ascending"), ("score", "descending"),
+            sort_keys=[("query_id", "ascending"), (score_col, score_order),
                        ("vec_id", "ascending")],
         )
         gs = g.take(idx)
@@ -455,6 +457,26 @@ def kmeans_assign(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     if k < 1 or iterations < 1:
         raise ValueError("k and iterations must be >= 1")
 
+    qds = _quant_ds(ds, vec_col, id_col, scale, batch_size)
+    refs = qds.to_arrow_refs()
+    cents, live = _init_cents(ds, id_col, vec_col, k, scale)
+    fold = ray.remote(_block_assign)
+    cents, live = _lloyd_updates(refs, cents, live, iterations - 1,
+                                 id_col, fold)
+
+    # final pass stays distributed: one relabeled assignment block per
+    # input block, stitched into a Dataset WITHOUT a driver collect
+    cref = ray.put(cents)
+    lref = ray.put(live)
+    return ray.data.from_arrow_refs(
+        [fold.remote(r, cref, lref, id_col) for r in refs])
+
+
+def _quant_ds(ds, vec_col: str, id_col: str, scale: int, batch_size: int):
+    """(id, q: fixed_size_list<int64>) quantized twin of the embedding
+    table, materialized once so iterative passes don't re-execute the
+    upstream lineage (same trade as ops/graph.pagerank)."""
+
     def _quant(t: pa.Table) -> pa.Table:
         m = vecs_to_numpy(t[vec_col]).astype(np.float64)
         x = m * float(scale)
@@ -467,66 +489,193 @@ def kmeans_assign(ds, vec_col: str = "embedding", id_col: str = "vec_id",
             "q": pa.FixedSizeListArray.from_arrays(flat, d),
         })
 
-    qds = ds.map_batches(_quant, batch_format="pyarrow",
-                         batch_size=batch_size).materialize()
-    refs = qds.to_arrow_refs()
+    return ds.map_batches(_quant, batch_format="pyarrow",
+                          batch_size=batch_size).materialize()
 
+
+def _init_cents(ds, id_col: str, vec_col: str, k: int, scale: int):
+    """Deterministic initial centroids: the k smallest ids' vectors,
+    quantized. Returns (cents (k,d) int64, live = arange(k))."""
     init_ids, init_vecs = _bottom_k_sample(ds, id_col, vec_col, k)
     if len(init_ids) < k:
         raise ValueError(f"k={k} but only {len(init_ids)} rows")
     x0 = init_vecs.astype(np.float64) * float(scale)
     cents = np.where(x0 >= 0, np.floor(x0 + 0.5),
                      np.ceil(x0 - 0.5)).astype(np.int64)
-    live = np.arange(k, dtype=np.int64)  # original centroid indices
+    return cents, np.arange(k, dtype=np.int64)
 
-    @ray.remote
-    def _assign_fold(t: pa.Table, cent: np.ndarray, live_idx):
-        """One block's assignment; returns the fold partials (sums,
-        counts), or the relabeled assignment table on the final pass
-        (``live_idx`` maps live slot -> original centroid index)."""
-        final = live_idx is not None
-        if t.num_rows == 0:
-            d = cent.shape[1]
-            if final:
-                return pa.table({id_col: pa.array([], pa.int64()),
-                                 "cluster": pa.array([], pa.int64()),
-                                 "dist": pa.array([], pa.int64())})
-            return (np.zeros((len(cent), d), np.int64),
-                    np.zeros(len(cent), np.int64))
-        col = t["q"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        d = col.type.list_size
-        X = col.values.to_numpy(zero_copy_only=False).reshape(-1, d)
-        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, all exact in int64
-        xx = np.einsum("ij,ij->i", X, X)
-        cc = np.einsum("ij,ij->i", cent, cent)
-        dist = xx[:, None] - 2 * (X @ cent.T) + cc[None, :]
-        a = dist.argmin(axis=1)  # first min = lowest live index
+
+def _block_assign(t: pa.Table, cent: np.ndarray, live_idx, id_col: str):
+    """One quantized block's nearest-centroid assignment; returns the
+    fold partials (sums, counts), or the relabeled assignment table
+    when ``live_idx`` is given (maps live slot -> original centroid
+    index). All arithmetic exact int64."""
+    final = live_idx is not None
+    if t.num_rows == 0:
+        d = cent.shape[1]
         if final:
-            return pa.table({
-                id_col: t[id_col],
-                "cluster": pa.array(live_idx[a], pa.int64()),
-                "dist": pa.array(dist[np.arange(len(a)), a], pa.int64()),
-            })
-        sums = np.zeros((len(cent), d), np.int64)
-        np.add.at(sums, a, X)
-        cnts = np.bincount(a, minlength=len(cent)).astype(np.int64)
-        return sums, cnts
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        return (np.zeros((len(cent), d), np.int64),
+                np.zeros(len(cent), np.int64))
+    col = t["q"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.type.list_size
+    X = col.values.to_numpy(zero_copy_only=False).reshape(-1, d)
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, all exact in int64
+    xx = np.einsum("ij,ij->i", X, X)
+    cc = np.einsum("ij,ij->i", cent, cent)
+    dist = xx[:, None] - 2 * (X @ cent.T) + cc[None, :]
+    a = dist.argmin(axis=1)  # first min = lowest live index
+    if final:
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": pa.array(live_idx[a], pa.int64()),
+            "dist": pa.array(dist[np.arange(len(a)), a], pa.int64()),
+        })
+    sums = np.zeros((len(cent), d), np.int64)
+    np.add.at(sums, a, X)
+    cnts = np.bincount(a, minlength=len(cent)).astype(np.int64)
+    return sums, cnts
 
-    for it in range(iterations - 1):
+
+def _lloyd_updates(refs, cents, live, n_updates: int, id_col: str, fold):
+    """``n_updates`` Lloyd centroid updates over the quantized block
+    refs. Per pass: ONE broadcast + per-block (k×d) partial folds —
+    driver state is O(model) (k·d ints), never O(data). Updates use
+    the SQL-style truncating quotient; emptied clusters drop out
+    (``live`` keeps original labels)."""
+    import ray
+
+    for _ in range(n_updates):
         cref = ray.put(cents)
-        parts = ray.get([_assign_fold.remote(r, cref, None) for r in refs])
+        parts = ray.get([fold.remote(r, cref, None, id_col) for r in refs])
         sums = sum(p[0] for p in parts)
         cnts = sum(p[1] for p in parts)
         keep = cnts > 0
         s, n = sums[keep], cnts[keep][:, None]
         cents = (np.sign(s) * (np.abs(s) // n)).astype(np.int64)
         live = live[keep]
+    return cents, live
 
-    # final pass stays distributed: one relabeled assignment block per
-    # input block, stitched into a Dataset WITHOUT a driver collect
-    cref = ray.put(cents)
-    lref = ray.put(live)
-    return ray.data.from_arrow_refs(
-        [_assign_fold.remote(r, cref, lref) for r in refs])
+
+def ivf_topk_int(
+    ds,
+    query_ids,
+    k_top: int = 10,
+    num_cells: int = 8,
+    nprobe: int = 4,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    batch_size: int = 4096,
+):
+    """INTEGER-EXACT IVF probe — the oracle-checkable twin of
+    :func:`ivf_topk` (VERDICT r4 "Next #3"): the coarse quantizer is
+    the same integer Lloyd as :func:`kmeans_assign` (quantize to
+    ``round(float64(x)*scale)``, exact int64 squared-L2, truncating
+    centroid updates, deterministic bottom-k init), so cell
+    assignment, the per-query nprobe probe list, AND the final
+    distances are all bit-replayable by a SQL CTE. Queries are rows
+    of ``ds`` selected by ``query_ids``; ``nprobe < num_cells`` makes
+    this a genuinely PRUNED approximate search (each batch scores
+    only rows whose cell is probed by each query), yet every emitted
+    number is exact.
+
+    Returns (query_id, vec_id, dist) — ``dist`` ascending top-k per
+    query, ties broken by vec_id asc (the oracle's ROW_NUMBER order).
+
+    Scale shape: quantized vectors materialize once; Lloyd is
+    ``iterations - 1`` broadcast+O(k·d)-fold passes; scoring is one
+    ``map_batches`` (per-batch bottom-k, only (q × k_top) rows per
+    block leave the worker) + the tiny top-k merge exchange. The
+    I/O-level pruning variant (cells as parquet partitions) is
+    :func:`build_ivf_index`/:func:`ivf_topk_indexed`; this one prunes
+    compute, not reads, and buys exactness for it."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    if nprobe < 1 or k_top < 1 or iterations < 1:
+        raise ValueError("nprobe, k_top and iterations must be >= 1")
+
+    qds = _quant_ds(ds, vec_col, id_col, scale, batch_size)
+    refs = qds.to_arrow_refs()
+    cents, live = _init_cents(ds, id_col, vec_col, num_cells, scale)
+    fold = ray.remote(_block_assign)
+    cents, live = _lloyd_updates(refs, cents, live, iterations - 1,
+                                 id_col, fold)
+
+    # query vectors: the requested rows of the QUANTIZED table (tiny
+    # driver collect — len(query_ids) rows)
+    qid_arr = np.asarray(sorted(set(int(q) for q in query_ids)), np.int64)
+
+    def _pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=pa.array(
+            qid_arr, pa.int64())))
+
+    from scrape_ray.util import collect_nonempty
+
+    parts = collect_nonempty(
+        qds.map_batches(_pick, batch_format="pyarrow", batch_size=None))
+    qtbl = pa.concat_tables(parts) if parts else None
+    if qtbl is None or qtbl.num_rows < len(qid_arr):
+        raise ValueError("some query_ids not present in the dataset")
+    order = pc.sort_indices(qtbl[id_col])
+    qtbl = qtbl.take(order)
+    qcol = qtbl["q"].combine_chunks()
+    d = qcol.type.list_size
+    Q = qcol.values.to_numpy(zero_copy_only=False).reshape(-1, d)
+
+    # per-query probe cells (driver: q × live-cells ints — O(model))
+    qq = np.einsum("ij,ij->i", Q, Q)
+    cc = np.einsum("ij,ij->i", cents, cents)
+    qdist = qq[:, None] - 2 * (Q @ cents.T) + cc[None, :]
+    npb = min(nprobe, len(live))
+    # stable argsort + ascending `live` = ties -> lowest original label
+    probe = live[np.argsort(qdist, axis=1, kind="stable")[:, :npb]]
+
+    state_ref = ray.put((cents, live, Q, qid_arr, probe))
+
+    def _score(t: pa.Table) -> pa.Table:
+        cent, live_idx, q_mat, q_ids, probe_cells = ray.get(state_ref)
+        out_q = [np.empty(0, np.int64)]
+        out_id = [np.empty(0, np.int64)]
+        out_d = [np.empty(0, np.int64)]
+        if t.num_rows:
+            col = t["q"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            dd = col.type.list_size
+            X = col.values.to_numpy(zero_copy_only=False).reshape(-1, dd)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            xx = np.einsum("ij,ij->i", X, X)
+            ccc = np.einsum("ij,ij->i", cent, cent)
+            dmat = xx[:, None] - 2 * (X @ cent.T) + ccc[None, :]
+            labels = live_idx[dmat.argmin(axis=1)]
+            for j in range(len(q_ids)):
+                mask = np.isin(labels, probe_cells[j])
+                if not mask.any():
+                    continue
+                dj = (xx[mask] - 2 * (X[mask] @ q_mat[j])
+                      + int(q_mat[j] @ q_mat[j]))
+                sub_ids = ids[mask]
+                kk = min(k_top, len(sub_ids))
+                idx = (np.argpartition(dj, kk - 1)[:kk]
+                       if kk < len(sub_ids) else np.arange(len(sub_ids)))
+                out_q.append(np.full(kk, q_ids[j], np.int64))
+                out_id.append(sub_ids[idx])
+                out_d.append(dj[idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "dist": pa.array(np.concatenate(out_d), pa.int64()),
+        })
+
+    local = qds.map_batches(_score, batch_format="pyarrow",
+                            batch_size=batch_size)
+    return _merge_topk(local, k_top, score_col="dist",
+                       score_order="ascending")

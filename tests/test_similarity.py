@@ -57,6 +57,58 @@ def test_ivf_recall(ray_session, ground_truth):
     assert np.mean(recalls) >= 0.6  # nprobe=half the cells ⇒ decent recall
 
 
+def test_ivf_topk_int_exhaustive_equals_brute_force(ray_session):
+    """nprobe == num_cells makes ivf_topk_int exhaustive: it must
+    reproduce the exact int64 bottom-k computed in-process with the
+    same quantization (round half away from zero at scale 1e6)."""
+    import pyarrow.parquet as pq
+
+    from scrape_ray.ops.similarity import ivf_topk_int
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    x = V * 1e6
+    Q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+
+    got = ivf_topk_int(_emb_ds(), query_ids=[0, 1, 2], k_top=5,
+                       num_cells=4, nprobe=4).to_pandas()
+    assert len(got) == 15
+    order = np.argsort(ids, kind="stable")
+    for qid in (0, 1, 2):
+        qv = Q[ids == qid][0]
+        d = ((Q - qv) ** 2).sum(axis=1)
+        # expected: bottom-5 by (dist, vec_id)
+        want = sorted(zip(d.tolist(), ids.tolist()))[:5]
+        g = got[got["query_id"] == qid].sort_values(["dist", "vec_id"])
+        assert list(zip(g["dist"], g["vec_id"])) == want
+        assert g.iloc[0]["vec_id"] == qid and g.iloc[0]["dist"] == 0
+
+
+def test_ivf_topk_int_pruned_probe_subsets_and_recall(ray_session):
+    """The pruned probe only ever returns true candidates (each hit's
+    exact distance appears in the exhaustive list's universe) and
+    keeps decent recall at nprobe = half the cells."""
+    from scrape_ray.ops.similarity import ivf_topk_int
+
+    full = ivf_topk_int(_emb_ds(), query_ids=[0, 1, 2], k_top=10,
+                        num_cells=8, nprobe=8).to_pandas()
+    pruned = ivf_topk_int(_emb_ds(), query_ids=[0, 1, 2], k_top=10,
+                          num_cells=8, nprobe=4).to_pandas()
+    recalls = []
+    for qid in (0, 1, 2):
+        f = full[full["query_id"] == qid]
+        p = pruned[pruned["query_id"] == qid]
+        fd = dict(zip(f["vec_id"], f["dist"]))
+        # every pruned hit that also appears exhaustively carries the
+        # SAME exact distance
+        for v, d in zip(p["vec_id"], p["dist"]):
+            if v in fd:
+                assert fd[v] == d
+        recalls.append(len(set(p["vec_id"]) & set(f["vec_id"])) / len(f))
+    assert np.mean(recalls) >= 0.6
+
+
 def test_ivf_index_deterministic():
     rng = np.random.RandomState(0)
     x = rng.normal(size=(256, 16)).astype(np.float32)
