@@ -594,21 +594,54 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
     return idx
 
 
-def _build_dup_gram_set(ds, text_col: str, n: int, batch_size: int):
+def _build_dup_gram_set(ds, text_col: str, n: int, batch_size: int,
+                        broadcast_max_hashes: int = 16_000_000,
+                        dup_path: str = "auto"):
     """Shared count pass of the ExactSubstr pair
     (:func:`dup_span_stats` / :func:`remove_dup_spans`): per-batch
     polynomial-mixed FNV word-``n``-gram hashes pre-aggregated to
     (hash, count) partials, merged through the manual hash-bucketed
-    exchange, survivors (global count >= 2) sorted and broadcast.
-    Returns ``(dup_ref, gram_hashes)`` — the ``ray.put`` handle of the
-    sorted dup-hash array and the per-batch gram-hash closure
-    ``(t) -> (int64 hashes at VALID starts, their parent rows)``."""
+    exchange into P sorted shards of the duplicated-hash set (global
+    count >= 2).
+
+    Returns ``(ctx, gram_hashes, tok_grams)``:
+
+    - ``gram_hashes(t) -> (int64 hashes at VALID starts, parents)``
+      and ``tok_grams(t) -> (flat, parent, h, valid)`` — the single
+      source of the FNV+polynomial gram hash for every pass;
+    - ``ctx`` selects the probe path (the broadcast/shuffle
+      auto-switch of VERDICT r4 "Next #4", mirroring
+      ``state/cache.py``'s fetch-path switch):
+
+      * ``{"mode": "broadcast", "dup_ref": ...}`` when the dup set
+        fits ``broadcast_max_hashes`` (int64 hashes; 16 M ≈ 128 MB):
+        one sorted array, ``ray.put`` once, probed per batch — the
+        clean-corpus fast path (duplicated n-grams are the Zipf
+        head);
+      * ``{"mode": "shuffle", "block_refs": [...], "pos_refs":
+        [...]}`` when it doesn't (raw-Common-Crawl boilerplate can
+        push billions of duplicated 8-grams): the dup set NEVER
+        reaches the driver or any single worker. Each input block
+        emits its (gram-hash, flat-start-position) pairs sliced to
+        the P dup shards (``num_returns=P``, same ``% P`` bucketing
+        as the count merge, so probe rows meet their shard without
+        re-hashing); each shard task runs the sorted-membership
+        probe and routes hit POSITIONS back per block
+        (``num_returns=B``); a per-block gather sorts them. Callers
+        then score/clean each block from its resolved dup-start
+        positions — two exchanges total, O(shard) memory per task.
+
+    ``dup_path`` forces ``"broadcast"``/``"shuffle"`` (tests; default
+    ``"auto"`` sizes the merged shards first)."""
     import ray
 
     from scrape_ray.functions.keys import fnv1a64_arrow
 
     if n < 1:
         raise ValueError("n must be >= 1")
+    if dup_path not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"dup_path must be auto|broadcast|shuffle,"
+                         f" got {dup_path!r}")
     MIX = np.uint64(0x100000001B3)
 
     def _tok_grams(t: pa.Table):
@@ -658,15 +691,88 @@ def _build_dup_gram_set(ds, text_col: str, n: int, batch_size: int):
         u, inv = np.unique(hs, return_inverse=True)
         acc = np.zeros(len(u), np.int64)
         np.add.at(acc, inv, cs)
-        return u[acc >= 2]
+        return u[acc >= 2]  # np.unique output: each shard stays sorted
 
     from scrape_ray.util import bucketed_key_merge
 
-    dup_parts = bucketed_key_merge(
-        parts_ds.to_arrow_refs(), "gh", "cnt", _dups)
-    dup_sorted = np.sort(
-        np.concatenate(dup_parts or [np.empty(0, np.int64)]))
-    return ray.put(dup_sorted), _gram_hashes, _tok_grams
+    part_refs = parts_ds.to_arrow_refs()
+    dup_shard_refs = bucketed_key_merge(
+        part_refs, "gh", "cnt", _dups, resolve=False)
+
+    @ray.remote
+    def _shard_len(a: np.ndarray) -> int:
+        return len(a)
+
+    shard_sizes = ray.get([_shard_len.remote(r) for r in dup_shard_refs])
+    total_dups = int(sum(shard_sizes))
+    mode = dup_path
+    if mode == "auto":
+        mode = ("broadcast" if total_dups <= broadcast_max_hashes
+                else "shuffle")
+
+    if mode == "broadcast" or not dup_shard_refs:
+        dup_sorted = np.sort(np.concatenate(
+            ray.get(dup_shard_refs) or [np.empty(0, np.int64)]))
+        ctx = {"mode": "broadcast", "dup_ref": ray.put(dup_sorted)}
+        return ctx, _gram_hashes, _tok_grams
+
+    # ---- shuffle path: the dup set stays sharded ----------------------
+    # bucketed_key_merge buckets by uint64(gh) % P; emit with the SAME
+    # formula so probe rows land on their shard.
+    P = len(dup_shard_refs)
+    block_refs = ds.materialize().to_arrow_refs()
+    B = len(block_refs)
+
+    @ray.remote
+    def _emit_positions(t: pa.Table, P: int):
+        """One block's (gh, flat-start-pos) pairs, sliced per dup
+        shard."""
+        empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+        if t.num_rows == 0 or text_col not in t.column_names:
+            out = [empty] * P
+            return out[0] if P == 1 else tuple(out)
+        _, _, h, valid = _tok_grams(t)
+        starts = np.flatnonzero(valid).astype(np.int64)
+        gh = h[valid]
+        b = (gh.view(np.uint64) % np.uint64(P)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        gh, starts, b = gh[order], starts[order], b[order]
+        cuts = np.searchsorted(b, np.arange(P + 1))
+        out = [(gh[cuts[p]:cuts[p + 1]], starts[cuts[p]:cuts[p + 1]])
+               for p in range(P)]
+        return out[0] if P == 1 else tuple(out)
+
+    @ray.remote
+    def _shard_hits(dup_shard: np.ndarray, *slices):
+        """One dup shard's membership probe over every block's slice;
+        routes hit POSITIONS back per block."""
+        out = [pos[_sorted_member(dup_shard, gh)] for gh, pos in slices]
+        return out[0] if len(out) == 1 else tuple(out)
+
+    emitted = [_emit_positions.options(num_returns=P).remote(r, P)
+               for r in block_refs]
+    if P == 1:
+        emitted = [[e] for e in emitted]
+    hits = [
+        _shard_hits.options(num_returns=B).remote(
+            dup_shard_refs[p], *[emitted[b][p] for b in range(B)])
+        for p in range(P)
+    ]
+    if B == 1:
+        hits = [[h] for h in hits]
+
+    @ray.remote
+    def _gather_pos(*pos_arrays) -> np.ndarray:
+        return np.sort(np.concatenate(
+            pos_arrays or [np.empty(0, np.int64)]))
+
+    pos_refs = [
+        _gather_pos.remote(*[hits[p][b] for p in range(P)])
+        for b in range(B)
+    ]
+    ctx = {"mode": "shuffle", "block_refs": block_refs,
+           "pos_refs": pos_refs}
+    return ctx, _gram_hashes, _tok_grams
 
 
 def _sorted_member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
@@ -681,7 +787,9 @@ def _sorted_member(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
 
 def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
                    n: int = 8, batch_size: int = 4096,
-                   scale: int = 1000):
+                   scale: int = 1000,
+                   broadcast_max_hashes: int = 16_000_000,
+                   dup_path: str = "auto"):
     """Exact-substring duplication profile (the ExactSubstr statistic
     of Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better", arXiv:2107.06499, at word-n-gram granularity):
@@ -711,28 +819,24 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
        Score pass: re-tokenize, re-hash, ``searchsorted`` membership,
        ``bincount`` per parent row — zero further exchanges.
 
-    At 100 TB, if the dup set outgrows the broadcast budget, keep the
-    counts as a Dataset, emit (hash, doc) pairs from the score pass
-    and replace step 2 with the hash-partitioned shuffle join used by
-    ``state/cache.py``'s fetch path — exchanges go 1 -> 2, per-doc
-    aggregation shape unchanged. Hash collisions (FNV-1a 64 + mix)
-    would fuse two distinct grams; at 2^64 the expected collision
-    count stays < 1 up to ~10^9 distinct grams per corpus.
+    When the dup set outgrows ``broadcast_max_hashes`` (raw Common
+    Crawl boilerplate: billions of duplicated 8-grams), step 2
+    switches to the sharded shuffle probe (``_build_dup_gram_set``
+    docstring) — exchanges go 1 -> 2, per-doc aggregation shape
+    unchanged, and the dup set never reaches the driver or any single
+    worker. Hash collisions (FNV-1a 64 + mix) would fuse two distinct
+    grams; at 2^64 the expected collision count stays < 1 up to ~10^9
+    distinct grams per corpus.
     """
     import ray
+    import ray.data
 
-    dup_ref, _gram_hashes, _ = _build_dup_gram_set(
-        ds, text_col, n, batch_size)
+    ctx, _gram_hashes, _ = _build_dup_gram_set(
+        ds, text_col, n, batch_size, broadcast_max_hashes, dup_path)
 
-    def _score(t: pa.Table) -> pa.Table:
-        dup = ray.get(dup_ref)  # zero-copy shared read
-        h, parent = _gram_hashes(t)
-        nrows = t.num_rows
-        n_pos = np.bincount(parent, minlength=nrows).astype(np.int64)
-        hit = _sorted_member(dup, h)
-        dup_pos = np.bincount(
-            parent[hit], minlength=nrows).astype(np.int64)
-        permille = np.zeros(nrows, dtype=np.int64)
+    def _stats_tbl(t: pa.Table, n_pos: np.ndarray,
+                   dup_pos: np.ndarray) -> pa.Table:
+        permille = np.zeros(len(n_pos), dtype=np.int64)
         nz = n_pos > 0
         permille[nz] = dup_pos[nz] * scale // n_pos[nz]
         return pa.table({
@@ -742,8 +846,50 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
             "dup_permille": pa.array(permille, pa.int64()),
         })
 
-    return ds.map_batches(_score, batch_format="pyarrow",
-                          batch_size=batch_size)
+    if ctx["mode"] == "broadcast":
+        dup_ref = ctx["dup_ref"]
+
+        def _score(t: pa.Table) -> pa.Table:
+            dup = ray.get(dup_ref)  # zero-copy shared read
+            h, parent = _gram_hashes(t)
+            nrows = t.num_rows
+            n_pos = np.bincount(parent, minlength=nrows).astype(np.int64)
+            hit = _sorted_member(dup, h)
+            dup_pos = np.bincount(
+                parent[hit], minlength=nrows).astype(np.int64)
+            return _stats_tbl(t, n_pos, dup_pos)
+
+        return ds.map_batches(_score, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def _score_block(t: pa.Table, dup_start_pos: np.ndarray) -> pa.Table:
+        """Shuffle path: dup-start flat positions already resolved —
+        no probe, no hashing; just per-doc fold."""
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_pos": pa.array([], pa.int64()),
+                "dup_pos": pa.array([], pa.int64()),
+                "dup_permille": pa.array([], pa.int64()),
+            })
+        flat, parent = _ws_tokens_flat(t, text_col)
+        nrows = t.num_rows
+        m = len(flat) - (n - 1)
+        if m <= 0:
+            z = np.zeros(nrows, np.int64)
+            return _stats_tbl(t, z, z)
+        valid = parent[:m] == parent[n - 1:]
+        n_pos = np.bincount(
+            parent[:m][valid], minlength=nrows).astype(np.int64)
+        dup_pos = np.bincount(
+            parent[dup_start_pos], minlength=nrows).astype(np.int64)
+        return _stats_tbl(t, n_pos, dup_pos)
+
+    rem = ray.remote(_score_block)
+    return ray.data.from_arrow_refs([
+        rem.remote(r, p)
+        for r, p in zip(ctx["block_refs"], ctx["pos_refs"])
+    ])
 
 
 def lm_rank_score(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -803,8 +949,45 @@ def lm_rank_score(ds, text_col: str = "text", id_col: str = "doc_id",
                           batch_size=batch_size)
 
 
+def _removal_from_flags(t: pa.Table, flat, parent: np.ndarray,
+                        dup_start: np.ndarray, n: int,
+                        id_col: str) -> pa.Table:
+    """Coverage + rebuild shared by both remove_dup_spans paths:
+    ``dup_start`` flags (one per flat token position) -> windowed-OR
+    coverage via one cumulative sum (gram starts never span docs, so
+    the window cannot leak across documents), surviving tokens
+    gathered into a LargeList (64-bit offsets) and joined with one
+    Arrow ``binary_join`` — no per-doc Python."""
+    nrows = t.num_rows
+    N = len(flat)
+    # covered[t] = any dup start in (t-n, t]
+    c = np.concatenate(([0], np.cumsum(dup_start)))
+    idx = np.arange(N)
+    covered = (c[idx + 1] - c[np.maximum(idx - (n - 1), 0)]) > 0
+    keep = ~covered
+    kept_parent = parent[keep]
+    kept = pc.cast(flat.filter(pa.array(keep)), pa.large_string())
+    if isinstance(kept, pa.ChunkedArray):
+        kept = kept.combine_chunks()
+    n_tok = np.bincount(parent, minlength=nrows).astype(np.int64)
+    n_kept = np.bincount(kept_parent, minlength=nrows).astype(np.int64)
+    offsets = pa.array(
+        np.concatenate(([0], np.cumsum(n_kept))), pa.int64())
+    clean = pc.binary_join(
+        pa.LargeListArray.from_arrays(offsets, kept),
+        pa.scalar(" ", pa.large_string()))
+    return pa.table({
+        id_col: t[id_col],
+        "clean_text": clean,
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        "n_removed": pa.array(n_tok - n_kept, pa.int64()),
+    })
+
+
 def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
-                     n: int = 8, batch_size: int = 4096):
+                     n: int = 8, batch_size: int = 4096,
+                     broadcast_max_hashes: int = 16_000_000,
+                     dup_path: str = "auto"):
     """ExactSubstr REMOVAL (the actual dedup step of Lee et al. 2022,
     arXiv:2107.06499, at word-``n``-gram granularity — the companion
     of :func:`dup_span_stats`, which only profiles): delete every
@@ -816,51 +999,52 @@ def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     ``n`` tokens pass through untouched, fully-duplicated docs come
     back empty.
 
-    Scale shape: the shared count pass (ONE manual bucketed exchange,
-    broadcast dup-hash set — :func:`_build_dup_gram_set`), then a
-    pure per-batch removal map: dup-start flags over the flat token
-    array, coverage = windowed-OR of the last ``n`` starts via one
-    cumulative sum (gram starts never span docs, so the window cannot
-    leak across documents), surviving tokens gathered into a
-    LargeList (64-bit offsets) and joined with one Arrow
-    ``binary_join`` — no per-doc Python, no further exchange."""
+    Scale shape: the shared count pass (ONE manual bucketed exchange —
+    :func:`_build_dup_gram_set`), then a pure per-batch removal map
+    from dup-start flags (:func:`_removal_from_flags`). The flags come
+    from the broadcast probe when the dup set fits the budget, or from
+    the sharded shuffle probe when it doesn't (``dup_path`` /
+    ``broadcast_max_hashes`` as in :func:`dup_span_stats`) — either
+    way no per-doc Python and no dup-set copy per batch task."""
     import ray
+    import ray.data
 
-    dup_ref, _, _tok_grams = _build_dup_gram_set(
-        ds, text_col, n, batch_size)
+    ctx, _, _tok_grams = _build_dup_gram_set(
+        ds, text_col, n, batch_size, broadcast_max_hashes, dup_path)
 
-    def _clean(t: pa.Table) -> pa.Table:
-        dup = ray.get(dup_ref)  # zero-copy shared read
-        nrows = t.num_rows
-        flat, parent, h, valid = _tok_grams(t)
-        N = len(flat)
-        dup_start = np.zeros(N, np.int64)
-        if len(h):
-            hit = valid & _sorted_member(dup, h)
-            dup_start[:len(h)][hit] = 1
-        # covered[t] = any dup start in (t-n, t]; gram starts are
-        # within-doc by construction, so one global window is safe
-        c = np.concatenate(([0], np.cumsum(dup_start)))
-        idx = np.arange(N)
-        covered = (c[idx + 1] - c[np.maximum(idx - (n - 1), 0)]) > 0
-        keep = ~covered
-        kept_parent = parent[keep]
-        kept = pc.cast(flat.filter(pa.array(keep)), pa.large_string())
-        if isinstance(kept, pa.ChunkedArray):
-            kept = kept.combine_chunks()
-        n_tok = np.bincount(parent, minlength=nrows).astype(np.int64)
-        n_kept = np.bincount(kept_parent, minlength=nrows).astype(np.int64)
-        offsets = pa.array(
-            np.concatenate(([0], np.cumsum(n_kept))), pa.int64())
-        clean = pc.binary_join(
-            pa.LargeListArray.from_arrays(offsets, kept),
-            pa.scalar(" ", pa.large_string()))
-        return pa.table({
-            id_col: t[id_col],
-            "clean_text": clean,
-            "n_tokens": pa.array(n_tok, pa.int64()),
-            "n_removed": pa.array(n_tok - n_kept, pa.int64()),
-        })
+    if ctx["mode"] == "broadcast":
+        dup_ref = ctx["dup_ref"]
 
-    return ds.map_batches(_clean, batch_format="pyarrow",
-                          batch_size=batch_size)
+        def _clean(t: pa.Table) -> pa.Table:
+            dup = ray.get(dup_ref)  # zero-copy shared read
+            flat, parent, h, valid = _tok_grams(t)
+            dup_start = np.zeros(len(flat), np.int64)
+            if len(h):
+                hit = valid & _sorted_member(dup, h)
+                dup_start[:len(h)][hit] = 1
+            return _removal_from_flags(
+                t, flat, parent, dup_start, n, id_col)
+
+        return ds.map_batches(_clean, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def _clean_block(t: pa.Table, dup_start_pos: np.ndarray) -> pa.Table:
+        """Shuffle path: dup-start positions already resolved."""
+        if t.num_rows == 0 or text_col not in t.column_names:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "clean_text": pa.array([], pa.large_string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_removed": pa.array([], pa.int64()),
+            })
+        flat, parent = _ws_tokens_flat(t, text_col)
+        dup_start = np.zeros(len(flat), np.int64)
+        dup_start[dup_start_pos] = 1
+        return _removal_from_flags(
+            t, flat, parent, dup_start, n, id_col)
+
+    rem = ray.remote(_clean_block)
+    return ray.data.from_arrow_refs([
+        rem.remote(r, p)
+        for r, p in zip(ctx["block_refs"], ctx["pos_refs"])
+    ])

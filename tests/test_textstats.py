@@ -450,6 +450,47 @@ def test_remove_dup_spans_matches_brute_force(ray_session):
         assert got == want, parts
 
 
+def test_dup_spans_shuffle_path_matches_broadcast(ray_session):
+    """VERDICT r4 "Next #4": the sharded shuffle probe (dup set never
+    broadcast) must be bit-identical to the broadcast path for BOTH
+    ExactSubstr ops — forced three ways: dup_path="shuffle" directly,
+    and an auto threshold (broadcast_max_hashes=1) the corpus's dup
+    set exceeds."""
+    import ray.data
+
+    from scrape_ray.ops.textstats import dup_span_stats, remove_dup_spans
+
+    texts = {
+        1: "x a b c d e f g h y",
+        2: "p q a b c d e f g h",
+        3: "u v w x y z aa bb cc dd",
+        4: "short doc",
+        5: "a b c d e f g h a b c d e f g h",
+        6: "",
+        7: "r s t a b c d e f g h u v w",
+        **{10 + i: f"w{i} " * 3 + "p q r s t u v w x" for i in range(12)},
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": k, "text": t} for k, t in texts.items()]
+    ).repartition(5)
+
+    for op in (dup_span_stats, remove_dup_spans):
+        a = (op(ds, dup_path="broadcast").to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (op(ds, dup_path="shuffle").to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        c = (op(ds, broadcast_max_hashes=1).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b[a.columns]), op.__name__
+        assert a.equals(c[a.columns]), op.__name__
+        assert len(a) == len(texts)
+    # brute-force ground truth through the shuffle path too
+    want = _brute_remove_dup_spans(texts)
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in remove_dup_spans(ds, dup_path="shuffle").take_all()}
+    assert got == want
+
+
 def test_remove_dup_spans_small_n(ray_session):
     """n=2 bigram removal: overlapping dup spans merge."""
     import ray.data
