@@ -29,6 +29,22 @@ def _kmin_merge(a: np.ndarray, b: np.ndarray, k: int) -> np.ndarray:
     return m[:k]
 
 
+def _utf8_col(col) -> "pa.Array | None":
+    """String column → flat Arrow array with nulls as "" (the exact
+    bytes ``("" if v is None else str(v)).encode()`` produces for str
+    values), ready for the zero-copy ``fnv1a64_arrow`` kernel. Returns
+    None for every other type, whose ``str(v)`` rendering (ints,
+    floats, bytes reprs) the caller reproduces row-wise instead."""
+    import pyarrow.compute as pc
+
+    t = col.type
+    if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+        return None
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.fill_null(col, "")
+
+
 def kmv_aggregate(col: str, k: int = 64, hashed: bool = False):
     """Ray Data AggregateFn computing the KMV sketch of ``col``.
     ``hashed=True`` means the column already holds uint64 hashes;
@@ -45,10 +61,16 @@ def kmv_aggregate(col: str, k: int = 64, hashed: bool = False):
         if hashed:
             hv = t[col].to_numpy(zero_copy_only=False).astype(np.uint64)
         else:
-            hv = fnv1a64(
-                [("" if v is None else str(v)).encode("utf-8")
-                 for v in t[col].to_pylist()]
-            )
+            from scrape_ray.functions.keys import fnv1a64_arrow
+
+            arr = _utf8_col(t[col])
+            if arr is not None:  # string/binary: flat-buffer kernel
+                hv = fnv1a64_arrow(arr)
+            else:  # numeric etc.: preserve Python str() rendering
+                hv = fnv1a64(
+                    [("" if v is None else str(v)).encode("utf-8")
+                     for v in t[col].to_pylist()]
+                )
         return _kmin_merge(state, hv, k)
 
     return AggregateFn(
@@ -104,6 +126,21 @@ def count_min_aggregate(col: str, width: int = 128, depth: int = 4):
     def _acc(state: np.ndarray, block) -> np.ndarray:
         t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
         if t.num_rows == 0:
+            return state
+        from scrape_ray.functions.keys import fnv1a64_arrow
+
+        arr = _utf8_col(t[col])
+        if arr is not None:  # string column: prefix-concat + flat FNV
+            import pyarrow.compute as pc
+
+            for j in range(depth):
+                joined = pc.binary_join_element_wise(
+                    pa.scalar(CM_PREFIXES[j]), arr, pa.scalar("")
+                )
+                hv = fnv1a64_arrow(joined)
+                np.add.at(
+                    state[j], (hv % np.uint64(width)).astype(np.int64), 1
+                )
             return state
         vals = [("" if v is None else str(v)) for v in t[col].to_pylist()]
         for j in range(depth):

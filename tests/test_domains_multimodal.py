@@ -42,6 +42,31 @@ def test_validate_domain(domain, ok):
     assert validate_domain(domain) is ok
 
 
+def test_validate_domains_batch_matches_scalar():
+    """The Arrow fast path (RE2 whole-domain regex + '--' fallback)
+    must be bit-identical to row-wise validate_domain on every edge
+    shape, including punycode, unicode, whitespace and nulls."""
+    import pyarrow as pa
+
+    from scrape_ray.functions.domains import validate_domains_batch
+
+    cases = [
+        "example.com", "sub.example.com", "EXAMPLE.COM",
+        "xn--bcher-kva.example", "a.co", "ab", "example",
+        "-bad.example.com", "bad-.example.com", "ba--d.example.com",
+        "xn--a--b.example.com", "a.xn--p1ai", "x--y.xn--p1ai",
+        "example.c0m", "example.c", "", None, "  padded.com  ",
+        "a" * 63 + ".com", "a" * 64 + ".com",
+        "a." + "b" * 250 + ".com", "a..com", "a.com.",
+        ".a.com", "héllo.com", "a_b.com", "a b.com",
+        "xn--1.com" * 30,  # long, many '--' labels
+    ]
+    t = pa.table({"domain": pa.array(cases, pa.string())})
+    got = validate_domains_batch(t)["domain_valid"].to_pylist()
+    want = [validate_domain(c) for c in cases]
+    assert got == want
+
+
 def test_fold_and_wildcard():
     assert fold_domain("  Example.COM ") == "example.com"
     rx = wildcard_to_regex("*foo*")
