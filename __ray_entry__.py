@@ -2179,8 +2179,9 @@ def oracle_sql() -> dict[str, str]:
         # active_users: exact COUNT(DISTINCT user) per tumbling
         # window — same epoch_us floor idiom as tumbling_window.
         "active_users": """
-            SELECT make_timestamp((epoch_us(ts) // 600000000)
-                                  * 600000000) AS window_start,
+            SELECT make_timestamp(epoch_us(ts)
+                       - ((epoch_us(ts) % 600000000) + 600000000)
+                         % 600000000) AS window_start,
                    COUNT(DISTINCT user_id)::BIGINT AS n_active
             FROM events GROUP BY 1 ORDER BY 1
         """,
@@ -3467,8 +3468,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "tumbling_window": """
+            -- FLOOR window assignment (DuckDB // truncates toward
+            -- zero, wrong for pre-1970 epochs): e - ((e % w + w) % w)
             SELECT user_id,
-                make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
+                make_timestamp(epoch_us(ts)
+                    - ((epoch_us(ts) % 600000000) + 600000000)
+                      % 600000000) AS window_start,
                 COUNT(*) AS n_events,
                 -- outer CAST: SUM(BIGINT) is HUGEINT in DuckDB -> float64 in
                 -- .df(); keep it BIGINT so the driver hash matches int64
@@ -3479,8 +3484,12 @@ def oracle_sql() -> dict[str, str]:
         # (base, base-hop) that contain it; same CAST/ROUND rules as
         # tumbling so sums stay BIGINT and half-away-from-zero
         "hopping_window": """
+            -- base = FLOOR multiple (matches numpy //; exact multiple
+            -- so the remaining // is safe on negatives too)
             SELECT user_id,
-                make_timestamp(((epoch_us(ts) // 300000000) - g.i) * 300000000)
+                make_timestamp(epoch_us(ts)
+                    - ((epoch_us(ts) % 300000000) + 300000000)
+                      % 300000000 - g.i * 300000000)
                     AS window_start,
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents

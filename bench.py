@@ -135,17 +135,27 @@ def run_all(sf_dir: str) -> dict:
     crawl_sec, crawl_rows = run_crawl(sf_dir)
     timings["crawl_epoch"] = round(crawl_sec, 3)
 
+    # per-query best-of-N (default 2): round-4 showed single cold runs
+    # produce phantom ±10-43% "regressions" purely from shared-VM
+    # weather; the best of two back-to-back runs is the honest
+    # pipeline-speed estimate (same policy the headline already uses)
+    q_best_of = max(1, int(os.environ.get("BENCH_QUERY_BEST_OF", "2")))
     qs = e.queries()
     for name, fn in qs.items():
         if name in ("extract", "crawl_epoch"):
             continue  # == headline / == run_crawl above
-        t0 = time.perf_counter()
-        try:
-            _consume(fn(sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as ex:  # a broken query must not kill the bench
-            timings[name] = -1.0
-            print(f"bench: query {name} failed: {ex}", file=sys.stderr)
+        best = None
+        for _ in range(q_best_of):
+            t0 = time.perf_counter()
+            try:
+                _consume(fn(sf_dir))
+                sec = time.perf_counter() - t0
+            except Exception as ex:  # a broken query must not kill the bench
+                best = -1.0
+                print(f"bench: query {name} failed: {ex}", file=sys.stderr)
+                break
+            best = sec if best is None else min(best, sec)
+        timings[name] = round(best, 3)
 
     return {
         "metric": "urls_fetched_extracted_total_sec",
@@ -162,6 +172,7 @@ def run_all(sf_dir: str) -> dict:
         # rather than the filtered best
         "headline_policy": f"best_of_{len(headline_runs)}",
         "headline_run_secs": headline_runs,
+        "query_policy": f"best_of_{q_best_of}",
         "crawl_rows": crawl_rows,
         "crawl_urls_per_sec": round(crawl_rows / crawl_sec, 1),
     }

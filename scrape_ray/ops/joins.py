@@ -439,6 +439,18 @@ def snapshot_diff(a, b, key, content_cols, P: int = 32,
     keys = [key] if isinstance(key, str) else list(key)
     content_cols = list(content_cols)
 
+    # the diff owns the marker names __a/__b and the _r right-suffix;
+    # an input already using them would silently misclassify rows
+    for side, ds_side in (("a", a), ("b", b)):
+        sch = ds_side.schema()
+        names = set(sch.names if sch is not None else ())
+        bad = names & ({"__a", "__b"} | {f"{c}_r" for c in content_cols})
+        if bad:
+            raise ValueError(
+                f"snapshot_diff: side {side!r} has reserved column "
+                f"name(s) {sorted(bad)} (markers __a/__b and the _r "
+                "content suffix are internal)")
+
     def _tag(name):
         def f(t: pa.Table) -> pa.Table:
             return t.append_column(

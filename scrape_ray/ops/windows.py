@@ -39,11 +39,12 @@ def tumbling_aggregate(
     a combiner."""
 
     def _partial(t: pa.Table) -> pa.Table:
-        epoch = pc.cast(t[ts_col], pa.int64())  # µs since epoch
-        win = pc.multiply(
-            pc.divide(epoch, pa.scalar(width_s * 1_000_000, pa.int64())),
-            pa.scalar(width_s * 1_000_000, pa.int64()),
-        )
+        epoch = pc.cast(t[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False)  # µs since epoch
+        # numpy // FLOORS (true tumbling semantics for pre-1970
+        # timestamps); Arrow's divide truncates toward zero
+        w = width_s * 1_000_000
+        win = pa.array((epoch // w) * w, pa.int64())
         # DuckDB ROUND is half-away-from-zero; Arrow's default is
         # half-to-even — pin the mode so exact-.5 cents agree with SQL
         cents = pc.cast(
@@ -312,11 +313,19 @@ def rolling_sum(ds, by: str, order_cols: list[str], value_col: str,
 
     if k < 0:
         raise ValueError("k must be >= 0")
+    # empty output must keep the non-empty shape (all input columns +
+    # out_col) — Ray erases the schema of fully-empty sorted datasets
+    # (0-row COLUMN-LESS blocks), so anchor to the INPUT schema here
+    in_sch = ds.schema()
+    anchor = pa.schema(
+        list(zip(in_sch.names, in_sch.types)) if in_sch is not None else [])
+
     sorted_ds = ds.sort([by] + order_cols)
     refs = list(sorted_ds.to_arrow_refs())
     if not refs:
-        return ray.data.from_arrow(
-            pa.table({out_col: pa.array([], pa.int64())}))
+        cols = {f.name: pa.array([], f.type) for f in anchor}
+        cols[out_col] = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
 
     @ray.remote
     def _summary(t: pa.Table):
@@ -363,7 +372,11 @@ def rolling_sum(ds, by: str, order_cols: list[str], value_col: str,
     def _roll(t: pa.Table, carry: np.ndarray):
         n = t.num_rows
         if n == 0:
-            return t.append_column(out_col, pa.array([], pa.int64()))
+            # schema-erased empty block: rebuild from the input anchor
+            base = (t if t.num_columns
+                    else pa.table({f.name: pa.array([], f.type)
+                                   for f in anchor}))
+            return base.append_column(out_col, pa.array([], pa.int64()))
         byv = t[by].to_numpy(zero_copy_only=False)
         qv = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
         nc = len(carry)
@@ -420,10 +433,9 @@ def windowed_distinct(ds, ts_col: str = "ts", key_col: str = "user_id",
             if isinstance(t[ts_col], pa.ChunkedArray)
             else t[ts_col].cast(pa.timestamp("us"), safe=False),
             pa.int64())
-        win = pc.multiply(
-            pc.divide(epoch, pa.scalar(width_us, pa.int64())),
-            pa.scalar(width_us, pa.int64()),
-        )
+        # numpy // FLOORS — same pre-1970 semantics as tumbling/hopping
+        epoch_np = epoch.to_numpy(zero_copy_only=False)
+        win = pa.array((epoch_np // width_us) * width_us, pa.int64())
         g = pa.table({"window_start": win,
                       key_col: t[key_col].combine_chunks()})
         return pa.TableGroupBy(

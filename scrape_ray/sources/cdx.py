@@ -60,11 +60,18 @@ _SCHEMA = pa.schema(
 
 
 def surt(url: str) -> str:
-    """URL → SURT key (core transform: drop scheme/port/fragment,
-    lowercase + comma-reverse the host, keep path and query)."""
+    """URL → SURT key (core transform: drop scheme/fragment, lowercase
+    + comma-reverse the host, keep path and query; a NON-default port
+    stays in the key as ``host,com:8080)`` per the pywb/OpenWayback
+    canonicalization — URLs differing only by port must not collapse)."""
     p = urlsplit(url)
     host = (p.hostname or "").lower()
-    key = ",".join(reversed(host.split("."))) + ")" + (p.path or "/")
+    key = ",".join(reversed(host.split(".")))
+    port = p.port
+    if port is not None and port != {"http": 80, "https": 443}.get(
+            p.scheme.lower()):
+        key += f":{port}"
+    key += ")" + (p.path or "/")
     if p.query:
         key += "?" + p.query
     return key

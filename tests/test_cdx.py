@@ -11,8 +11,16 @@ def test_surt_core_transform():
 
     assert surt("https://www.Example.COM/a/b?x=1&y=2#frag") == \
         "com,example,www)/a/b?x=1&y=2"
+    # non-default port stays in the key (pywb/OpenWayback canon);
+    # scheme-default ports drop like the scheme itself
     assert surt("http://host0.example.com:8080/doc/5") == \
+        "com,example,host0:8080)/doc/5"
+    assert surt("http://host0.example.com:80/doc/5") == \
         "com,example,host0)/doc/5"
+    assert surt("https://host0.example.com:443/doc/5") == \
+        "com,example,host0)/doc/5"
+    assert surt("https://host0.example.com:80/doc/5") == \
+        "com,example,host0:80)/doc/5"
     assert surt("https://example.org") == "org,example)/"
 
 

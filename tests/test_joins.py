@@ -421,3 +421,24 @@ def test_hash_join_string_keys(ray_session):
         "SELECT url, a, b FROM L JOIN R ON url = u ORDER BY ALL").arrow()
     assert g.equals(e, check_metadata=False)
     assert g.num_rows > 0
+
+
+def test_snapshot_diff_rejects_reserved_columns(ray_session):
+    """Inputs already carrying the internal marker names (__a/__b) or
+    a <content>_r suffix must fail loudly, not misclassify."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from scrape_ray.ops.joins import snapshot_diff
+
+    base = {"k": pa.array([1], pa.int64()),
+            "v": pa.array([10], pa.int64())}
+    good = ray.data.from_arrow(pa.table(base))
+    for extra in ("__a", "__b", "v_r"):
+        bad = ray.data.from_arrow(pa.table(
+            dict(base, **{extra: pa.array([0], pa.int64())})))
+        with pytest.raises(ValueError, match="reserved"):
+            snapshot_diff(bad, good, key="k", content_cols=["v"])
+        with pytest.raises(ValueError, match="reserved"):
+            snapshot_diff(good, bad, key="k", content_cols=["v"])

@@ -285,3 +285,66 @@ def test_windowed_distinct_subus_ns_truncates(ray_session):
     out = windowed_distinct(
         ray.data.from_arrow(t), width_s=3600).take_all()
     assert [r["n_active"] for r in out] == [2]  # both in window 0
+
+
+def test_pre1970_floor_window_semantics(ray_session):
+    """Negative-epoch timestamps must FLOOR to their window start
+    (standard tumbling semantics), not truncate toward zero — an event
+    at 23:55 on 1969-12-31 belongs to the 23:50 window, never to the
+    1970-01-01 00:00 one. Covers tumbling, hopping and
+    windowed_distinct (they share the assignment idiom)."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.windows import (
+        hopping_aggregate,
+        tumbling_aggregate,
+        windowed_distinct,
+    )
+
+    pre = datetime(1969, 12, 31, 23, 55, 0)   # epoch -300 s
+    post = datetime(1970, 1, 1, 0, 5, 0)      # epoch +300 s
+    t = pa.table({
+        "ts": pa.array([pre, post], pa.timestamp("us")),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "value": pa.array([1.0, 1.0], pa.float64()),
+    })
+    ds = ray.data.from_arrow(t)
+
+    tumb = tumbling_aggregate(ds, width_s=600).to_pandas()
+    assert sorted(tumb["window_start"]) == [
+        datetime(1969, 12, 31, 23, 50, 0), datetime(1970, 1, 1, 0, 0, 0)]
+
+    wd = windowed_distinct(ds, width_s=600).to_pandas()
+    assert sorted(wd["window_start"]) == [
+        datetime(1969, 12, 31, 23, 50, 0), datetime(1970, 1, 1, 0, 0, 0)]
+
+    # hop=300, width=600: pre is in windows starting 23:50 and 23:55
+    hop = hopping_aggregate(ds, width_s=600, hop_s=300).to_pandas()
+    assert sorted(hop["window_start"]) == [
+        datetime(1969, 12, 31, 23, 50, 0),
+        datetime(1969, 12, 31, 23, 55, 0),
+        datetime(1970, 1, 1, 0, 0, 0),
+        datetime(1970, 1, 1, 0, 5, 0),
+    ]
+
+
+def test_rolling_sum_empty_keeps_input_schema(ray_session):
+    """Empty input returns the same shape as non-empty output: every
+    input column plus the int64 out_col."""
+    import pyarrow as pa
+    import ray.data
+
+    from scrape_ray.ops.windows import rolling_sum
+
+    t = pa.table({
+        "u": pa.array([], pa.int64()),
+        "o": pa.array([], pa.int64()),
+        "qv": pa.array([], pa.int64()),
+    })
+    out = rolling_sum(ray.data.from_arrow(t), "u", ["o"], "qv", k=3)
+    sch = out.schema()
+    assert set(sch.names) == {"u", "o", "qv", "rolling_sum"}
+    assert out.count() == 0
