@@ -625,7 +625,6 @@ def grouped_pairs(ds, key_col: str, id_col: str, num_parts: int = 64,
     pairs around its min id instead of all N² pairs (see
     ``_emit_bucket_pairs``) and the output gains a bool ``truncated``
     column. None (default) keeps exact full-pair semantics."""
-    import pandas as pd
 
     def _part(t: pa.Table) -> pa.Table:
         part = pc.cast(
@@ -637,24 +636,41 @@ def grouped_pairs(ds, key_col: str, id_col: str, num_parts: int = 64,
         )
         return t.append_column("__part", part)
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        from collections import defaultdict
-
-        buckets: dict = defaultdict(list)
-        for i, k in zip(g[id_col], g[key_col]):
-            buckets[k].append(i)
+    def _pairs(g: pa.Table) -> pa.Table:
+        # Arrow-native: one lexsort groups the keys (members sorted
+        # ascending, matching the id_a < id_b contract); the Python
+        # loop runs only over MULTI-member buckets (the rare dups),
+        # never per row
+        if g.num_rows == 0 or id_col not in g.column_names:
+            cols = {"id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64())}
+            if max_bucket_width is not None:
+                cols["truncated"] = pa.array([], pa.bool_())
+            return pa.table(cols)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        ks, vs = keys[order], ids[order]
+        new = np.ones(len(ks), bool)
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(ks)))
         out_a: list = []
         out_b: list = []
         out_t: list = []
-        for members in buckets.values():
-            _emit_bucket_pairs(members, max_bucket_width, out_a, out_b, out_t)
-        cols = {"id_a": out_a, "id_b": out_b}
+        multi = counts > 1
+        for s, c in zip(starts[multi], counts[multi]):
+            _emit_bucket_pairs(
+                vs[s:s + c].tolist(), max_bucket_width, out_a, out_b, out_t)
+        id_type = g[id_col].type if g.num_columns else pa.int64()
+        cols = {"id_a": pa.array(out_a, id_type),
+                "id_b": pa.array(out_b, id_type)}
         if max_bucket_width is not None:
-            cols["truncated"] = out_t
-        return pd.DataFrame(cols)
+            cols["truncated"] = pa.array(out_t, pa.bool_())
+        return pa.table(cols)
 
     parted = ds.map_batches(_part, batch_format="pyarrow", batch_size=None)
-    return parted.groupby("__part").map_groups(_pairs, batch_format="pandas")
+    return parted.groupby("__part").map_groups(_pairs, batch_format="pyarrow")
 
 
 def _distinct_pairs(pairs_ds, order_col: str = "id_a"):
@@ -754,8 +770,6 @@ def simhash_dup_pairs(
     member. The DEFAULT ``max_bucket_width=None`` is strictly exact at
     O(N²) worst-case bucket cost; truncation is the explicit scale
     opt-in and changes the output contract."""
-    import pandas as pd
-
     nblocks = max_hamming + 1
     bits = 64 // nblocks
 
@@ -803,34 +817,54 @@ def simhash_dup_pairs(
         )
         return t.append_column("part", part)
 
-    def _verify_part(g: pd.DataFrame) -> pd.DataFrame:
-        from collections import defaultdict
-
-        buckets: dict = defaultdict(list)
-        for i, b, v in zip(g[id_col], g["block"], g["block_val"]):
-            buckets[(b, v)].append(i)
-        hashes = dict(zip(g[id_col], g["simhash"]))
+    def _verify_part(g: pa.Table) -> pa.Table:
+        # Arrow-native: one lexsort groups the (block, block_val)
+        # buckets with members ascending by id; Python touches only
+        # MULTI-member buckets and the (few) candidate pairs
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if g.num_rows == 0 or id_col not in g.column_names:
+            return empty
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = g["block"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bvl = g["block_val"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shv = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, bvl, blk))
+        sid, sbk, sbv, ssh = ids[order], blk[order], bvl[order], shv[order]
+        new = np.ones(len(sid), bool)
+        new[1:] = (sbk[1:] != sbk[:-1]) | (sbv[1:] != sbv[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(sid)))
         seen_pairs: set = set()
         cand_a: list = []
         cand_b: list = []
         cand_t: list = []
-        for members in buckets.values():
+        hashes: dict = {}
+        multi = counts > 1
+        for s, c in zip(starts[multi], counts[multi]):
+            members = sid[s:s + c].tolist()
+            for i, h in zip(members, ssh[s:s + c].tolist()):
+                hashes[i] = h
             _emit_bucket_pairs(
                 members, max_bucket_width, cand_a, cand_b, cand_t,
                 seen_pairs=seen_pairs,
             )
         out_a, out_b, out_d = [], [], []
         for a, b, tr in zip(cand_a, cand_b, cand_t):
-            d = bin(int(hashes[a]) ^ int(hashes[b])).count("1")
+            d = bin(hashes[a] ^ hashes[b]).count("1")
             # truncated star edges are kept unverified (see docstring)
             if tr or d <= max_hamming:
                 out_a.append(a)
                 out_b.append(b)
                 out_d.append(d)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "hamming": pa.array(out_d, pa.int64())})
 
     pairs = banded.map_batches(_part, batch_format="pyarrow", batch_size=None)
-    pairs = pairs.groupby("part").map_groups(_verify_part, batch_format="pandas")
+    pairs = pairs.groupby("part").map_groups(
+        _verify_part, batch_format="pyarrow")
     return _distinct_pairs(pairs)
 
 
@@ -841,8 +875,6 @@ def embedding_dup_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.95,
     sign pattern (map_batches, no shuffle), then exact cosine only
     within buckets (groupby bucket). At 100 TB the bucket groupby is
     the one exchange; n_planes bounds bucket width."""
-    import pandas as pd
-
     state = {"planes": None, "seed": seed, "n_planes": n_planes}
 
     def _bucket(t: pa.Table) -> pa.Table:
@@ -879,29 +911,49 @@ def embedding_dup_pairs(ds, vec_col: str, id_col: str, threshold: float = 0.95,
         )
         return t.append_column("__part", part)
 
-    def _exact(g: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, grp in g.groupby("bucket"):
-            if len(grp) < 2:
-                continue
-            vecs = np.array(grp[vec_col].tolist(), dtype=np.float32)
-            ids = grp[id_col].to_numpy()
+    def _exact(g: pa.Table) -> pa.Table:
+        # Arrow-native: lexsort groups the LSH buckets; the numpy
+        # cosine block runs once per MULTI-member bucket
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if g.num_rows == 0 or id_col not in g.column_names:
+            return empty
+        from scrape_ray.util import vecs_to_numpy
+
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = g["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs_all = vecs_to_numpy(g[vec_col]).astype(np.float32)
+        order = np.lexsort((ids, bkt))
+        sid, sbk = ids[order], bkt[order]
+        svecs = vecs_all[order]
+        new = np.ones(len(sid), bool)
+        new[1:] = sbk[1:] != sbk[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(sid)))
+        out_a, out_b, out_c = [], [], []
+        multi = counts > 1
+        for s, c in zip(starts[multi], counts[multi]):
+            vecs = svecs[s:s + c]
+            bids = sid[s:s + c]
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             norms[norms == 0] = 1
             sims = (vecs / norms) @ (vecs / norms).T
             ia, ib = np.where(np.triu(sims >= threshold, k=1))
-            a, b = ids[ia], ids[ib]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            out.append(pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ia, ib]}))
-        if not out:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
-            )
-        return pd.concat(out, ignore_index=True)
+            a, b = bids[ia], bids[ib]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_c.append(sims[ia, ib].astype(np.float64))
+        if not out_a:
+            return empty
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+        })
 
     parted = bucketed.map_batches(_part, batch_format="pyarrow", batch_size=None)
-    return parted.groupby("__part").map_groups(_exact, batch_format="pandas")
+    return parted.groupby("__part").map_groups(_exact, batch_format="pyarrow")
 
 
 # ------------------------------------------------- components / keep-list
@@ -996,17 +1048,19 @@ def connected_components(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
         return pa.table({"__cc_shard": pa.array(shard),
                          id_a: pa.array(a), id_b: pa.array(b)})
 
-    def _local_cc(g) -> "pd.DataFrame":
-        a = g[id_a].to_numpy().astype(np.int64)
-        b = g[id_b].to_numpy().astype(np.int64)
-        t = _union_find_arrays(a, b)
-        return t.to_pandas()
+    def _local_cc(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or id_a not in g.column_names:
+            return _union_find_arrays(
+                np.empty(0, np.int64), np.empty(0, np.int64))
+        a = g[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _union_find_arrays(a, b)
 
     labels = (
         pairs_ds.select_columns([id_a, id_b])
         .map_batches(_part, batch_format="pyarrow", batch_size=None)
         .groupby("__cc_shard")
-        .map_groups(_local_cc, batch_format="pandas")
+        .map_groups(_local_cc, batch_format="pyarrow")
     )
     from scrape_ray.util import dataset_to_table
 
