@@ -281,8 +281,6 @@ def apply_politeness(
     keep-first (by ``order_col``) equals a global dedup. Fuses the
     crawl's D1 dedup with the politeness shuffle (one all-to-all
     instead of two)."""
-    import pandas as pd
-
     stage = PolitenessStage(robots_provider, epoch_budget, order_col)
 
     def _add_host(t: pa.Table) -> pa.Table:
@@ -295,17 +293,18 @@ def apply_politeness(
             "__part", pa.array((h % num_parts).astype("int32"))
         )
 
-    def _per_part(g: pd.DataFrame) -> pd.DataFrame:
+    def _per_part(g: pa.Table) -> pa.Table:
+        if "__part" in g.column_names:
+            g = g.drop_columns(["__part"])
         if dedup_key is not None:
-            g = g.sort_values([dedup_key, order_col], kind="mergesort")
-            g = g.drop_duplicates(subset=[dedup_key], keep="first")
-        out = stage(
-            pa.Table.from_pandas(g.drop(columns="__part"), preserve_index=False)
-        )
-        return out.to_pandas()
+            from scrape_ray.ops.dedup import _group_head_arrow
+
+            g = _group_head_arrow(g, dedup_key, order_col, True, 1)
+        return stage(g)
 
     with_host = ds.map_batches(_add_host, batch_format="pyarrow", batch_size=None)
-    return with_host.groupby("__part").map_groups(_per_part, batch_format="pandas")
+    return with_host.groupby("__part").map_groups(
+        _per_part, batch_format="pyarrow")
 
 
 def apply_politeness_salted(
@@ -347,7 +346,6 @@ def apply_politeness_salted(
 
     Deterministic and equal to the unsalted path (equality test in
     tests/test_politeness.py)."""
-    import pandas as pd
     import ray
 
     robots = robots_provider or RobotsProvider()
@@ -370,24 +368,25 @@ def apply_politeness_salted(
         t = t.append_column("__prio", pa.array(prio, pa.int64()))
         return t.append_column("__part", pa.array(part))
 
-    def _local_rank(g: pd.DataFrame) -> pd.DataFrame:
+    def _local_rank(g: pa.Table) -> pa.Table:
         """One pass per partition (same treatment as PolitenessStage):
         one lexsort groups rows by (host, prio, salt) and orders them
         by seed_seq; local ranks come from a cumulative count of
         allowed rows minus each segment's base — no per-group rescan."""
-        n = len(g)
+        n = g.num_rows
         if n == 0:
-            return g.assign(
-                robots_allowed=pd.Series(dtype=bool),
-                __local_rank=pd.Series(dtype="int64"),
-            )
-        hosts = g["hostname_full"].to_numpy()
+            g = (g if "url" in g.column_names
+                 else pa.table({"url": pa.array([], pa.string())}))
+            return g.append_column(
+                "robots_allowed", pa.array([], pa.bool_())
+            ).append_column("__local_rank", pa.array([], pa.int64()))
+        hosts = g["hostname_full"].to_numpy(zero_copy_only=False)
         prio = g["__prio"].to_numpy()
         salt = g["__salt"].to_numpy()
         order = g[order_col].to_numpy()
         uniq_hosts, hid = np.unique(hosts, return_inverse=True)
         pols = [robots.policy(h) for h in uniq_hosts]
-        _, paths = _hosts_paths(pa.array(g["url"], pa.string()))
+        _, paths = _hosts_paths(g["url"])
         allowed = np.fromiter(
             (pols[hid[i]].allowed(paths[i]) for i in range(n)),
             dtype=bool,
@@ -405,10 +404,13 @@ def apply_politeness_salted(
         lr_sorted = np.where(adm_sorted, local, -1)
         lr = np.empty(n, dtype=np.int64)
         lr[srt] = lr_sorted
-        return g.assign(robots_allowed=allowed, __local_rank=lr)
+        return g.append_column(
+            "robots_allowed", pa.array(allowed)
+        ).append_column("__local_rank", pa.array(lr, pa.int64()))
 
     keyed = ds.map_batches(_add_keys, batch_format="pyarrow", batch_size=None)
-    ranked = keyed.groupby("__part").map_groups(_local_rank, batch_format="pandas")
+    ranked = keyed.groupby("__part").map_groups(
+        _local_rank, batch_format="pyarrow")
     ranked = ranked.materialize()
 
     # phase 2: per-(host, prio, salt) allowed counts fold through the
