@@ -151,10 +151,13 @@ def run_all(sf_dir: str) -> dict:
                 _consume(fn(sf_dir))
                 sec = time.perf_counter() - t0
             except Exception as ex:  # a broken query must not kill the bench
-                best = -1.0
+                # keep an already-measured success — only report -1.0
+                # when EVERY attempt failed
                 print(f"bench: query {name} failed: {ex}", file=sys.stderr)
+                if best is None:
+                    best = -1.0
                 break
-            best = sec if best is None else min(best, sec)
+            best = sec if best is None or best < 0 else min(best, sec)
         timings[name] = round(best, 3)
 
     return {

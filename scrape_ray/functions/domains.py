@@ -106,7 +106,10 @@ def validate_domains_batch(t: pa.Table, col: str = "domain",
         .to_numpy(zero_copy_only=False).astype(bool)
         & (nchars >= 4) & (nchars <= 253)
     )
-    slow = pc.match_substring(folded, "--").to_numpy(
+    # '--' needs the per-label punycode rule; '\n' hits Python re's
+    # $-matches-before-trailing-newline quirk in the scalar validator
+    # — both take the scalar path so results stay bit-identical
+    slow = pc.match_substring_regex(folded, "--|\\n").to_numpy(
         zero_copy_only=False).astype(bool)
     if slow.any():
         import numpy as np

@@ -113,9 +113,9 @@ def _node_bucket(v: np.ndarray, P: int) -> np.ndarray:
     ``util.bucket_table_refs`` computes for a single int64 key column
     (``h = 0 * MIX ^ (v * GOLD)``), or the dataset fold's rank shards
     and edge shards stop being co-partitioned."""
-    GOLD = np.uint64(0x9E3779B97F4A7C15)
-    with np.errstate(over="ignore"):
-        h = v.astype(np.int64).view(np.uint64) * GOLD
+    from scrape_ray.util import mixed_key_hash
+
+    h = mixed_key_hash(v.astype(np.int64).view(np.uint64))
     return (h % np.uint64(P)).astype(np.int64)
 
 

@@ -87,7 +87,9 @@ def brute_force_topk(
         out_q, out_id, out_s = [], [], []
         for j in range(q.shape[0]):
             col = sims[:, j]
-            idx = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+            # (score desc, vec_id asc) even inside the block — see
+            # the integer probe's tie note
+            idx = np.lexsort((ids, -col))[:kk]
             for i in idx:
                 out_q.append(j)
                 out_id.append(int(ids[i]))
@@ -267,11 +269,7 @@ def ivf_topk_indexed(
             col = vn[mask] @ q[j]
             sub_ids = ids[mask]
             kk = min(k, len(sub_ids))
-            idx = (
-                np.argpartition(-col, kk - 1)[:kk]
-                if kk < len(sub_ids)
-                else np.arange(len(sub_ids))
-            )
+            idx = np.lexsort((sub_ids, -col))[:kk]
             for i in idx:
                 out_q.append(j)
                 out_id.append(int(sub_ids[i]))
@@ -326,11 +324,7 @@ def ivf_topk(
             col = vn[mask] @ q[j]
             sub_ids = ids[mask]
             kk = min(k, len(sub_ids))
-            idx = (
-                np.argpartition(-col, kk - 1)[:kk]
-                if kk < len(sub_ids)
-                else np.arange(len(sub_ids))
-            )
+            idx = np.lexsort((sub_ids, -col))[:kk]
             for i in idx:
                 out_q.append(j)
                 out_id.append(int(sub_ids[i]))
@@ -664,8 +658,11 @@ def ivf_topk_int(
                       + int(q_mat[j] @ q_mat[j]))
                 sub_ids = ids[mask]
                 kk = min(k_top, len(sub_ids))
-                idx = (np.argpartition(dj, kk - 1)[:kk]
-                       if kk < len(sub_ids) else np.arange(len(sub_ids)))
+                # (dist, vec_id) tie-break even inside the block: a
+                # plain argpartition could drop the smaller-id member
+                # of a distance tie before the merge ever sees it,
+                # breaking the oracle's ROW_NUMBER ORDER BY dist, id
+                idx = np.lexsort((sub_ids, dj))[:kk]
                 out_q.append(np.full(kk, q_ids[j], np.int64))
                 out_id.append(sub_ids[idx])
                 out_d.append(dj[idx])

@@ -866,8 +866,13 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         """Shuffle path: dup-start flat positions already resolved —
         no probe, no hashing; just per-doc fold."""
         if t.num_rows == 0 or text_col not in t.column_names:
+            # anchor id type to the real block schema when present —
+            # a fabricated int64 would mix schemas for string doc ids
+            id_arr = (t[id_col].slice(0, 0)
+                      if id_col in t.column_names
+                      else pa.array([], pa.int64()))
             return pa.table({
-                id_col: pa.array([], pa.int64()),
+                id_col: id_arr,
                 "n_pos": pa.array([], pa.int64()),
                 "dup_pos": pa.array([], pa.int64()),
                 "dup_permille": pa.array([], pa.int64()),
@@ -1031,8 +1036,11 @@ def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     def _clean_block(t: pa.Table, dup_start_pos: np.ndarray) -> pa.Table:
         """Shuffle path: dup-start positions already resolved."""
         if t.num_rows == 0 or text_col not in t.column_names:
+            id_arr = (t[id_col].slice(0, 0)
+                      if id_col in t.column_names
+                      else pa.array([], pa.int64()))
             return pa.table({
-                id_col: pa.array([], pa.int64()),
+                id_col: id_arr,
                 "clean_text": pa.array([], pa.large_string()),
                 "n_tokens": pa.array([], pa.int64()),
                 "n_removed": pa.array([], pa.int64()),

@@ -67,7 +67,10 @@ def surt(url: str) -> str:
     p = urlsplit(url)
     host = (p.hostname or "").lower()
     key = ",".join(reversed(host.split(".")))
-    port = p.port
+    try:
+        port = p.port  # raises ValueError on non-numeric/out-of-range
+    except ValueError:
+        port = None  # malformed port: key without it, never a crash
     if port is not None and port != {"http": 80, "https": 443}.get(
             p.scheme.lower()):
         key += f":{port}"

@@ -35,16 +35,19 @@ from functools import lru_cache
 _URL_SPLIT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<netloc>[^/?#]*)(?P<path>[^?#]*)"
 
 
-def _hosts_paths(url_col):
+def _hosts_paths(url_col, want_hosts: bool = True):
     """Vectorized ``urlsplit(u).hostname or ''`` / ``.path or '/'``
     over an Arrow string column — one RE2 ``extract_regex`` plus two
     string kernels instead of a Python ``urlsplit`` per URL (the r4
     verdict's #4 residual loop). Rows outside the fast shape (userinfo
-    ``@``, IPv6 ``[`` brackets, or no ``scheme://``) fall back to the
-    REAL ``urlsplit`` one by one, so semantics are bit-identical for
-    every input; on a crawl frontier those rows are ~0.
+    ``@``, IPv6 ``[`` brackets, embedded ``\\t\\r\\n``, or no
+    ``scheme://``) fall back to the REAL ``urlsplit`` one by one, so
+    semantics are bit-identical for every input; on a crawl frontier
+    those rows are ~0.
 
-    Returns ``(hosts, paths)`` as object ndarrays of str."""
+    Returns ``(hosts, paths)`` as object ndarrays of str;
+    ``want_hosts=False`` skips the host kernels (hosts comes back
+    None) for callers that already carry ``hostname_full``."""
     import pyarrow.compute as pc
 
     arr = (url_col.combine_chunks()
@@ -56,25 +59,34 @@ def _hosts_paths(url_col):
     fast = pc.and_kleene(
         pc.is_valid(ext),
         pc.and_kleene(
-            pc.invert(pc.match_substring(netloc, "@")),
-            pc.invert(pc.match_substring(netloc, "[")),
+            pc.and_kleene(
+                pc.invert(pc.match_substring(netloc, "@")),
+                pc.invert(pc.match_substring(netloc, "[")),
+            ),
+            # urlsplit strips embedded \t\r\n anywhere in the URL
+            # (bpo-43882) — those rows must take the real urlsplit
+            pc.invert(pc.match_substring_regex(arr, "[\\t\\r\\n]")),
         ),
     )
     fast_np = fast.to_numpy(zero_copy_only=False)
     fast_np = np.where(fast_np == None, False, fast_np).astype(bool)  # noqa: E711
-    # urlsplit's hostname: netloc up to the FIRST ':', lowercased
-    host_fast = pc.utf8_lower(pc.replace_substring_regex(
-        netloc, ":.*$", "", max_replacements=1))
-    hosts = host_fast.to_numpy(zero_copy_only=False)
+    hosts = None
+    if want_hosts:
+        # urlsplit's hostname: netloc up to the FIRST ':', lowercased
+        host_fast = pc.utf8_lower(pc.replace_substring_regex(
+            netloc, ":.*$", "", max_replacements=1))
+        hosts = host_fast.to_numpy(zero_copy_only=False)
     paths = path.to_numpy(zero_copy_only=False)
     if not fast_np.all():
         urls = arr.to_pylist()
         for i in np.flatnonzero(~fast_np):
             p = urlsplit(urls[i] or "")
-            hosts[i] = p.hostname or ""
+            if hosts is not None:
+                hosts[i] = p.hostname or ""
             paths[i] = p.path
     paths = np.where((paths == None) | (paths == ""), "/", paths)  # noqa: E711
-    hosts = np.where(hosts == None, "", hosts)  # noqa: E711
+    if hosts is not None:
+        hosts = np.where(hosts == None, "", hosts)  # noqa: E711
     return hosts, paths
 
 
@@ -216,12 +228,17 @@ class PolitenessStage:
             prio = t[self.priority_col].to_numpy()
         else:
             prio = np.zeros(n, dtype=np.int64)
-        hosts, paths = _hosts_paths(t["url"])
         if "hostname_full" in t.column_names:
-            # upstream exchange already extracted hosts — reuse
-            hosts = np.array(
-                [h or "" for h in t["hostname_full"].to_pylist()]
-            )
+            # upstream exchange already extracted hosts — reuse (the
+            # crawl hot path); only the paths kernel runs
+            _, paths = _hosts_paths(t["url"], want_hosts=False)
+            hf = t["hostname_full"]
+            if isinstance(hf, pa.ChunkedArray):
+                hf = hf.combine_chunks()
+            hosts = hf.to_numpy(zero_copy_only=False)
+            hosts = np.where(hosts == None, "", hosts)  # noqa: E711
+        else:
+            hosts, paths = _hosts_paths(t["url"])
 
         # ONE pass over the partition: encode hosts to dense ids, look
         # up each policy once, then rank every host's admitted rows via
@@ -386,7 +403,7 @@ def apply_politeness_salted(
         order = g[order_col].to_numpy()
         uniq_hosts, hid = np.unique(hosts, return_inverse=True)
         pols = [robots.policy(h) for h in uniq_hosts]
-        _, paths = _hosts_paths(g["url"])
+        _, paths = _hosts_paths(g["url"], want_hosts=False)
         allowed = np.fromiter(
             (pols[hid[i]].allowed(paths[i]) for i in range(n)),
             dtype=bool,
@@ -417,16 +434,15 @@ def apply_politeness_salted(
     # manual bucketed exchange (host-hashed so one host's ranges meet
     # in one task), per-bucket prefix sums become global offsets, and
     # the result broadcasts as two sorted numpy arrays — never a dict.
-    GOLD = np.uint64(0x9E3779B97F4A7C15)
-    MIX = np.uint64(0x100000001B3)
-
     def _triple_hash(hk_u64: np.ndarray, prio: np.ndarray,
                      salt: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            h = hk_u64 * GOLD
-            h = h * MIX ^ (prio.astype(np.int64).view(np.uint64) * GOLD)
-            h = h * MIX ^ (salt.astype(np.int64).view(np.uint64) * GOLD)
-        return h.view(np.int64)
+        from scrape_ray.util import mixed_key_hash
+
+        return mixed_key_hash(
+            hk_u64,
+            prio.astype(np.int64).view(np.uint64),
+            salt.astype(np.int64).view(np.uint64),
+        ).view(np.int64)
 
     _empty_counts = pa.table({
         "__hk": pa.array([], pa.int64()),

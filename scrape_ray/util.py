@@ -4,7 +4,27 @@ streaming)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+
+# THE exchange hash constants — single source for every co-partitioned
+# routing decision (bucket_table_refs, ops.graph's rank shards,
+# state.politeness's offset triples). Two datasets are co-partitioned
+# iff they hash the same key VALUES through this same fold with the
+# same P; a drifting copy of these constants breaks that silently.
+EXCHANGE_GOLD = np.uint64(0x9E3779B97F4A7C15)
+EXCHANGE_MIX = np.uint64(0x100000001B3)
+
+
+def mixed_key_hash(*cols_u64: "np.ndarray") -> "np.ndarray":
+    """The exchange's multi-column key fold over pre-folded uint64
+    arrays: ``h=0; for v in cols: h = h*MIX ^ (v*GOLD)`` (wrapping
+    uint64). Route to bucket ``(mixed_key_hash(...) % P)``."""
+    h = np.zeros(len(cols_u64[0]), np.uint64)
+    with np.errstate(over="ignore"):
+        for v in cols_u64:
+            h = h * EXCHANGE_MIX ^ (v * EXCHANGE_GOLD)
+    return h
 
 
 def collect_nonempty(ds) -> "list[pa.Table]":
@@ -252,15 +272,12 @@ def bucket_table_refs(refs, key_cols: "list[str]", P: int) -> "list[list]":
     numeric-vs-string types) on every participating ref list — that
     invariant is what makes per-bucket joins/groupbys globally
     correct."""
-    import numpy as np
     import ray
-
-    GOLD = np.uint64(0x9E3779B97F4A7C15)
-    MIX = np.uint64(0x100000001B3)
 
     @ray.remote
     def _slice(t: pa.Table, P: int):
         from scrape_ray.functions.keys import fnv1a64_arrow
+        from scrape_ray.util import mixed_key_hash
 
         if t.num_rows == 0:
             # UDF-skipped empty blocks may carry an upstream (or even
@@ -268,21 +285,21 @@ def bucket_table_refs(refs, key_cols: "list[str]", P: int) -> "list[list]":
             # whole; bucket consumers drop zero-row slices.
             out = [t] * P
             return out[0] if P == 1 else tuple(out)
-        h = np.zeros(t.num_rows, np.uint64)
-        with np.errstate(over="ignore"):
-            for c in key_cols:
-                col = t[c]
-                typ = col.type
-                if pa.types.is_string(typ) or pa.types.is_large_string(
-                        typ) or pa.types.is_binary(typ) or \
-                        pa.types.is_large_binary(typ):
-                    v = fnv1a64_arrow(
-                        col.combine_chunks()
-                        if isinstance(col, pa.ChunkedArray) else col)
-                else:
-                    v = col.to_numpy(zero_copy_only=False).astype(
-                        np.int64).view(np.uint64)
-                h = h * MIX ^ (v * GOLD)
+        vs = []
+        for c in key_cols:
+            col = t[c]
+            typ = col.type
+            if pa.types.is_string(typ) or pa.types.is_large_string(
+                    typ) or pa.types.is_binary(typ) or \
+                    pa.types.is_large_binary(typ):
+                v = fnv1a64_arrow(
+                    col.combine_chunks()
+                    if isinstance(col, pa.ChunkedArray) else col)
+            else:
+                v = col.to_numpy(zero_copy_only=False).astype(
+                    np.int64).view(np.uint64)
+            vs.append(v)
+        h = mixed_key_hash(*vs)
         b = (h % np.uint64(P)).astype(np.int64)
         order = np.argsort(b, kind="stable")
         ts = t.take(pa.array(order, pa.int64()))

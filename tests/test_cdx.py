@@ -21,6 +21,9 @@ def test_surt_core_transform():
         "com,example,host0)/doc/5"
     assert surt("https://host0.example.com:80/doc/5") == \
         "com,example,host0:80)/doc/5"
+    # malformed ports must not crash the shard parse — key drops them
+    assert surt("http://h.com:8o80/x") == "com,h)/x"
+    assert surt("http://h.com:99999999/x") == "com,h)/x"
     assert surt("https://example.org") == "org,example)/"
 
 

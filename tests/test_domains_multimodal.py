@@ -60,6 +60,8 @@ def test_validate_domains_batch_matches_scalar():
         "a." + "b" * 250 + ".com", "a..com", "a.com.",
         ".a.com", "héllo.com", "a_b.com", "a b.com",
         "xn--1.com" * 30,  # long, many '--' labels
+        "ab\n.com",  # Python re's $-before-trailing-newline quirk
+        "ab.com\n", "a\nb.com",
     ]
     t = pa.table({"domain": pa.array(cases, pa.string())})
     got = validate_domains_batch(t)["domain_valid"].to_pylist()

@@ -320,3 +320,26 @@ def test_kmeans_empty_cluster_drops_out(ray_session):
     )
     assert list(out["cluster"][:2]) == [0, 0]
     assert list(out["cluster"][2:]) == [2, 2, 2]
+
+
+def test_ivf_topk_int_tie_break_inside_block(ray_session):
+    """Distance ties at the per-block bottom-k boundary must keep the
+    SMALLEST vec_ids (the oracle's ROW_NUMBER ORDER BY dist, vec_id) —
+    a plain argpartition can drop the smaller-id member of a tie
+    before the merge ever sees it. All-identical vectors make every
+    distance tie at 0."""
+    import ray.data
+
+    from scrape_ray.ops.similarity import ivf_topk_int
+
+    n, d = 24, 4
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([[1.0, 2.0, 3.0, 4.0]] * n,
+                              pa.list_(pa.float32(), d)),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = ivf_topk_int(ds, query_ids=[0], k_top=5, num_cells=2,
+                       nprobe=2).to_pandas().sort_values("vec_id")
+    assert list(got["vec_id"]) == [0, 1, 2, 3, 4]
+    assert set(got["dist"]) == {0}
