@@ -281,3 +281,41 @@ def test_stage_one_pass_ranking_equals_per_host_scan(ray_session):
     assert out["robots_allowed"].to_pylist() == allowed.tolist()
     assert out["fetch_slot"].to_pylist() == slots.tolist()
     assert out["admitted"].to_pylist() == admitted.tolist()
+
+
+def test_hosts_paths_differential_vs_urlsplit():
+    """_hosts_paths (RE2 fast path + scalar fallback) must be
+    bit-identical to stdlib urlsplit semantics for every shape: fast
+    rows, userinfo, IPv6 brackets, embedded tab/CR/LF (bpo-43882),
+    schemeless, ports, empty, unicode, query/fragment cuts."""
+    from urllib.parse import urlsplit
+
+    from scrape_ray.state.politeness import _hosts_paths
+
+    urls = [
+        "http://example.com/a/b?q=1#f",
+        "https://EXAMPLE.org",                      # no path, upper host
+        "https://example.com:8080/x",               # port
+        "http://user:pw@example.com/secret",        # userinfo
+        "http://[2001:db8::1]:443/v6",              # IPv6 + port
+        "http://exa\tmple.com/pa\nth",              # bpo-43882 stripping
+        "ftp+ssh://odd.scheme/x",                   # exotic scheme
+        "//protocol-relative.com/p",                # no scheme
+        "not a url at all",
+        "",
+        "http://",                                  # empty netloc
+        "https://xn--bcher-kva.example/päth?ä=ö",   # idn + unicode path
+        "http://example.com/%2F/enc?x#y",
+        "mailto:someone@example.com",               # no netloc scheme
+        "http://example.com\r/trail",
+    ]
+    col = pa.array(urls, type=pa.string())
+    hosts, paths = _hosts_paths(col)
+    for i, u in enumerate(urls):
+        p = urlsplit(u)
+        assert hosts[i] == (p.hostname or ""), (u, hosts[i], p.hostname)
+        assert paths[i] == (p.path or "/"), (u, paths[i], p.path)
+    # want_hosts=False returns None hosts but identical paths
+    none_hosts, paths2 = _hosts_paths(col, want_hosts=False)
+    assert none_hosts is None
+    assert list(paths2) == list(paths)
