@@ -1629,6 +1629,25 @@ def _q_kmeans(sf_dir: str) -> Any:
     return kmeans_assign(emb, k=4, iterations=2)
 
 
+def _q_semdedup(sf_dir: str) -> Any:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): integer-exact
+    k-means (k=8, 2 assignment passes, scale=600) over the embeddings
+    table, then keep-lowest-id pruning of within-cluster pairs with
+    cosine > 0.35 — the cosine test runs sqrt-free in exact int64
+    (dot^2 * den^2 > num^2 * |a|^2 * |b|^2), so the whole pipeline is
+    SQL-replayable (see ops/similarity.semdedup: one groupby(cluster)
+    exchange on top of the kmeans fold)."""
+    import ray.data
+
+    from scrape_ray.ops.similarity import semdedup
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semdedup(emb, k=8, iterations=2, tau_num=35, tau_den=100,
+                    scale=600)
+
+
 def _q_order_customer_join(sf_dir: str) -> Any:
     """Generic distributed equi-join (ops/joins.hash_join): orders x
     customer on custkey — one manual bucketed exchange per side
@@ -2121,6 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
+        "semdedup": _q_semdedup,
     }
 
 
@@ -3642,5 +3662,72 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN {_IS_CONTENT} THEN 'Doc ' || doc_id ELSE NULL END AS title,
                 CASE WHEN {_IS_CONTENT} THEN 'Doc ' || doc_id || ' ' || text ELSE NULL END AS content_text
             FROM documents
+        """,
+        # semdedup: same Lloyd replay as the kmeans oracle (k=8,
+        # scale=600), then the sqrt-free exact-int64 cosine test —
+        # cos(a,b) > 35/100 iff dot > 0 AND dot^2*100^2 >
+        # 35^2*|a|^2*|b|^2 — over within-cluster lower-id pairs.
+        "semdedup": """
+            WITH q AS (
+                SELECT vec_id, i AS dim,
+                       CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 600)
+                            AS BIGINT) AS qv
+                FROM embeddings, LATERAL UNNEST(range(len(embedding))) AS u(i)
+            ),
+            init AS (
+                SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
+                FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            c0 AS (SELECT init.k, q.dim, q.qv FROM q JOIN init USING (vec_id)),
+            d1 AS (
+                SELECT q.vec_id, c.k,
+                       SUM((q.qv - c.qv) * (q.qv - c.qv))::BIGINT AS dist
+                FROM q JOIN c0 c USING (dim) GROUP BY 1, 2
+            ),
+            a1 AS (
+                SELECT vec_id, k FROM (
+                    SELECT vec_id, k, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY dist, k) AS rn
+                    FROM d1) WHERE rn = 1
+            ),
+            c1 AS (
+                SELECT a1.k, q.dim, SUM(q.qv)::BIGINT // COUNT(*) AS qv
+                FROM q JOIN a1 USING (vec_id) GROUP BY 1, 2
+            ),
+            d2 AS (
+                SELECT q.vec_id, c.k,
+                       SUM((q.qv - c.qv) * (q.qv - c.qv))::BIGINT AS dist
+                FROM q JOIN c1 c USING (dim) GROUP BY 1, 2
+            ),
+            a2 AS (
+                SELECT vec_id, k FROM (
+                    SELECT vec_id, k, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY dist, k) AS rn
+                    FROM d2) WHERE rn = 1
+            ),
+            n2 AS (SELECT vec_id, SUM(qv * qv)::BIGINT AS n2
+                   FROM q GROUP BY 1),
+            dots AS (
+                SELECT hi.vec_id AS va, lo.vec_id AS vb,
+                       SUM(x.qv * y.qv)::BIGINT AS dot
+                FROM a2 hi
+                JOIN a2 lo ON hi.k = lo.k AND lo.vec_id < hi.vec_id
+                JOIN q x ON x.vec_id = hi.vec_id
+                JOIN q y ON y.vec_id = lo.vec_id AND y.dim = x.dim
+                GROUP BY 1, 2
+            ),
+            rem AS (
+                SELECT DISTINCT d.va AS vec_id
+                FROM dots d
+                JOIN n2 nx ON nx.vec_id = d.va
+                JOIN n2 ny ON ny.vec_id = d.vb
+                WHERE d.dot > 0
+                  AND d.dot * d.dot * 10000 > 1225 * nx.n2 * ny.n2
+            )
+            SELECT a2.vec_id,
+                   a2.k::BIGINT AS cluster,
+                   (CASE WHEN rem.vec_id IS NULL
+                         THEN 1 ELSE 0 END)::BIGINT AS keep
+            FROM a2 LEFT JOIN rem USING (vec_id)
         """,
     }

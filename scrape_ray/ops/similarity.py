@@ -676,3 +676,118 @@ def ivf_topk_int(
                             batch_size=batch_size)
     return _merge_topk(local, k_top, score_col="dist",
                        score_order="ascending")
+
+
+def _block_assign_q(t: pa.Table, cent: np.ndarray, live_idx, id_col: str):
+    """Final-pass assignment that also carries the quantized vector
+    through (:func:`semdedup`'s prune needs it). :func:`_block_assign`
+    emits rows in input order, so the ``q`` column appends aligned."""
+    out = _block_assign(t, cent, live_idx, id_col).drop_columns(["dist"])
+    if t.num_rows == 0:
+        d = cent.shape[1]
+        qcol = pa.FixedSizeListArray.from_arrays(
+            pa.array([], pa.int64()), d)
+    else:
+        qcol = t["q"]
+    return out.append_column("q", qcol)
+
+
+def semdedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+             k: int = 8, iterations: int = 2, tau_num: int = 35,
+             tau_den: int = 100, scale: int = 600,
+             batch_size: int = 4096, chunk_rows: int = 1024):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding column with k-means, then prune semantic duplicates
+    WITHIN each cluster — a row is removed when some other row in its
+    cluster has cosine similarity > ``tau_num/tau_den`` and a LOWER
+    id (the keep-lowest-id variant of the paper's one-representative-
+    per-duplicate-group rule; deterministic, order-free).
+
+    INTEGER-EXACT like :func:`kmeans_assign`, so a SQL oracle replays
+    it bit-for-bit: the clusters come from the same quantize /
+    int64-L2 / truncating-update Lloyd, and the cosine test needs no
+    sqrt or float at all —
+
+        cos(a, b) > tau  iff  dot > 0  and
+        dot^2 * tau_den^2 > tau_num^2 * |a|^2 * |b|^2
+
+    evaluated exactly in int64 on the quantized vectors.
+
+    Returns one row per input row: ``(id_col, cluster, keep)`` with
+    ``keep`` a 0/1 int64 (cluster = ORIGINAL centroid index, the
+    :func:`kmeans_assign` contract).
+
+    Scale shape: Lloyd is the :func:`kmeans_assign` fold (one (k×d)
+    broadcast per pass, O(model) driver state, zero exchanges); the
+    prune adds exactly ONE ``groupby(cluster)`` exchange and a
+    per-cluster O(c^2) dot-product kernel chunked to
+    O(chunk_rows × c) memory — the published algorithm's cost model,
+    with ``k`` chosen so clusters stay ~10^4 rows at corpus scale
+    (the paper runs k = 50 000 on LAION-440M). int64 bound: needs
+    max|q|^2 * tau_den < 2^31.5 per vector (guarded at runtime);
+    satisfied for d<=64, scale<=600, tau_den<=100, |x|<=1.
+    """
+    import math
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    if k < 1 or iterations < 1:
+        raise ValueError("k and iterations must be >= 1")
+    if not 0 < tau_num < tau_den:
+        raise ValueError("require 0 < tau_num < tau_den")
+
+    qds = _quant_ds(ds, vec_col, id_col, scale, batch_size)
+    refs = qds.to_arrow_refs()
+    cents, live = _init_cents(ds, id_col, vec_col, k, scale)
+    fold = ray.remote(_block_assign)
+    cents, live = _lloyd_updates(refs, cents, live, iterations - 1,
+                                 id_col, fold)
+    cref = ray.put(cents)
+    lref = ray.put(live)
+    foldq = ray.remote(_block_assign_q)
+    assigned = ray.data.from_arrow_refs(
+        [foldq.remote(r, cref, lref, id_col) for r in refs])
+
+    tn2 = tau_num * tau_num
+    td2 = tau_den * tau_den
+    # |dot| <= sqrt(na_i*na_j) <= na_max (Cauchy-Schwarz), so both
+    # dot^2*td2 and tn2*na_i*na_j stay < 2^63 iff na_max^2*td2 does
+    na_max_ok = math.isqrt((2 ** 63 - 1) // td2)
+
+    def _prune(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.int64())})
+        g = g.take(pc.sort_indices(g[id_col]))
+        col = g["q"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = col.type.list_size
+        Q = col.values.to_numpy(zero_copy_only=False).reshape(-1, d)
+        na = np.einsum("ij,ij->i", Q, Q)
+        if len(na) and int(na.max()) > na_max_ok:
+            raise ValueError(
+                f"max |q|^2 = {int(na.max())} exceeds the exact-int64 "
+                f"bound {na_max_ok} for tau_den={tau_den}; lower "
+                f"`scale`")
+        c = len(Q)
+        removed = np.zeros(c, bool)
+        for i0 in range(1, c, chunk_rows):  # row 0 has no lower id
+            i1 = min(i0 + chunk_rows, c)
+            G = Q[i0:i1] @ Q.T
+            lhs = G * G * td2
+            rhs = tn2 * np.outer(na[i0:i1], na)
+            dup = (G > 0) & (lhs > rhs)
+            jmask = np.arange(c)[None, :] < np.arange(i0, i1)[:, None]
+            removed[i0:i1] = (dup & jmask).any(axis=1)
+        return pa.table({
+            id_col: g[id_col],
+            "cluster": g["cluster"],
+            "keep": pa.array((~removed).astype(np.int64), pa.int64()),
+        })
+
+    return assigned.groupby("cluster").map_groups(
+        _prune, batch_format="pyarrow")

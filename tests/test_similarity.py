@@ -343,3 +343,112 @@ def test_ivf_topk_int_tie_break_inside_block(ray_session):
                        nprobe=2).to_pandas().sort_values("vec_id")
     assert list(got["vec_id"]) == [0, 1, 2, 3, 4]
     assert set(got["dist"]) == {0}
+
+
+def _semdedup_numpy_replay(ids, V, k, iters, scale, tn, td):
+    """Pure-numpy replay of ops/similarity.semdedup (quantize ->
+    integer Lloyd -> within-cluster lower-id cosine prune)."""
+    order = np.argsort(ids)
+    ids = np.asarray(ids)[order]
+    x = np.asarray(V, np.float64)[order] * scale
+    Q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+        np.int64)
+    cents = Q[:k].copy()
+    live = np.arange(k)
+
+    def assign(c):
+        xx = np.einsum("ij,ij->i", Q, Q)
+        cc = np.einsum("ij,ij->i", c, c)
+        return (xx[:, None] - 2 * (Q @ c.T) + cc[None, :]).argmin(1)
+
+    for _ in range(iters - 1):
+        a = assign(cents)
+        sums = np.zeros((len(cents), Q.shape[1]), np.int64)
+        np.add.at(sums, a, Q)
+        cnts = np.bincount(a, minlength=len(cents))
+        keepc = cnts > 0
+        s, n = sums[keepc], cnts[keepc][:, None]
+        cents = (np.sign(s) * (np.abs(s) // n)).astype(np.int64)
+        live = live[keepc]
+    a = live[assign(cents)]
+    removed = np.zeros(len(Q), bool)
+    for c in np.unique(a):
+        m = np.flatnonzero(a == c)
+        Qc = Q[m]
+        G = Qc @ Qc.T
+        na = np.diag(G).copy()
+        dup = (G > 0) & (G * G * td * td > tn * tn * np.outer(na, na))
+        np.fill_diagonal(dup, False)
+        removed[m] = np.tril(dup, -1).any(1)
+    return {int(i): (int(c), int(not r))
+            for i, c, r in zip(ids, a, removed)}
+
+
+def test_semdedup_matches_numpy_replay(ray_session):
+    from scrape_ray.ops.similarity import semdedup
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist())
+    V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    want = _semdedup_numpy_replay(ids, V, k=8, iters=2, scale=600,
+                                  tn=35, td=100)
+    out = semdedup(_emb_ds(), k=8, iterations=2, tau_num=35,
+                   tau_den=100, scale=600).to_pandas()
+    assert len(out) == len(ids)
+    got = {int(r.vec_id): (int(r.cluster), int(r.keep))
+           for r in out.itertuples()}
+    assert got == want
+    assert 0 < out["keep"].sum() < len(out)  # both branches exercised
+
+
+def test_semdedup_planted_duplicates(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.similarity import semdedup
+
+    # ids 0/3/7 share one vector (cos=1 -> dups), id 5 is the zero
+    # vector (cosine undefined -> never pruned), the rest orthogonal
+    v = [1.0, 0.0, 0.0, 0.0]
+    vecs = {0: v, 1: [0.0, 1.0, 0.0, 0.0], 2: [0.0, 0.0, 1.0, 0.0],
+            3: v, 4: [0.0, 0.0, 0.0, 1.0], 5: [0.0, 0.0, 0.0, 0.0],
+            6: [0.0, -1.0, 0.0, 0.0], 7: v}
+    t = pa.table({
+        "vec_id": pa.array(sorted(vecs), pa.int64()),
+        "embedding": pa.array([vecs[i] for i in sorted(vecs)],
+                              pa.list_(pa.float32())),
+    })
+    out = semdedup(ray.data.from_arrow(t), k=2, iterations=2,
+                   tau_num=90, tau_den=100).to_pandas()
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    assert keep == {0: 1, 1: 1, 2: 1, 3: 0, 4: 1, 5: 1, 6: 1, 7: 0}
+    cl = dict(zip(out["vec_id"], out["cluster"]))
+    assert cl[0] == cl[3] == cl[7]  # identical vectors co-cluster
+
+
+def test_semdedup_chunked_kernel_invariant(ray_session):
+    from scrape_ray.ops.similarity import semdedup
+
+    a = semdedup(_emb_ds(), k=4, iterations=2).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    b = semdedup(_emb_ds(), k=4, iterations=2,
+                 chunk_rows=3).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_semdedup_int64_guard(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.similarity import semdedup
+
+    # |q|^2 = 64 * scale^2 at |x|=1: scale=1000 crosses the
+    # exact-int64 bound (isqrt(2^63/100^2) ~ 3.03e7 < 6.4e7)
+    t = pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array([[1.0] * 64] * 4, pa.list_(pa.float32())),
+    })
+    with pytest.raises(Exception, match="exact-int64"):
+        semdedup(ray.data.from_arrow(t), k=2, iterations=2,
+                 scale=1000).to_pandas()
