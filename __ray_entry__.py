@@ -610,6 +610,28 @@ def _q_stratified_sample(sf_dir: str) -> Any:
     )
 
 
+def _q_source_mix(sf_dir: str) -> Any:
+    """Weighted source mixing with upsampling (the LLM recipe's
+    "1.5 epochs of en, 2.25 of zh, 0.3 of everything else" table):
+    weight w permille emits w // 1000 copies of each row plus one
+    extra iff FNV1a64(doc_id) % 1000 < w % 1000 — copies carry a
+    0-based copy_idx so the SQL replay compares exactly (see
+    ops/sampling.mixture_sample: pure per-batch map, zero
+    exchanges). es exercises the default_permille fallback."""
+    import ray.data
+
+    from scrape_ray.ops.sampling import mixture_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return mixture_sample(
+        docs, "lang", "doc_id",
+        {"en": 1500, "de": 1000, "fr": 700, "zh": 2250},
+        default_permille=300,
+    )
+
+
 def _q_tfidf_topk(sf_dir: str) -> Any:
     """Per-document top-3 TF-IDF terms, integer permille-per-million
     scaled so every score is engine-exact: score_ppm =
@@ -2141,6 +2163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "video_frames": _q_video_frames,
         "semdedup": _q_semdedup,
+        "source_mix": _q_source_mix,
     }
 
 
@@ -3729,5 +3752,37 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN rem.vec_id IS NULL
                          THEN 1 ELSE 0 END)::BIGINT AS keep
             FROM a2 LEFT JOIN rem USING (vec_id)
+        """,
+        # source_mix: same HUGEINT FNV fold as stratified_sample;
+        # weight w permille -> w // 1000 copies + 1 iff
+        # hv % 1000 < w % 1000, copy_idx from the range lateral.
+        "source_mix": r"""
+            WITH h AS (
+                SELECT doc_id, lang, list_reduce(
+                    list_prepend(14695981039346656037::HUGEINT,
+                        list_transform(
+                            range(0, octet_length(encode(CAST(doc_id AS VARCHAR)))),
+                            i -> ('0x' || substr(hex(encode(CAST(doc_id AS VARCHAR))),
+                                                 2*i+1, 2))
+                                 ::UBIGINT::HUGEINT)),
+                    (h, x) -> (xor(h::UBIGINT, x::UBIGINT)::HUGEINT
+                               * 1099511628211::HUGEINT)
+                              % 18446744073709551616::HUGEINT
+                )::UBIGINT AS hv
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, lang, hv,
+                       CAST(CASE lang
+                            WHEN 'en' THEN 1500 WHEN 'de' THEN 1000
+                            WHEN 'fr' THEN 700 WHEN 'zh' THEN 2250
+                            ELSE 300 END AS BIGINT) AS w
+                FROM h
+            )
+            SELECT doc_id, lang, u.i::BIGINT AS copy_idx
+            FROM n, LATERAL UNNEST(range(
+                w // 1000
+                + CASE WHEN hv % 1000 < w % 1000 THEN 1 ELSE 0 END
+            )) AS u(i)
         """,
     }

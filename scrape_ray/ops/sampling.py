@@ -118,3 +118,71 @@ def reservoir_per_stratum(ds, strata_col: str, key_col: str, k: int,
     out = per_key_topk(ranked, strata_col, "__rk", k=k, keep="first",
                        num_parts=num_parts)
     return out.drop_columns(["__rk"])
+
+
+def mixture_sample(ds, strata_col: str, key_col: str,
+                   weights_permille: dict[str, int],
+                   default_permille: int = 1000,
+                   copy_col: str = "copy_idx",
+                   batch_size: int | None = None):
+    """Weighted source mixing WITH upsampling — the "N epochs of
+    source A, 0.3 epochs of source B" primitive of LLM training-data
+    recipes (the Pile / LLaMA-style mixture tables). A stratum with
+    weight ``w`` permille emits ``w // 1000`` full copies of every
+    row plus one extra copy iff ``FNV1a64(str(key)) % 1000 <
+    w % 1000`` — so expected multiplicity is exactly ``w / 1000``,
+    the fractional part is the same leakage-safe hash-threshold rule
+    as :func:`stratified_sample` (a row's fate depends only on its
+    own key, identical on any cluster layout / batch split / engine),
+    and ``weights_permille`` below 1000 degrade to plain downsampling.
+
+    Copies are distinguished by ``copy_col`` (0-based int64), so
+    downstream global shuffles / packing see distinct rows and
+    equality comparison against a SQL replay is exact.
+
+    Scale shape: a pure per-batch map — zero exchanges, zero driver
+    state; the weight table is a handful of source names (consulted
+    once per distinct stratum per batch via ``dictionary_encode``),
+    and the repeat is one vectorized ``take``. Upsampling multiplies
+    block size by ~max epochs: pick ``batch_size`` so batch ×
+    max(weight)/1000 still fits the worker heap.
+    """
+    if min(weights_permille.values(), default=0) < 0 or default_permille < 0:
+        raise ValueError("weights must be >= 0 permille")
+
+    def _f(t: pa.Table) -> pa.Table:
+        if copy_col in t.schema.names:
+            raise ValueError(
+                f"input already has a {copy_col!r} column; pass a "
+                f"different copy_col")
+        hv = _key_hashes(t, key_col)
+        enc = pc.dictionary_encode(t[strata_col])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        lut = np.array(
+            [
+                int(weights_permille.get(u, default_permille))
+                for u in enc.dictionary.to_pylist()
+            ]
+            + [int(default_permille)],  # slot for null strata
+            dtype=np.uint64,
+        )
+        idx = (
+            pc.fill_null(enc.indices, len(lut) - 1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        w = lut[idx]
+        n = (w // np.uint64(1000)).astype(np.int64)
+        n += ((hv % np.uint64(1000)) < (w % np.uint64(1000))).astype(
+            np.int64)
+        total = int(n.sum())
+        ridx = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        starts = np.repeat(np.cumsum(n) - n, n)
+        out = t.take(pa.array(ridx, pa.int64()))
+        return out.append_column(
+            copy_col,
+            pa.array(np.arange(total, dtype=np.int64) - starts,
+                     pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)

@@ -98,3 +98,68 @@ def test_reservoir_per_stratum_exact_k_and_determinism(ray_session):
     sa = a.sort_values(["lang", "doc_id"]).reset_index(drop=True)
     sb = b.sort_values(["lang", "doc_id"]).reset_index(drop=True)
     assert sa.equals(sb)  # layout-independent selection
+
+
+def test_mixture_sample_multiplicity_and_layout_independence(ray_session):
+    import ray.data
+
+    from scrape_ray.functions.keys import fnv1a64_arrow
+    from scrape_ray.ops.sampling import mixture_sample
+
+    rows = [
+        {"doc_id": i, "lang": ["en", "de", "fr", "zh"][i % 4]}
+        for i in range(400)
+    ]
+    w = {"en": 2000, "de": 1000, "fr": 300, "zh": 1500}
+    a = mixture_sample(
+        ray.data.from_items(rows).repartition(3), "lang", "doc_id", w
+    ).to_pandas()
+    b = mixture_sample(
+        ray.data.from_items(rows).repartition(17), "lang", "doc_id", w
+    ).to_pandas()
+    sa = a.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    sb = b.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    assert sa.equals(sb)  # layout-independent
+
+    # exact per-row multiplicity: w//1000 + (fnv(key)%1000 < w%1000)
+    import pyarrow as pa
+
+    hv = fnv1a64_arrow(pa.array([str(r["doc_id"]) for r in rows]))
+    for r, h in zip(rows, hv):
+        ww = w[r["lang"]]
+        want = ww // 1000 + (int(h) % 1000 < ww % 1000)
+        got = (a["doc_id"] == r["doc_id"]).sum()
+        assert got == want, (r, ww, int(h) % 1000)
+        if want:
+            copies = sorted(a[a["doc_id"] == r["doc_id"]]["copy_idx"])
+            assert copies == list(range(want))  # 0-based dense copy ids
+
+    # integer weights reproduce exact epoch counts
+    assert (a["lang"] == "en").sum() == 2 * 100
+    assert (a["lang"] == "de").sum() == 100
+
+
+def test_mixture_sample_default_and_guards(ray_session):
+    import ray.data
+
+    import pytest as _pytest
+
+    from scrape_ray.ops.sampling import mixture_sample
+
+    rows = [{"doc_id": i, "lang": "xx"} for i in range(100)]
+    # default_permille=0 drops unknown strata entirely
+    out = mixture_sample(
+        ray.data.from_items(rows), "lang", "doc_id", {"en": 1000},
+        default_permille=0,
+    ).to_pandas()
+    assert len(out) == 0
+
+    with _pytest.raises(ValueError, match=">= 0"):
+        mixture_sample(ray.data.from_items(rows), "lang", "doc_id",
+                       {"en": -1})
+
+    # copy_idx collision with the input schema is a hard error
+    rows2 = [{"doc_id": 1, "lang": "en", "copy_idx": 9}]
+    with _pytest.raises(Exception, match="copy_idx"):
+        mixture_sample(ray.data.from_items(rows2), "lang", "doc_id",
+                       {"en": 1000}).to_pandas()
