@@ -267,3 +267,74 @@ def test_hash_groupby_sum_random_matches_plain_groupby(
         "SELECT k, k2, SUM(v)::BIGINT, SUM(w)::BIGINT FROM t "
         "GROUP BY 1, 2 ORDER BY ALL").fetchall()
     assert got == want
+
+
+@settings(**_SMALL)
+@given(
+    n=st.integers(4, 60),
+    seed=st.integers(0, 10_000),
+    k=st.integers(1, 4),
+    tau=st.integers(1, 99),
+)
+def test_semdedup_random_matches_numpy_replay(ray_session, n, seed, k, tau):
+    import ray.data
+
+    from scrape_ray.ops.similarity import semdedup
+    from tests.test_similarity import _semdedup_numpy_replay
+
+    rng = np.random.default_rng(seed)
+    V = rng.normal(size=(n, 8)).clip(-1, 1).astype(np.float32)
+    # plant exact duplicates so the prune branch fires often
+    V[n // 2] = V[0]
+    if n >= 8:
+        V[n - 1] = V[1]
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array([list(map(float, v)) for v in V],
+                                        pa.list_(pa.float32()))})
+    out = semdedup(ray.data.from_arrow(t).repartition(3), k=k,
+                   iterations=2, tau_num=tau, tau_den=100,
+                   scale=600, chunk_rows=7).to_pandas()
+    want = _semdedup_numpy_replay(ids, V, k=k, iters=2, scale=600,
+                                  tn=tau, td=100)
+    got = {int(r.vec_id): (int(r.cluster), int(r.keep))
+           for r in out.itertuples()}
+    assert got == want
+
+
+@settings(**_SMALL)
+@given(
+    keys=st.lists(st.integers(-3, 50), min_size=0, max_size=60),
+    w_en=st.integers(0, 3500),
+    w_de=st.integers(0, 3500),
+    dflt=st.integers(0, 2000),
+)
+def test_mixture_sample_random_matches_fnv_replay(ray_session, keys,
+                                                  w_en, w_de, dflt):
+    import ray.data
+
+    from scrape_ray.functions.keys import fnv1a64_arrow
+    from scrape_ray.ops.sampling import mixture_sample
+
+    langs = [["en", "de", "xx"][abs(k) % 3] for k in keys]
+    t = pa.table({"doc_id": pa.array(keys, pa.int64()),
+                  "lang": pa.array(langs)})
+    w = {"en": w_en, "de": w_de}
+    out = mixture_sample(
+        ray.data.from_arrow(t).repartition(3), "lang", "doc_id", w,
+        default_permille=dflt,
+    ).to_pandas()
+    hv = fnv1a64_arrow(pa.array([str(kk) for kk in keys]))
+    want = []
+    for kk, lg, h in zip(keys, langs, hv):
+        ww = w.get(lg, dflt)
+        m = ww // 1000 + (int(h) % 1000 < ww % 1000)
+        want.extend((kk, lg, c) for c in range(m))
+    if len(out) == 0:
+        # zero-row frames may arrive schema-erased (Ray empty-dataset
+        # quirk on empty INPUT); multiset equality degenerates to size
+        got = []
+    else:
+        got = sorted(zip(out["doc_id"], out["lang"], out["copy_idx"]))
+    # duplicate keys: sort-compare handles multiset equality
+    assert got == sorted(want)
