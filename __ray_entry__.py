@@ -632,6 +632,30 @@ def _q_source_mix(sf_dir: str) -> Any:
     )
 
 
+def _q_budget_select(sf_dir: str) -> Any:
+    """Token-budget corpus selection (ops/packing.budget_select):
+    keep the longest documents (score = char count, ties by doc_id)
+    until HALF the corpus's whitespace-token total is spent — running
+    total emitted as cum_tokens so the SQL window replay compares
+    exactly. One global sort + O(#blocks) scan partials; the budget
+    itself comes from one cheap aggregate over the narrow stats
+    table."""
+    import ray.data
+
+    from scrape_ray.ops.packing import budget_select
+    from scrape_ray.ops.textstats import token_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    stats = token_stats(docs).select_columns(
+        ["doc_id", "n_chars", "n_ws_tokens"]
+    ).materialize()
+    total = stats.sum("n_ws_tokens") or 0
+    return budget_select(stats, score_col="n_chars",
+                         size_col="n_ws_tokens", budget=total // 2)
+
+
 def _q_tfidf_topk(sf_dir: str) -> Any:
     """Per-document top-3 TF-IDF terms, integer permille-per-million
     scaled so every score is engine-exact: score_ppm =
@@ -2164,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": _q_video_frames,
         "semdedup": _q_semdedup,
         "source_mix": _q_source_mix,
+        "budget_select": _q_budget_select,
     }
 
 
@@ -3784,5 +3809,28 @@ def oracle_sql() -> dict[str, str]:
                 w // 1000
                 + CASE WHEN hv % 1000 < w % 1000 THEN 1 ELSE 0 END
             )) AS u(i)
+        """,
+        # budget_select: the token_stats expressions, then the
+        # (score DESC, id) running-sum window cut at half the corpus's
+        # whitespace-token total — (n_chars, doc_id) is unique, so the
+        # default RANGE frame equals ROWS.
+        "budget_select": r"""
+            WITH b AS (
+                SELECT doc_id,
+                    length(text)::BIGINT AS n_chars,
+                    (CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(str_split_regex(trim(text), '\s+'))
+                     END)::BIGINT AS n_ws_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_chars, n_ws_tokens,
+                       SUM(n_ws_tokens) OVER (
+                           ORDER BY n_chars DESC, doc_id
+                       )::BIGINT AS cum_tokens
+                FROM b
+            )
+            SELECT doc_id, n_chars, n_ws_tokens, cum_tokens FROM c
+            WHERE cum_tokens <= (SELECT SUM(n_ws_tokens) // 2 FROM b)
         """,
     }

@@ -174,3 +174,76 @@ def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(_f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def budget_select(ds, score_col: str, size_col: str, budget: int,
+                  id_col: str = "doc_id", out_col: str = "cum_tokens"):
+    """Token-budget corpus selection — the "best documents until the
+    token budget is spent" curation step (DataComp/Dolma-style): order
+    rows by ``(score_col DESC, id_col ASC)`` and keep exactly the
+    prefix whose running ``size_col`` total (including the row itself)
+    stays ``<= budget``; the running total is emitted as ``out_col``,
+    so the cut is replayable as SQL ``SUM(size) OVER (ORDER BY score
+    DESC, id) <= budget`` (the (score, id) pair is unique, so the
+    RANGE/ROWS frame distinction is moot). ``score_col``/``id_col``/
+    ``size_col`` must be integers (the engine's exactness contract).
+
+    Scale shape: the same two-phase distributed scan as
+    :func:`pack_offsets` — ONE global sort (the inherent exchange:
+    selection is defined by a total order), per-block
+    (first_key, block_sum) partials (#blocks rows to the driver,
+    never data rows), cumulative block bases broadcast back, then a
+    vectorized local cumsum + filter inside each block. Pass a NARROW
+    (id, score, size) projection and join survivors back by id when
+    rows are wide."""
+    import ray
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+
+    sorted_ds = ds.sort(
+        [score_col, id_col], descending=[True, False]).materialize()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"first_score": pa.array([], pa.int64()),
+                 "first_id": pa.array([], pa.int64()),
+                 "block_sum": pa.array([], pa.int64())})
+        return pa.table({
+            "first_score": pa.array(
+                [int(t[score_col][0].as_py())], pa.int64()),
+            "first_id": pa.array([int(t[id_col][0].as_py())], pa.int64()),
+            "block_sum": pa.array(
+                [int(np.sum(t[size_col].to_numpy()))], pa.int64()),
+        })
+
+    parts = (
+        sorted_ds.map_batches(
+            _partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # O(#blocks) driver state, never O(rows)
+        .sort_values(["first_score", "first_id"],
+                     ascending=[False, True])
+    )
+    offs = (
+        np.concatenate([[0], np.cumsum(parts["block_sum"].to_numpy())[:-1]])
+        if len(parts) else np.zeros(0, np.int64)
+    )
+    off_map_ref = ray.put({
+        (s, i): o for s, i, o in zip(parts["first_score"].tolist(),
+                                     parts["first_id"].tolist(),
+                                     offs.tolist())
+    })
+
+    def _finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        base = ray.get(off_map_ref)[
+            (int(t[score_col][0].as_py()), int(t[id_col][0].as_py()))]
+        sizes = t[size_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = base + np.cumsum(sizes)
+        t = t.append_column(out_col, pa.array(cum, pa.int64()))
+        return t.filter(pa.array(cum <= budget))
+
+    return sorted_ds.map_batches(
+        _finish, batch_format="pyarrow", batch_size=None)

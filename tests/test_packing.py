@@ -117,3 +117,65 @@ def test_chunk_documents_empty_blocks_keep_schema(ray_session):
         "doc_id", "chunk_id", "tok_start", "n_tokens", "chunk_text"
     }
     assert t.num_rows == 32 * 3  # 3 tokens, stride 1 -> windows at 0,1,2
+
+
+def _budget_replay(rows, budget):
+    """(id, score, size) -> selected {id: cum} by (score DESC, id ASC)."""
+    cum, out = 0, {}
+    for rid, score, size in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += size
+        if cum <= budget:
+            out[rid] = cum
+    return out
+
+
+def test_budget_select_matches_replay_and_boundaries(ray_session):
+    import ray.data
+
+    from scrape_ray.ops.packing import budget_select
+
+    # heavy score ties + varied sizes; deterministic
+    rows = [(i, (i * 7) % 5, (i * 3) % 11 + 1) for i in range(200)]
+    items = [{"doc_id": r[0], "score": r[1], "size": r[2]} for r in rows]
+    total = sum(r[2] for r in rows)
+
+    from scrape_ray.util import dataset_to_table
+
+    for budget in (0, total // 3, total, total + 5):
+        got = dataset_to_table(budget_select(
+            ray.data.from_items(items).repartition(7), "score", "size",
+            budget, id_col="doc_id", out_col="cum",
+        ))  # arrow path: schema survives even an all-filtered result
+        want = _budget_replay(rows, budget)
+        assert dict(zip(got["doc_id"].to_pylist(),
+                        got["cum"].to_pylist())) == want
+        if budget >= total:
+            assert got.num_rows == len(rows)  # whole corpus fits
+
+    # exact-boundary row is INCLUDED (cum <= budget, not <)
+    srt = sorted(rows, key=lambda r: (-r[1], r[0]))
+    edge = srt[0][2] + srt[1][2]  # cum after the 2nd-ranked row
+    got = budget_select(
+        ray.data.from_items(items).repartition(3), "score", "size",
+        edge, id_col="doc_id", out_col="cum",
+    ).to_pandas()
+    assert len(got) == 2 and int(got["cum"].max()) == edge
+
+
+def test_budget_select_layout_independent_and_guard(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from scrape_ray.ops.packing import budget_select
+
+    items = [{"doc_id": i, "score": i % 4, "size": 2} for i in range(90)]
+    a = budget_select(ray.data.from_items(items).repartition(2),
+                      "score", "size", 60).to_pandas()
+    b = budget_select(ray.data.from_items(items).repartition(31),
+                      "score", "size", 60).to_pandas()
+    sa = a.sort_values("doc_id").reset_index(drop=True)
+    sb = b.sort_values("doc_id").reset_index(drop=True)
+    assert sa.equals(sb)
+
+    with _pytest.raises(ValueError, match=">= 0"):
+        budget_select(ray.data.from_items(items), "score", "size", -1)
