@@ -27,6 +27,44 @@ import numpy as np
 import pyarrow as pa
 
 
+def _scan_bases(sorted_ds, key_cols, ascending, size_col: str):
+    """Phases 1+2 of the two-phase distributed prefix scan shared by
+    :func:`pack_offsets` and :func:`budget_select`: per-block
+    (first key, block_sum) partials — #blocks rows to the driver,
+    never data rows — then cumulative block bases broadcast back as a
+    ``ray.put`` dict keyed by each block's first-key TUPLE (unique
+    because the sort key is). ``ascending`` gives the driver-side
+    ordering of each key column (must match the upstream sort)."""
+    import ray
+
+    kcols = [f"k{j}" for j in range(len(key_cols))]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {k: pa.array([], pa.int64()) for k in kcols}
+            cols["block_sum"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        cols = {k: pa.array([int(t[c][0].as_py())], pa.int64())
+                for k, c in zip(kcols, key_cols)}
+        cols["block_sum"] = pa.array(
+            [int(np.sum(t[size_col].to_numpy()))], pa.int64())
+        return pa.table(cols)
+
+    parts = (
+        sorted_ds.map_batches(
+            _partial, batch_format="pyarrow", batch_size=None)
+        .to_pandas()  # O(#blocks) driver state, never O(rows)
+        .sort_values(kcols, ascending=list(ascending))
+    )
+    offs = (
+        np.concatenate([[0], np.cumsum(parts["block_sum"].to_numpy())[:-1]])
+        if len(parts) else np.zeros(0, np.int64)
+    )
+    keys = (list(zip(*(parts[k].tolist() for k in kcols)))
+            if len(parts) else [])
+    return ray.put(dict(zip(keys, offs.tolist())))
+
+
 def pack_offsets(ds, order_col: str, size_col: str, chunk: int):
     """Adds ``start_offset`` (position of the row's first token in the
     concatenated stream) and ``bin`` (``start_offset // chunk`` — the
@@ -40,41 +78,13 @@ def pack_offsets(ds, order_col: str, size_col: str, chunk: int):
     import ray
 
     sorted_ds = ds.sort(order_col).materialize()
-
-    def _partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"first_key": pa.array([], pa.int64()),
-                 "block_sum": pa.array([], pa.int64())}
-            )
-        return pa.table(
-            {
-                "first_key": pa.array(
-                    [t[order_col][0].as_py()], pa.int64()
-                ),
-                "block_sum": pa.array(
-                    [int(np.sum(t[size_col].to_numpy()))], pa.int64()
-                ),
-            }
-        )
-
-    parts = (
-        sorted_ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-        .to_pandas()  # #blocks rows — driver state is O(blocks), never O(rows)
-        .sort_values("first_key")
-    )
-    offsets = np.concatenate(
-        [[0], np.cumsum(parts["block_sum"].to_numpy())[:-1]]
-    ) if len(parts) else np.zeros(0, np.int64)
-    off_map_ref = ray.put(
-        dict(zip(parts["first_key"].tolist(), offsets.tolist()))
-    )
+    off_map_ref = _scan_bases(sorted_ds, [order_col], [True], size_col)
 
     def _finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             t = t.append_column("start_offset", pa.array([], pa.int64()))
             return t.append_column("bin", pa.array([], pa.int64()))
-        base = ray.get(off_map_ref)[t[order_col][0].as_py()]
+        base = ray.get(off_map_ref)[(int(t[order_col][0].as_py()),)]
         sizes = t[size_col].to_numpy().astype(np.int64)
         starts = base + np.concatenate([[0], np.cumsum(sizes[:-1])])
         t = t.append_column("start_offset", pa.array(starts, pa.int64()))
@@ -203,37 +213,8 @@ def budget_select(ds, score_col: str, size_col: str, budget: int,
 
     sorted_ds = ds.sort(
         [score_col, id_col], descending=[True, False]).materialize()
-
-    def _partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"first_score": pa.array([], pa.int64()),
-                 "first_id": pa.array([], pa.int64()),
-                 "block_sum": pa.array([], pa.int64())})
-        return pa.table({
-            "first_score": pa.array(
-                [int(t[score_col][0].as_py())], pa.int64()),
-            "first_id": pa.array([int(t[id_col][0].as_py())], pa.int64()),
-            "block_sum": pa.array(
-                [int(np.sum(t[size_col].to_numpy()))], pa.int64()),
-        })
-
-    parts = (
-        sorted_ds.map_batches(
-            _partial, batch_format="pyarrow", batch_size=None)
-        .to_pandas()  # O(#blocks) driver state, never O(rows)
-        .sort_values(["first_score", "first_id"],
-                     ascending=[False, True])
-    )
-    offs = (
-        np.concatenate([[0], np.cumsum(parts["block_sum"].to_numpy())[:-1]])
-        if len(parts) else np.zeros(0, np.int64)
-    )
-    off_map_ref = ray.put({
-        (s, i): o for s, i, o in zip(parts["first_score"].tolist(),
-                                     parts["first_id"].tolist(),
-                                     offs.tolist())
-    })
+    off_map_ref = _scan_bases(sorted_ds, [score_col, id_col],
+                              [False, True], size_col)
 
     def _finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -36,6 +36,30 @@ def _key_hashes(t: pa.Table, key_col: str) -> np.ndarray:
     return fnv1a64_arrow(s)
 
 
+def _stratum_values(t: pa.Table, strata_col: str,
+                    table: dict[str, int], default: int) -> np.ndarray:
+    """Per-row uint64 lookup of ``table[stratum]`` (missing strata and
+    null strata fall back to ``default``), vectorized through Arrow
+    ``dictionary_encode`` — the Python dict is consulted once per
+    distinct stratum per batch, never per row. Shared by
+    :func:`stratified_sample` and :func:`mixture_sample` (the
+    null-slot trick must stay in sync between them)."""
+    enc = pc.dictionary_encode(t[strata_col])
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    lut = np.array(
+        [int(table.get(u, default)) for u in enc.dictionary.to_pylist()]
+        + [int(default)],  # slot for null strata
+        dtype=np.uint64,
+    )
+    idx = (
+        pc.fill_null(enc.indices, len(lut) - 1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return lut[idx]
+
+
 def deterministic_sample(ds, key_col: str, permille: int,
                          batch_size: int | None = None):
     """Uniform hash-threshold sample: keep iff
@@ -71,23 +95,7 @@ def stratified_sample(ds, strata_col: str, key_col: str,
 
     def _f(t: pa.Table) -> pa.Table:
         hv = _key_hashes(t, key_col)
-        enc = pc.dictionary_encode(t[strata_col])
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        lut = np.array(
-            [
-                int(permille.get(u, default_permille))
-                for u in enc.dictionary.to_pylist()
-            ]
-            + [int(default_permille)],  # slot for null strata
-            dtype=np.uint64,
-        )
-        idx = (
-            pc.fill_null(enc.indices, len(lut) - 1)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        thr = lut[idx]
+        thr = _stratum_values(t, strata_col, permille, default_permille)
         keep = (hv % np.uint64(1000)) < thr
         return t.filter(pa.array(keep))
 
@@ -156,23 +164,8 @@ def mixture_sample(ds, strata_col: str, key_col: str,
                 f"input already has a {copy_col!r} column; pass a "
                 f"different copy_col")
         hv = _key_hashes(t, key_col)
-        enc = pc.dictionary_encode(t[strata_col])
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        lut = np.array(
-            [
-                int(weights_permille.get(u, default_permille))
-                for u in enc.dictionary.to_pylist()
-            ]
-            + [int(default_permille)],  # slot for null strata
-            dtype=np.uint64,
-        )
-        idx = (
-            pc.fill_null(enc.indices, len(lut) - 1)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        w = lut[idx]
+        w = _stratum_values(t, strata_col, weights_permille,
+                            default_permille)
         n = (w // np.uint64(1000)).astype(np.int64)
         n += ((hv % np.uint64(1000)) < (w % np.uint64(1000))).astype(
             np.int64)

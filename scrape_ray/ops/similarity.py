@@ -737,6 +737,8 @@ def semdedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         raise ValueError("k and iterations must be >= 1")
     if not 0 < tau_num < tau_den:
         raise ValueError("require 0 < tau_num < tau_den")
+    if chunk_rows < 1 or scale < 1:
+        raise ValueError("chunk_rows and scale must be >= 1")
 
     qds = _quant_ds(ds, vec_col, id_col, scale, batch_size)
     refs = qds.to_arrow_refs()
@@ -777,11 +779,13 @@ def semdedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
         removed = np.zeros(c, bool)
         for i0 in range(1, c, chunk_rows):  # row 0 has no lower id
             i1 = min(i0 + chunk_rows, c)
-            G = Q[i0:i1] @ Q.T
+            # only columns j < i <= i1-1 can remove a row — slicing to
+            # Q[:i1] halves the flops/temporaries of the O(c^2) kernel
+            G = Q[i0:i1] @ Q[:i1].T
             lhs = G * G * td2
-            rhs = tn2 * np.outer(na[i0:i1], na)
+            rhs = tn2 * np.outer(na[i0:i1], na[:i1])
             dup = (G > 0) & (lhs > rhs)
-            jmask = np.arange(c)[None, :] < np.arange(i0, i1)[:, None]
+            jmask = np.arange(i1)[None, :] < np.arange(i0, i1)[:, None]
             removed[i0:i1] = (dup & jmask).any(axis=1)
         return pa.table({
             id_col: g[id_col],
